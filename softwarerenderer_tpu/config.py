@@ -1,0 +1,97 @@
+"""Pipeline state enums and render parameters.
+
+Mirrors the reference pipeline's state vocabulary (Rasterizer.cs:25-50 in
+/root/reference: BlendMode/DepthTest/CullMode enums, NearClip/FarClip
+statics, DebugMode) as plain IntEnums so they can be used as *static*
+arguments to jitted programs (switching depth test / blend mode recompiles,
+which is the XLA-native analog of the reference's per-draw function pointer
+selection at Rasterizer.cs:542-559).
+
+Semantics notes (faithful to the reference, see SURVEY.md §6):
+  * Depth buffer clears to -inf (MainWindow.cs:434) and pixel depth is
+    (ndcZ+1)/2 (Rasterizer.cs:388).
+  * The depth-test table is the reference's *as implemented*
+    (Rasterizer.cs:542-559): LESS_EQUAL means "new >= old", LESS means
+    "new > old", GREATER means "new < old", GREATER_EQUAL means
+    "new <= old", EQUAL/NOT_EQUAL use |new-old| vs 1e-6.
+  * The reference's barycentric weights sum to -1 (its EdgeFunction sign
+    convention vs its a/b edge deltas, Rasterizer.cs:445-447,481-483 —
+    verified numerically), so the *interpolated* depth written to the
+    buffer is the NEGATED combination of the per-vertex (ndcZ+1)/2 values:
+    stored depth runs -0.5 at the near plane to -1.0 at far, monotonically
+    decreasing with distance.  The inverted ">=" comparison therefore
+    yields conventional nearest-wins z-buffering — two accidental
+    negations that cancel.  Parity requires replicating both.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class DepthTest(enum.IntEnum):
+    """Depth-test modes; comparison semantics per Rasterizer.cs:542-559."""
+
+    DISABLED = 0
+    LESS = 1          # passes when new > old   (reference's inverted table)
+    LESS_EQUAL = 2    # passes when new >= old  (reference default)
+    GREATER = 3       # passes when new < old   (conventional nearest-wins)
+    GREATER_EQUAL = 4 # passes when new <= old
+    EQUAL = 5         # |new - old| <  1e-6
+    NOT_EQUAL = 6     # |new - old| >= 1e-6
+    ALWAYS = 7
+
+
+class BlendMode(enum.IntEnum):
+    """Framebuffer blend modes (Rasterizer.cs:57-65)."""
+
+    NONE = 0      # src
+    ALPHA = 1     # src*src.a + dst*(1-src.a)   (note: alpha channel blends too)
+    ADDITIVE = 2  # min(src+dst, 1)
+    MULTIPLY = 3  # src*dst
+
+
+class CullMode(enum.IntEnum):
+    """Face culling (Rasterizer.cs:45-50); front face = signed area < 0
+    after the raster-order vertex reversal (Rasterizer.cs:367,414)."""
+
+    NONE = 0
+    BACK = 1
+    FRONT = 2
+
+
+class DebugMode(enum.IntEnum):
+    """Raster debug modes (Rasterizer.cs:14-18)."""
+
+    NONE = 0
+    WIREFRAME = 1
+
+
+# Epsilon used by EQUAL/NOT_EQUAL depth tests and by the clipper's
+# degenerate-denominator fallback (Rasterizer.cs:52).
+EPSILON = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderParams:
+    """Static (compile-time) rasterizer configuration.
+
+    Everything here changes program structure, so it is hashable and passed
+    as a static argument to jit.  Per-frame *traced* values (matrices, fog,
+    light, clear color, near/far clip scalars) travel in `engine.frame`
+    uniforms instead, so live-tuning them does not recompile — the analog of
+    the reference's ImGui sliders (Renderer.cs:690-817).
+    """
+
+    width: int = 800
+    height: int = 600
+    depth_test: DepthTest = DepthTest.LESS_EQUAL
+    blend_mode: BlendMode = BlendMode.ALPHA
+    cull_mode: CullMode = CullMode.BACK
+    debug_mode: DebugMode = DebugMode.NONE
+    # Deferred (visibility-buffer) vs forward (sequential, blend-exact) path.
+    deferred: bool = True
+
+    def replace(self, **kw) -> "RenderParams":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,280 @@
+"""Scene data model: cameras, materials, lights, meshes, packed scene buffers.
+
+Mirrors the reference's scene types (ModelLoader.cs:42-67 Mesh/Model,
+Material.cs, Light.cs, Camera.cs) as host-side dataclasses plus a TPU-first
+packing step: instead of per-mesh draw calls under Parallel.ForEach
+(Renderer.cs:444-465), all meshes are concatenated into one device-resident
+triangle soup with per-vertex mesh ids, per-mesh transforms and a packed
+texture atlas, so a frame is ONE fused program over static-shape arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from softwarerenderer_tpu.utils import mathlib as ml
+
+F32 = np.float32
+
+
+# ---------------------------------------------------------------------------
+# Camera (Camera.cs)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Camera:
+    """Position + quaternion camera (Camera.cs:6-27)."""
+
+    position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, dtype=F32))
+    rotation: np.ndarray = dataclasses.field(
+        default_factory=lambda: ml.QUAT_IDENTITY.copy())
+    sensitivity: float = 0.1
+
+    def front(self, xp=np):
+        return ml.quat_rotate(xp.asarray([0, 0, -1], dtype=xp.float32),
+                              xp.asarray(self.rotation, dtype=xp.float32), xp=xp)
+
+    def right(self, xp=np):
+        return ml.quat_rotate(xp.asarray([1, 0, 0], dtype=xp.float32),
+                              xp.asarray(self.rotation, dtype=xp.float32), xp=xp)
+
+    def up(self, xp=np):
+        return ml.quat_rotate(xp.asarray([0, 1, 0], dtype=xp.float32),
+                              xp.asarray(self.rotation, dtype=xp.float32), xp=xp)
+
+    def view_matrix(self, xp=np):
+        pos = xp.asarray(self.position, dtype=xp.float32)
+        return ml.look_at(pos, pos + self.front(xp=xp), self.up(xp=xp), xp=xp)
+
+    def euler_degrees(self):
+        return ml.quat_to_euler_degrees(self.rotation)
+
+
+# ---------------------------------------------------------------------------
+# Material / Light (Material.cs, Light.cs)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Material:
+    """PBR-ish material record (Material.cs:6-22)."""
+
+    base_color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    metallic: float = 0.0
+    roughness: float = 0.5
+    emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    texture_paths: Tuple[Tuple[str, str], ...] = ()  # (slot, path) pairs
+
+    def texture_path(self, slot: str = "diffuse") -> Optional[str]:
+        for s, p in self.texture_paths:
+            if s == slot:
+                return p
+        return None
+
+
+class LightType:
+    DIRECTIONAL = 0
+    POINT = 1
+    SPOT = 2
+    AMBIENT = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class Light:
+    """Imported light record (Light.cs:7-33)."""
+
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    direction: Tuple[float, float, float] = (0.0, -1.0, 0.0)
+    color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    light_type: int = LightType.DIRECTIONAL
+    attenuation_constant: float = 1.0
+    attenuation_linear: float = 0.0
+    attenuation_quadratic: float = 0.0
+    spot_inner: float = 0.0
+    spot_outer: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# Bounding spheres (FrustumCuller.CalculateBoundingSphere, :59-151)
+# ---------------------------------------------------------------------------
+
+def bounding_sphere(positions: np.ndarray) -> Tuple[np.ndarray, float]:
+    """Ritter-style 3-pass bounding sphere, vectorized.
+
+    Pass 1: farthest point p1 from vertex 0; pass 2: farthest p2 from p1;
+    pass 3: grow the (p1,p2) sphere to cover stragglers.
+    """
+    positions = np.asarray(positions, dtype=F32)
+    if positions.size == 0:
+        return np.zeros(3, dtype=F32), 0.0
+    if positions.shape[0] == 1:
+        return positions[0].copy(), 0.0
+    p0 = positions[0]
+    d0 = np.sum((positions - p0) ** 2, axis=-1)
+    p1 = positions[np.argmax(d0)]
+    d1 = np.sum((positions - p1) ** 2, axis=-1)
+    i2 = np.argmax(d1)
+    p2 = positions[i2]
+    center = (p1 + p2) * F32(0.5)
+    radius = F32(np.sqrt(d1[i2]) * 0.5)
+    # growth pass (sequential in the reference; order-dependent growth is
+    # conservative either way — we apply it deterministically in index order
+    # over only the out-of-sphere points)
+    for p in positions:
+        dist = float(np.linalg.norm(p - center))
+        if dist > radius:
+            new_radius = (radius + dist) * 0.5
+            center = center + (p - center) * ((new_radius - radius) / dist)
+            radius = F32(new_radius)
+    return center.astype(F32), float(radius)
+
+
+# ---------------------------------------------------------------------------
+# Texture atlas
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TextureAtlas:
+    """All scene textures shelf-packed into one (H, W, 4) array.
+
+    Per-texture metadata (offset + size) lets the device shader do the
+    reference's repeat-wrap nearest sampling inside its sub-rectangle.
+    Texture id 0 is always a 1x1 white texel (the "no texture" fallback,
+    Renderer.cs:852 `texture?.Sample(...) ?? Vector4.One`).
+    """
+
+    data: np.ndarray            # (H, W, 4) float32
+    offsets: np.ndarray         # (N, 2) int32 (y, x)
+    sizes: np.ndarray           # (N, 2) int32 (h, w)
+
+    @property
+    def n_textures(self) -> int:
+        return self.offsets.shape[0]
+
+
+def pack_atlas(textures: List[np.ndarray], pad_to_multiple: int = 128
+               ) -> TextureAtlas:
+    """Shelf-pack (H,W,4) float32 images; index 0 = implicit white texel."""
+    images = [np.ones((1, 1, 4), dtype=F32)]
+    for t in textures:
+        t = np.asarray(t, dtype=F32)
+        if t.ndim == 2:
+            t = t[..., None]
+        if t.shape[-1] == 3:
+            t = np.concatenate([t, np.ones(t.shape[:2] + (1,), dtype=F32)], -1)
+        images.append(t)
+
+    max_w = max(im.shape[1] for im in images)
+    atlas_w = -(-max(max_w, 1) // pad_to_multiple) * pad_to_multiple
+    # shelf packing in given order
+    offsets, sizes = [], []
+    shelf_y = 0
+    shelf_h = 0
+    cur_x = 0
+    for im in images:
+        h, w = im.shape[0], im.shape[1]
+        if cur_x + w > atlas_w:
+            shelf_y += shelf_h
+            cur_x = 0
+            shelf_h = 0
+        offsets.append((shelf_y, cur_x))
+        sizes.append((h, w))
+        cur_x += w
+        shelf_h = max(shelf_h, h)
+    atlas_h = -(-(shelf_y + shelf_h) // pad_to_multiple) * pad_to_multiple
+    data = np.zeros((atlas_h, atlas_w, 4), dtype=F32)
+    for im, (oy, ox), (h, w) in zip(images, offsets, sizes):
+        data[oy:oy + h, ox:ox + w] = im
+    return TextureAtlas(
+        data=data,
+        offsets=np.asarray(offsets, dtype=np.int32),
+        sizes=np.asarray(sizes, dtype=np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packed scene buffers
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MeshInstance:
+    """One draw: a mesh dict (primitives.py layout) + transform + texture."""
+
+    mesh: Dict[str, np.ndarray]
+    model_matrix: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=F32))
+    texture: Optional[np.ndarray] = None   # (H, W, 4) float32, or None
+    material: Material = Material()
+
+
+def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
+    """Concatenate mesh instances into one static-shape triangle soup.
+
+    Returns a dict of arrays (a pytree ready for device upload):
+      position/uv/normal/color : (V, ...) packed vertex attributes
+      indices                  : (T, 3) int32 into the packed vertex arrays
+      tri_mesh_id              : (T,)  mesh-instance id per triangle
+      vert_mesh_id             : (V,)  mesh-instance id per vertex
+      mesh_matrices            : (M, 4, 4) model matrices
+      tri_texture_id           : (T,) atlas texture ids (0 = white)
+      bounds_center/bounds_radius : per-mesh local-space bounding spheres
+      atlas_data/atlas_offsets/atlas_sizes : packed texture atlas
+      base_color               : (M, 4) material base colors
+    """
+    positions, uvs, normals, colors, all_indices = [], [], [], [], []
+    tri_mesh_id, vert_mesh_id, tri_tex_id = [], [], []
+    matrices, centers, radii, base_colors = [], [], [], []
+    textures = []
+    tex_id_of = {}
+
+    v_off = 0
+    for mi, inst in enumerate(instances):
+        mesh = inst.mesh
+        pos = np.asarray(mesh["position"], dtype=F32)
+        v = pos.shape[0]
+        positions.append(pos)
+        uvs.append(np.asarray(mesh["uv"], dtype=F32))
+        normals.append(np.asarray(mesh["normal"], dtype=F32))
+        colors.append(np.asarray(mesh["color"], dtype=F32))
+        idx = np.asarray(mesh["indices"], dtype=np.int32).reshape(-1, 3)
+        all_indices.append(idx + v_off)
+        t = idx.shape[0]
+        tri_mesh_id.append(np.full(t, mi, dtype=np.int32))
+        vert_mesh_id.append(np.full(v, mi, dtype=np.int32))
+        if inst.texture is not None:
+            key = id(inst.texture)
+            if key not in tex_id_of:
+                textures.append(inst.texture)
+                tex_id_of[key] = len(textures)  # atlas id (0 is white)
+            tex = tex_id_of[key]
+        else:
+            tex = 0
+        tri_tex_id.append(np.full(t, tex, dtype=np.int32))
+        matrices.append(np.asarray(inst.model_matrix, dtype=F32))
+        c, r = bounding_sphere(pos)
+        centers.append(c)
+        radii.append(r)
+        base_colors.append(np.asarray(inst.material.base_color, dtype=F32))
+        v_off += v
+
+    atlas = pack_atlas(textures)
+    return {
+        "position": np.concatenate(positions, axis=0),
+        "uv": np.concatenate(uvs, axis=0),
+        "normal": np.concatenate(normals, axis=0),
+        "color": np.concatenate(colors, axis=0),
+        "indices": np.concatenate(all_indices, axis=0),
+        "tri_mesh_id": np.concatenate(tri_mesh_id, axis=0),
+        "vert_mesh_id": np.concatenate(vert_mesh_id, axis=0),
+        "tri_texture_id": np.concatenate(tri_tex_id, axis=0),
+        "mesh_matrices": np.stack(matrices, axis=0),
+        "bounds_center": np.stack(centers, axis=0),
+        "bounds_radius": np.asarray(radii, dtype=F32),
+        "base_color": np.stack(base_colors, axis=0),
+        "atlas_data": atlas.data,
+        "atlas_offsets": atlas.offsets,
+        "atlas_sizes": atlas.sizes,
+    }

@@ -1,0 +1,91 @@
+"""Texture sampling — nearest/repeat parity mode plus bilinear.
+
+Reference semantics (Texture.cs:42-63): nearest-neighbor with repeat wrap,
+    u = frac(u) (+1 if negative);  x = int(u*W) % W (+W if negative)
+Bilinear is an additional non-parity mode (the reference advertises only
+nearest; SURVEY.md §6 note 4).
+
+Textures are dicts {"data": (H, W, 4) float32 in [0,1]} so they ride pytrees
+into jit.  `sample_*` works under numpy and jax.numpy alike; gathers lower to
+`jnp.take` on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+F32 = np.float32
+
+
+def make_texture(data, xp=np):
+    """Wrap an (H, W, 4) float32/uint8 array as a texture pytree."""
+    data = xp.asarray(data)
+    if data.dtype == np.uint8 or str(data.dtype) == "uint8":
+        data = data.astype(xp.float32) / F32(255.0)
+    data = xp.asarray(data, dtype=xp.float32)
+    if data.ndim == 2:
+        data = data[..., None]
+    if data.shape[-1] == 3:
+        data = xp.concatenate(
+            [data, xp.ones(data.shape[:-1] + (1,), dtype=xp.float32)], axis=-1)
+    return {"data": data}
+
+
+def _wrap_uv(uv, xp):
+    """u - trunc(u), +1 if negative (Texture.cs:45-48)."""
+    uv = xp.asarray(uv, dtype=xp.float32)
+    frac = uv - xp.trunc(uv)
+    return xp.where(frac < 0, frac + F32(1.0), frac)
+
+
+def sample_nearest(texture, uv, xp=np):
+    """Nearest-neighbor, repeat wrap; integer truncation exactly as the
+    reference: x = int(u*W) % W, then +W if still negative."""
+    data = texture["data"]
+    h, w = data.shape[0], data.shape[1]
+    st = _wrap_uv(uv, xp)
+    x = xp.asarray(st[..., 0] * F32(w), dtype=xp.int32) % w
+    y = xp.asarray(st[..., 1] * F32(h), dtype=xp.int32) % h
+    x = xp.where(x < 0, x + w, x)
+    y = xp.where(y < 0, y + h, y)
+    flat = data.reshape(h * w, data.shape[-1])
+    return xp.take(flat, y * w + x, axis=0)
+
+
+def sample_bilinear(texture, uv, xp=np):
+    """Bilinear filtering with repeat wrap (texel centers at half-integers)."""
+    data = texture["data"]
+    h, w = data.shape[0], data.shape[1]
+    st = _wrap_uv(uv, xp)
+    fx = st[..., 0] * F32(w) - F32(0.5)
+    fy = st[..., 1] * F32(h) - F32(0.5)
+    x0 = xp.floor(fx)
+    y0 = xp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = xp.asarray(x0, dtype=xp.int32) % w
+    y0i = xp.asarray(y0, dtype=xp.int32) % h
+    x0i = xp.where(x0i < 0, x0i + w, x0i)
+    y0i = xp.where(y0i < 0, y0i + h, y0i)
+    x1i = (x0i + 1) % w
+    y1i = (y0i + 1) % h
+    flat = data.reshape(h * w, data.shape[-1])
+    c00 = xp.take(flat, y0i * w + x0i, axis=0)
+    c10 = xp.take(flat, y0i * w + x1i, axis=0)
+    c01 = xp.take(flat, y1i * w + x0i, axis=0)
+    c11 = xp.take(flat, y1i * w + x1i, axis=0)
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
+
+
+def checkerboard(size=64, cells=8, color_a=(1.0, 1.0, 1.0, 1.0),
+                 color_b=(0.2, 0.2, 0.2, 1.0)):
+    """Procedural checkerboard texture (test/demo asset)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    cell = size // cells
+    mask = ((xx // cell) + (yy // cell)) % 2 == 0
+    data = np.where(mask[..., None],
+                    np.asarray(color_a, dtype=F32),
+                    np.asarray(color_b, dtype=F32))
+    return make_texture(data.astype(F32))
