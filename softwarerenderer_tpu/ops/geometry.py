@@ -1,0 +1,257 @@
+"""Device geometry pipeline: vertex shading → clip → viewport/cull setup.
+
+TPU-first re-design of the reference's per-triangle geometry work
+(Rasterizer.RenderMesh/ClipTriangleAgainstNearPlane/DrawTriangle,
+/root/reference/Rasterizer.cs:163-399).  Where the reference runs a
+`Parallel.For` over triangles and shades 3 vertices at a time (SURVEY.md
+§2.2 P1), here every stage is one batched array op over ALL vertices /
+triangles — static shapes, no data-dependent control flow, everything
+inside one jitted program:
+
+  * ``shade_vertices``     — user vertex shader applied to (V, ...) arrays
+  * ``assemble_triangles`` — gather vertex outputs into (T, 3, ...) SoA
+  * ``clip_triangles``     — vectorized Sutherland–Hodgman near clip with a
+    static 8-case emission table; each input triangle yields 2 output slots
+    (fan triangles) with validity masks, so shapes stay static
+  * ``setup_triangles``    — reversed-vertex NDC/viewport transform, depth,
+    signed area, cull/degeneracy masks, screen bbox
+
+Faithfulness (SURVEY.md §6): clipping fires only when some-but-not-all
+clip w ≤ 0 (Rasterizer.cs:208-224); the clip plane is z ≥ NearClip·w with
+the reference's t formula incl. the |denom|<ε → t=0.5 fallback and [0,1]
+clamp (Rasterizer.cs:95-160, Shaders.cs:49-95); vertices are reversed
+{v2,v1,v0} before raster (Rasterizer.cs:367); Y-flip viewport and depth =
+(ndcZ+1)/2 (Rasterizer.cs:385-388); front face = signed area < 0 (:414);
+NaN/Inf NDC or any clip w == 0 or zero area drops the triangle (:378-396).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from softwarerenderer_tpu.config import EPSILON, CullMode
+
+F32 = jnp.float32
+
+# Static Sutherland–Hodgman emission table.  Walking edges (0→1, 1→2, 2→0)
+# and emitting [cur if inside] + [intersection if crossing] gives, for each
+# 3-bit inside mask (case = b0 + 2*b1 + 4*b2), an ordered polygon of up to 4
+# sources.  Source ids: 0-2 = original vertex, 3-5 = intersection on edge
+# (3 = edge 0→1, 4 = edge 1→2, 5 = edge 2→0), 6 = padding.
+_CLIP_TABLE = np.array(
+    [
+        [6, 6, 6, 6],  # 000 — fully outside
+        [0, 3, 5, 6],  # 100 — only v0 inside
+        [3, 1, 4, 6],  # 010
+        [0, 1, 4, 5],  # 110
+        [4, 2, 5, 6],  # 001
+        [0, 3, 4, 2],  # 101
+        [3, 1, 2, 5],  # 011
+        [0, 1, 2, 6],  # 111 — untouched
+    ],
+    dtype=np.int32,
+)
+_CLIP_COUNT = np.array([0, 3, 3, 4, 3, 4, 4, 3], dtype=np.int32)
+
+
+def shade_vertices(vertex_shader: Callable, vertex_input: Dict, uniforms: Dict
+                   ) -> Dict:
+    """Run the user vertex shader over all packed vertices at once.
+
+    The shader contract is shaders.py's: dict of (V, ...) attribute arrays
+    in, dict with "clip_position"/"color"/"uv"/"normal" and optional "data"
+    varyings out.  The reference shades per-triangle inside Parallel.For
+    (Rasterizer.cs:200-206, shading shared vertices redundantly); here each
+    vertex is shaded exactly once.
+    """
+    out = vertex_shader(vertex_input, uniforms, jnp)
+    out.setdefault("data", {})
+    return out
+
+
+def _flatten_varyings(vs_out: Dict) -> Dict[str, jnp.ndarray]:
+    """Flatten {k: arr, "data": {name: arr}} into a flat dict with
+    "data."-prefixed keys (the user-extensible varying channel of
+    Shaders.cs:33 becomes extra SoA planes)."""
+    flat = {k: v for k, v in vs_out.items() if k != "data"}
+    for name, arr in vs_out.get("data", {}).items():
+        flat["data." + name] = arr
+    return flat
+
+
+def unflatten_varyings(flat: Dict[str, jnp.ndarray]) -> Dict:
+    out = {k: v for k, v in flat.items() if not k.startswith("data.")}
+    out["data"] = {k[len("data."):]: v for k, v in flat.items()
+                   if k.startswith("data.")}
+    return out
+
+
+def assemble_triangles(vs_out: Dict, indices: jnp.ndarray
+                       ) -> Dict[str, jnp.ndarray]:
+    """Gather per-vertex shader outputs into per-triangle (T, 3, K) SoA."""
+    indices = jnp.asarray(indices, dtype=jnp.int32).reshape(-1, 3)
+    flat = _flatten_varyings(vs_out)
+    return {k: jnp.take(v, indices, axis=0) for k, v in flat.items()}
+
+
+def clip_triangles(attrs: Dict[str, jnp.ndarray], near_clip
+                   ) -> tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Vectorized near-plane clip.  attrs: flat varying dict of (T, 3, K).
+
+    Returns (attrs2, valid) where attrs2 arrays are (2T, 3, K) — for each
+    input triangle, fan slots [2t] = (p0,p1,p2) and [2t+1] = (p0,p2,p3) in
+    the reference's emission order — and valid is (2T,) bool.  Triangles
+    needing no clip pass through slot [2t] unchanged (case-7 identity row).
+    """
+    clip = attrs["clip_position"]            # (T, 3, 4)
+    near = jnp.asarray(near_clip, dtype=F32)
+    z = clip[..., 2]
+    w = clip[..., 3]
+
+    w_nonpos = w <= 0                         # (T, 3)
+    any_out = jnp.any(w_nonpos, axis=-1)
+    all_out = jnp.all(w_nonpos, axis=-1)
+
+    inside = z >= near * w                    # (T, 3) plane test
+    bits = (inside[:, 0].astype(jnp.int32)
+            + 2 * inside[:, 1].astype(jnp.int32)
+            + 4 * inside[:, 2].astype(jnp.int32))
+    # Clip only when some-but-not-all w ≤ 0 (Rasterizer.cs:208-224); all w ≤ 0
+    # drops the triangle; all w > 0 passes through even if z < near·w.
+    case = jnp.where(all_out, 0, jnp.where(any_out, bits, 7))
+
+    # Edge intersections: edge i runs vert i → vert (i+1)%3.
+    nxt = jnp.roll(jnp.arange(3), -1)
+    z0, w0 = z, w
+    z1, w1 = z[:, nxt], w[:, nxt]
+    denom = (z1 - z0) - near * (w1 - w0)
+    t_raw = (z0 - near * w0) / jnp.where(denom == 0, F32(1), near * (w1 - w0) - (z1 - z0))
+    t = jnp.where(jnp.abs(denom) < EPSILON, F32(0.5),
+                  jnp.clip(t_raw, 0.0, 1.0))  # (T, 3)
+
+    table = jnp.asarray(_CLIP_TABLE)[case]    # (T, 4) source ids
+    count = jnp.asarray(_CLIP_COUNT)[case]    # (T,)
+
+    def clip_one(arr):
+        # arr: (T, 3, K) → candidates (T, 7, K): verts, edge lerps, pad.
+        a = arr
+        b = arr[:, nxt]
+        x = a + (b - a) * t[..., None]        # Shaders.Lerp order: a+(b-a)*t
+        cand = jnp.concatenate([a, x, jnp.zeros_like(a[:, :1])], axis=1)
+        out4 = jnp.take_along_axis(cand, table[:, :, None], axis=1)  # (T,4,K)
+        tri_a = out4[:, jnp.asarray([0, 1, 2])]
+        tri_b = out4[:, jnp.asarray([0, 2, 3])]
+        # Interleave so global order matches sequential fan emission.
+        return jnp.stack([tri_a, tri_b], axis=1).reshape(
+            (-1, 3) + arr.shape[2:])
+
+    attrs2 = {k: clip_one(v) for k, v in attrs.items()}
+    valid_a = count >= 3
+    valid_b = count == 4
+    valid = jnp.stack([valid_a, valid_b], axis=1).reshape(-1)
+    return attrs2, valid
+
+
+def setup_triangles(attrs: Dict[str, jnp.ndarray], valid: jnp.ndarray,
+                    width: int, height: int, cull_mode: CullMode) -> Dict:
+    """DrawTriangle setup (Rasterizer.cs:342-399), vectorized.
+
+    Reverses vertex order to {v2,v1,v0}, computes screen positions (Y flip,
+    pixel centers at integer coords), per-vertex depth (ndcZ+1)/2, the
+    normalized "screen_coords" varying, signed area and all validity masks.
+
+    Returns a triangle-SoA pytree:
+      screen  (N, 3, 2)   raster-order screen positions
+      depth   (N, 3)      per-vertex (ndcZ+1)/2
+      area    (N,)        signed area (front face < 0)
+      inv_area(N,)
+      valid   (N,)        all masks combined
+      bbox    (N, 4)      [min_x, min_y, max_x, max_y] clamped to screen, i32
+      attrs   flat varying dict of (N, 3, K), raster vertex order, incl.
+              the "screen_coords" varying added here
+    """
+    rev = jnp.asarray([2, 1, 0])
+    attrs = {k: v[:, rev] for k, v in attrs.items()}
+    clip = attrs["clip_position"]             # (N, 3, 4)
+    w = clip[..., 3]
+    inv_w = F32(1.0) / w
+    ndc = clip[..., :3] * inv_w[..., None]
+
+    fw = F32(float(width))
+    fh = F32(float(height))
+    sx = (ndc[..., 0] * F32(0.5) + F32(0.5)) * fw
+    sy = (F32(1.0) - (ndc[..., 1] * F32(0.5) + F32(0.5))) * fh
+    screen = jnp.stack([sx, sy], axis=-1)     # (N, 3, 2)
+    depth = (ndc[..., 2] + F32(1.0)) * F32(0.5)
+
+    inv_w1 = F32(1.0) / F32(float(width - 1))
+    inv_h1 = F32(1.0) / F32(float(height - 1))
+    attrs = dict(attrs)
+    attrs["screen_coords"] = jnp.stack([sx * inv_w1, sy * inv_h1], axis=-1)
+
+    area = _edge_function(
+        screen[:, 0, 0], screen[:, 0, 1],
+        screen[:, 1, 0], screen[:, 1, 1],
+        screen[:, 2, 0], screen[:, 2, 1])
+
+    finite = jnp.all(jnp.isfinite(ndc), axis=(1, 2))
+    w_nonzero = jnp.all(w != 0, axis=1)
+    nondegenerate = area != 0
+    is_front = area < 0
+    if cull_mode == CullMode.BACK:
+        cull_ok = is_front
+    elif cull_mode == CullMode.FRONT:
+        cull_ok = ~is_front
+    else:
+        cull_ok = jnp.ones_like(is_front)
+
+    valid = valid & finite & w_nonzero & nondegenerate & cull_ok
+
+    min_x = jnp.maximum(jnp.floor(jnp.min(sx, axis=1)), 0).astype(jnp.int32)
+    max_x = jnp.minimum(jnp.ceil(jnp.max(sx, axis=1)),
+                        width - 1).astype(jnp.int32)
+    min_y = jnp.maximum(jnp.floor(jnp.min(sy, axis=1)), 0).astype(jnp.int32)
+    max_y = jnp.minimum(jnp.ceil(jnp.max(sy, axis=1)),
+                        height - 1).astype(jnp.int32)
+    valid = valid & (min_x <= max_x) & (min_y <= max_y)
+
+    safe_area = jnp.where(area == 0, F32(1), area)
+    return {
+        "screen": screen,
+        "depth": depth,
+        "area": area,
+        "inv_area": F32(1.0) / safe_area,
+        "valid": valid,
+        "bbox": jnp.stack([min_x, min_y, max_x, max_y], axis=-1),
+        "attrs": attrs,
+    }
+
+
+def _edge_function(ax, ay, bx, by, cx, cy):
+    """(c-a) × (b-a) — Rasterizer.cs:561-563."""
+    return (cx - ax) * (by - ay) - (cy - ay) * (bx - ax)
+
+
+def build_triangles(vertex_shader: Callable, vertex_input: Dict,
+                    indices: jnp.ndarray, uniforms: Dict, *,
+                    width: int, height: int,
+                    cull_mode: CullMode = CullMode.BACK,
+                    near_clip=0.1,
+                    tri_mask: jnp.ndarray | None = None) -> Dict:
+    """Full geometry stage: shade → assemble → clip → setup.
+
+    tri_mask: optional (T,) bool per INPUT triangle (e.g. frustum-cull mask
+    per mesh, SURVEY.md §2.2 P6 — culled meshes become masked triangles
+    rather than dynamic shapes).
+    """
+    vs_out = shade_vertices(vertex_shader, vertex_input, uniforms)
+    attrs = assemble_triangles(vs_out, indices)
+    attrs2, valid = clip_triangles(attrs, uniforms.get("near_clip", near_clip))
+    if tri_mask is not None:
+        valid = valid & jnp.repeat(jnp.asarray(tri_mask, bool), 2)
+    return setup_triangles(attrs2, valid, width, height, cull_mode)

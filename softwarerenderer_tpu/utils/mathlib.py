@@ -226,21 +226,36 @@ def safe_normalize(v, xp=np):
 
 
 def transform(v, m, xp=np):
-    """Vector4.Transform(v, M) = v·M.  v: (..., 4), m: (4, 4) -> (..., 4)."""
-    return _f32(v, xp) @ _f32(m, xp)
+    """Vector4.Transform(v, M) = v·M.  v: (..., 4), m: (..., 4, 4) -> (..., 4).
+
+    Written as explicit left-to-right mul/adds (x·M[0] + y·M[1] + z·M[2] +
+    w·M[3]) rather than matmul so the float32 summation order is identical
+    to .NET System.Numerics AND identical between the numpy golden reference
+    and the XLA device path (TPU matmuls would otherwise reassociate).
+    Supports batched matrices (leading dims broadcast against v's).
+    """
+    v = _f32(v, xp)
+    m = _f32(m, xp)
+    return ((v[..., 0:1] * m[..., 0, :] + v[..., 1:2] * m[..., 1, :])
+            + v[..., 2:3] * m[..., 2, :]) + v[..., 3:4] * m[..., 3, :]
 
 
 def transform_point(p, m, xp=np):
     """Vector3.Transform(p, M): (p,1)·M, returns xyz (w not divided —
-    matches System.Numerics, which assumes affine M for Vector3)."""
+    matches System.Numerics, which assumes affine M for Vector3).
+    Explicit .NET summation order; batched matrices broadcast."""
     p = _f32(p, xp)
     m = _f32(m, xp)
-    return p @ m[:3, :3] + m[3, :3]
+    return ((p[..., 0:1] * m[..., 0, :3] + p[..., 1:2] * m[..., 1, :3])
+            + p[..., 2:3] * m[..., 2, :3]) + m[..., 3, :3]
 
 
 def transform_normal(n, m, xp=np):
-    """Vector3.TransformNormal(n, M) = n · M[0:3,0:3]."""
-    return _f32(n, xp) @ _f32(m, xp)[:3, :3]
+    """Vector3.TransformNormal(n, M) = n · M[0:3,0:3] (.NET order; batched)."""
+    n = _f32(n, xp)
+    m = _f32(m, xp)
+    return (n[..., 0:1] * m[..., 0, :3] + n[..., 1:2] * m[..., 1, :3]) \
+        + n[..., 2:3] * m[..., 2, :3]
 
 
 def homogenize(p, xp=np):
