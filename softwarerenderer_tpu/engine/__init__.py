@@ -1,0 +1,9 @@
+from softwarerenderer_tpu.engine.renderer import (  # noqa: F401
+    Engine,
+    camera_matrices,
+    default_frame_uniforms,
+    render_frame,
+    scene_fragment_shader,
+    scene_vertex_shader,
+    to_rgb8,
+)

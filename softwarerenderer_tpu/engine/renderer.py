@@ -1,0 +1,200 @@
+"""Frame engine: packed scene + camera → one fused jitted device program.
+
+The reference's per-frame loop fans per-mesh draws out over CPU threads and
+re-uploads the framebuffer to GL each frame (Renderer.cs:404-419,
+MainWindow.cs:217-266).  Here the whole frame — camera matrices, frustum
+culling, vertex shading, clipping, visibility reduce, deferred shading —
+is ONE XLA program over device-resident scene buffers (SURVEY.md §3.2:
+"all of §P1-P8 collapse into one jitted device program per frame"); the
+only host crossings are the per-frame uniform upload and the framebuffer
+download for present.
+
+Live-tunable parameters (fov, near/far clip, fog, light, clear color —
+the reference's ImGui sliders, Renderer.cs:690-817) are TRACED scalars in
+the uniforms pytree, so tuning never recompiles; anything that changes
+program structure lives in the static RenderParams.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from softwarerenderer_tpu.config import RenderParams
+from softwarerenderer_tpu.ops import culling, geometry, raster
+from softwarerenderer_tpu.ops import texture as tex_ops
+from softwarerenderer_tpu.utils import mathlib as ml
+
+F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Scene-level default shaders (the game's shaders, Renderer.cs:830-860,
+# adapted to the packed-scene layout: per-vertex model matrices and a
+# texture-atlas id per triangle instead of one model/texture per draw call).
+# ---------------------------------------------------------------------------
+
+def scene_vertex_shader(vin, uniforms, xp=jnp):
+    """MVP transform + world normal varying (Renderer.cs:830-846), with
+    uniforms["model"] batched per vertex ((V, 4, 4) gathered from the packed
+    scene's mesh_matrices)."""
+    model = uniforms["model"]
+    world = ml.transform(ml.homogenize(vin["position"], xp=xp), model, xp=xp)
+    view_pos = ml.transform(world, uniforms["view"], xp=xp)
+    clip = ml.transform(view_pos, uniforms["projection"], xp=xp)
+    world_normal = ml.normalize(
+        ml.transform_normal(vin["normal"], model, xp=xp), xp=xp, eps=1e-30)
+    return {
+        "clip_position": clip,
+        "color": vin["color"],
+        "uv": vin["uv"],
+        "normal": vin["normal"],
+        "data": {"world_normal": world_normal},
+    }
+
+
+def scene_fragment_shader(frag, uniforms, xp=jnp):
+    """Texture(atlas) × vertex color, half-Lambert max(0.25, N·-L),
+    smoothstep fog on clip-space Z, alpha unfogged (Renderer.cs:848-860)."""
+    world_normal = frag["data"]["world_normal"]
+    light_dir = uniforms["light_direction"]
+    diffuse = xp.maximum(F32(0.25), ml.dot(world_normal, -light_dir, xp=xp))
+    tex_color = tex_ops.sample_atlas_nearest(
+        uniforms["atlas_data"], uniforms["atlas_offsets"],
+        uniforms["atlas_sizes"], frag["tri"]["tex_id"], frag["uv"], xp=xp)
+    base = frag["color"] * tex_color
+    depth = frag["clip_position"][..., 2]
+    fog = xp.clip((uniforms["fog_end"] - depth)
+                  / (uniforms["fog_end"] - uniforms["fog_start"]),
+                  F32(0.0), F32(1.0))
+    fog = fog * fog * (F32(3.0) - F32(2.0) * fog)
+    lit = base * (F32(0.1) + F32(0.9) * diffuse[..., None]) \
+        * uniforms["light_color"]
+    rgba = uniforms["fog_color"] + (lit - uniforms["fog_color"]) \
+        * fog[..., None]
+    return xp.concatenate([rgba[..., :3], base[..., 3:4]], axis=-1)
+
+
+def default_frame_uniforms(width: int, height: int) -> Dict:
+    """Per-frame traced parameters with the reference game's defaults
+    (Renderer.cs:34-46, 74, 406-413)."""
+    ld = np.asarray([0.5, -1.0, -0.3], np.float32)
+    return {
+        "camera_position": np.zeros(3, np.float32),
+        "camera_rotation": ml.QUAT_IDENTITY.copy(),
+        "fov_degrees": np.float32(90.0),
+        "near_clip": np.float32(0.1),
+        "far_clip": np.float32(1000.0),
+        "light_direction": ld / np.linalg.norm(ld),
+        "light_color": np.ones(4, np.float32),
+        "fog_color": np.asarray([0.45, 0.64, 0.76, 1.0], np.float32),
+        "fog_start": np.float32(40.0),
+        "fog_end": np.float32(100.0),
+        "clear_color": np.asarray([0.45, 0.64, 0.76, 1.0], np.float32),
+    }
+
+
+def camera_matrices(uniforms: Dict, width: int, height: int, xp=jnp):
+    """View from position+quaternion (Camera.cs:12-26) and the .NET
+    perspective from live-tuned FOV (Renderer.cs:406-410), traced."""
+    pos = xp.asarray(uniforms["camera_position"], dtype=xp.float32)
+    rot = xp.asarray(uniforms["camera_rotation"], dtype=xp.float32)
+    front = ml.quat_rotate(xp.asarray([0.0, 0.0, -1.0], xp.float32), rot, xp=xp)
+    up = ml.quat_rotate(xp.asarray([0.0, 1.0, 0.0], xp.float32), rot, xp=xp)
+    view = ml.look_at(pos, pos + front, up, xp=xp)
+    fov = uniforms["fov_degrees"] * F32(np.pi / 180.0)
+    proj = ml.perspective_fov(fov, F32(width) / F32(height),
+                              uniforms["near_clip"], uniforms["far_clip"],
+                              xp=xp)
+    return view, proj
+
+
+def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
+                 vertex_shader: Callable = scene_vertex_shader,
+                 fragment_shader: Callable = scene_fragment_shader,
+                 chunk: int = 128,
+                 fb: Optional[tuple] = None):
+    """One full frame over a packed scene (models.scene.build_scene_buffers).
+
+    Jit-friendly: call under jax.jit with `params`/`chunk` static.  Returns
+    (color (H, W, 4) f32, depth (H, W) f32).
+    """
+    H, W = params.height, params.width
+    view, proj = camera_matrices(uniforms, W, H)
+    view_proj = ml.transform(view, proj, xp=jnp)          # row-vector V·P
+
+    visible = culling.spheres_in_frustum(
+        scene["bounds_center"], scene["bounds_radius"],
+        scene["mesh_matrices"], view_proj, xp=jnp)        # (M,)
+    tri_mask = jnp.take(visible, scene["tri_mesh_id"])
+
+    model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"], axis=0)
+    u = dict(uniforms)
+    u.update(model=model_pv, view=view, projection=proj,
+             atlas_data=scene["atlas_data"],
+             atlas_offsets=scene["atlas_offsets"],
+             atlas_sizes=scene["atlas_sizes"],
+             base_color=scene["base_color"])
+
+    vin = {"position": scene["position"], "uv": scene["uv"],
+           "normal": scene["normal"], "color": scene["color"]}
+    tris = geometry.build_triangles(
+        vertex_shader, vin, scene["indices"], u,
+        width=W, height=H, cull_mode=params.cull_mode,
+        near_clip=u["near_clip"], tri_mask=tri_mask)
+
+    # Per-triangle material plumbing; ×2 to match the clipper's fan slots.
+    per_tri = {"tex_id": jnp.repeat(scene["tri_texture_id"], 2),
+               "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2)}
+
+    if fb is None:
+        clear = jnp.asarray(uniforms["clear_color"], dtype=F32)
+        fb_color = jnp.broadcast_to(clear, (H, W, 4))
+        fb_depth = jnp.full((H, W), raster.DEPTH_CLEAR, dtype=F32)
+    else:
+        fb_color, fb_depth = fb
+    return raster.render_deferred(tris, fragment_shader, u, params,
+                                  fb_color, fb_depth, per_tri_extra=per_tri,
+                                  chunk=chunk)
+
+
+def to_rgb8(color: jnp.ndarray) -> jnp.ndarray:
+    """Device-side RGBA f32 → RGB u8 (the present conversion the reference
+    does on CPU threads, MainWindow.cs:236-240)."""
+    return (jnp.clip(color[..., :3], 0.0, 1.0) * F32(255.0)
+            ).astype(jnp.uint8)
+
+
+class Engine:
+    """Holds device-resident scene buffers and the compiled frame program.
+
+    Usage:
+        eng = Engine(build_scene_buffers(instances), RenderParams(w, h))
+        u = eng.uniforms               # mutate traced values freely
+        color, depth = eng.render(u)   # jitted; no recompile on tuning
+        rgb = eng.present(u)           # uint8 RGB on host
+    """
+
+    def __init__(self, scene: Dict, params: RenderParams,
+                 vertex_shader: Callable = scene_vertex_shader,
+                 fragment_shader: Callable = scene_fragment_shader,
+                 chunk: int = 128):
+        self.params = params
+        self.scene = jax.device_put(scene)
+        self.uniforms = default_frame_uniforms(params.width, params.height)
+        self._frame = jax.jit(functools.partial(
+            render_frame, params=params, vertex_shader=vertex_shader,
+            fragment_shader=fragment_shader, chunk=chunk))
+        self._present = jax.jit(lambda s, u: to_rgb8(self._frame(s, u)[0]))
+
+    def render(self, uniforms: Optional[Dict] = None):
+        return self._frame(self.scene, uniforms or self.uniforms)
+
+    def present(self, uniforms: Optional[Dict] = None) -> np.ndarray:
+        return np.asarray(self._present(self.scene,
+                                        uniforms or self.uniforms))

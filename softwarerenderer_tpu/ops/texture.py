@@ -52,6 +52,32 @@ def sample_nearest(texture, uv, xp=np):
     return xp.take(flat, y * w + x, axis=0)
 
 
+def sample_atlas_nearest(atlas_data, offsets, sizes, tex_id, uv, xp=np):
+    """Nearest/repeat sampling inside a packed-atlas sub-rectangle.
+
+    Same integer semantics as `sample_nearest` (Texture.cs:42-63) applied
+    within the texture's (h, w) region: one big gather from the atlas, so a
+    whole frame's texturing is a single `take` on device.
+
+    atlas_data: (AH, AW, 4); offsets/sizes: (N, 2) int32 (y, x)/(h, w);
+    tex_id: (...,) int32; uv: (..., 2).
+    """
+    data = xp.asarray(atlas_data, dtype=xp.float32)
+    ah, aw = data.shape[0], data.shape[1]
+    size = xp.take(xp.asarray(sizes, dtype=xp.int32), tex_id, axis=0)
+    off = xp.take(xp.asarray(offsets, dtype=xp.int32), tex_id, axis=0)
+    h = size[..., 0]
+    w = size[..., 1]
+    st = _wrap_uv(uv, xp)
+    x = xp.asarray(st[..., 0] * w.astype(xp.float32), dtype=xp.int32) % w
+    y = xp.asarray(st[..., 1] * h.astype(xp.float32), dtype=xp.int32) % h
+    x = xp.where(x < 0, x + w, x)
+    y = xp.where(y < 0, y + h, y)
+    flat = data.reshape(ah * aw, data.shape[-1])
+    idx = (off[..., 0] + y) * aw + (off[..., 1] + x)
+    return xp.take(flat, idx, axis=0)
+
+
 def sample_bilinear(texture, uv, xp=np):
     """Bilinear filtering with repeat wrap (texel centers at half-integers)."""
     data = texture["data"]

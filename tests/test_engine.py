@@ -1,0 +1,140 @@
+"""Engine tests: packed-scene frame vs per-mesh golden, culling, present."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from softwarerenderer_tpu import RenderParams
+from softwarerenderer_tpu.engine import (
+    Engine,
+    camera_matrices,
+    default_frame_uniforms,
+    scene_vertex_shader,
+)
+from softwarerenderer_tpu.models import primitives, scene as scene_mod
+from softwarerenderer_tpu.ops import culling, texture as tex_ops
+from softwarerenderer_tpu.ref_cpu import rasterizer as ref
+from softwarerenderer_tpu import shaders
+from softwarerenderer_tpu.utils import mathlib as ml
+
+W, H = 96, 80
+
+
+def make_instances():
+    checker = np.asarray(tex_ops.checkerboard(16, 4)["data"])
+    return [
+        scene_mod.MeshInstance(primitives.plane(8.0),
+                               ml.translation([0.0, -1.0, 0.0]),
+                               texture=checker),
+        scene_mod.MeshInstance(
+            primitives.cube(1.0),
+            (ml.matrix_from_yaw_pitch_roll(0.5, 0.0, 0.0)
+             @ ml.translation([0.0, 0.0, -3.0])).astype(np.float32),
+            texture=checker),
+        scene_mod.MeshInstance(primitives.uv_sphere(0.6, rings=6, sectors=8),
+                               ml.translation([1.2, 0.2, -3.5])),
+    ]
+
+
+def test_engine_matches_per_mesh_golden():
+    """One packed-soup frame == sequential per-mesh reference renders."""
+    insts = make_instances()
+    sc = scene_mod.build_scene_buffers(insts)
+    params = RenderParams(width=W, height=H)
+    eng = Engine(sc, params, chunk=32)
+    u = eng.uniforms
+    u["camera_position"] = np.float32([0.0, 0.5, 2.0])
+    color, depth = eng.render(u)
+    color, depth = np.asarray(color), np.asarray(depth)
+
+    view, proj = camera_matrices(u, W, H, xp=np)
+    fb = ref.Framebuffer(W, H)
+    fb.clear_color(u["clear_color"])
+    for inst in insts:
+        mu = dict(u)
+        mu.update(model=np.asarray(inst.model_matrix, np.float32),
+                  view=view, projection=proj)
+        if inst.texture is not None:
+            mu["texture"] = {"data": np.asarray(inst.texture)}
+        mesh = inst.mesh
+        vin = shaders.make_vertex_input(mesh["position"], mesh["uv"],
+                                        mesh["normal"], mesh["color"])
+        ref.render_mesh(fb, vin, mesh["indices"], mu,
+                        shaders.default_vertex_shader,
+                        shaders.default_fragment_shader,
+                        near_clip=float(u["near_clip"]))
+
+    bad = np.abs(color - fb.color).max(axis=-1) > 1e-4
+    assert bad.mean() < 0.005, f"{bad.sum()} mismatched pixels"
+    covered = fb.depth > np.finfo(np.float32).min
+    dcov = depth > np.finfo(np.float32).min
+    assert (covered != dcov).mean() < 0.005
+
+
+def test_frustum_culls_offscreen_mesh():
+    cube = primitives.cube(1.0)
+    sc = scene_mod.build_scene_buffers(
+        [scene_mod.MeshInstance(cube, ml.translation([0.0, 0.0, -3.0]))])
+    eng = Engine(sc, RenderParams(width=W, height=H), chunk=32)
+    u = eng.uniforms
+    # facing the cube: covered pixels exist
+    _, d1 = eng.render(u)
+    assert (np.asarray(d1) > np.finfo(np.float32).min).any()
+    # looking the other way: everything culled, buffer untouched
+    u2 = dict(u)
+    u2["camera_rotation"] = ml.quat_from_axis_angle(
+        np.float32([0, 1, 0]), np.float32(np.pi))
+    _, d2 = eng.render(u2)
+    assert not (np.asarray(d2) > np.finfo(np.float32).min).any()
+
+
+def test_spheres_in_frustum_matches_reference_logic():
+    view = ml.look_at(np.float32([0, 0, 0]), [0, 0, -1], [0, 1, 0])
+    proj = ml.perspective_fov(np.deg2rad(90.0), 1.0, 0.1, 100.0)
+    vp = ml.transform(view, proj)
+    centers = np.float32([[0, 0, -5], [0, 0, 5], [20, 0, -5], [0, 0, -200],
+                          [0, 0, -0.01]])
+    radii = np.float32([1, 1, 1, 1, 1])
+    mats = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    vis = culling.spheres_in_frustum(centers, radii, mats, vp)
+    # in front / behind / far right / beyond far plane / straddling near
+    assert vis.tolist() == [True, False, False, False, True]
+
+
+def test_scaled_instance_radius_is_conservative():
+    view = ml.look_at(np.float32([0, 0, 0]), [0, 0, -1], [0, 1, 0])
+    proj = ml.perspective_fov(np.deg2rad(60.0), 1.0, 0.1, 100.0)
+    vp = ml.transform(view, proj)
+    # unit sphere at x=8, z=-5 is outside a 60° frustum, but scaled 10x the
+    # world radius overlaps it
+    m_small = ml.scale(1.0) @ ml.translation([8.0, 0.0, -5.0])
+    m_big = ml.scale(10.0) @ ml.translation([8.0, 0.0, -5.0])
+    vis = culling.spheres_in_frustum(
+        np.zeros((2, 3), np.float32), np.ones(2, np.float32),
+        np.stack([m_small, m_big]).astype(np.float32), vp)
+    assert vis.tolist() == [False, True]
+
+
+def test_present_returns_uint8_rgb():
+    sc = scene_mod.build_scene_buffers(
+        [scene_mod.MeshInstance(primitives.cube(1.0),
+                                ml.translation([0.0, 0.0, -3.0]))])
+    eng = Engine(sc, RenderParams(width=W, height=H), chunk=32)
+    rgb = eng.present()
+    assert rgb.shape == (H, W, 3) and rgb.dtype == np.uint8
+
+
+def test_uniform_tuning_does_not_recompile():
+    sc = scene_mod.build_scene_buffers(
+        [scene_mod.MeshInstance(primitives.cube(1.0),
+                                ml.translation([0.0, 0.0, -3.0]))])
+    eng = Engine(sc, RenderParams(width=W, height=H), chunk=32)
+    eng.render(eng.uniforms)
+    traces0 = eng._frame._cache_size()
+    u = dict(eng.uniforms)
+    u["fov_degrees"] = np.float32(70.0)
+    u["fog_color"] = np.float32([1, 0, 0, 1])
+    u["camera_position"] = np.float32([0.5, 0.1, 1.0])
+    eng.render(u)
+    assert eng._frame._cache_size() == traces0
