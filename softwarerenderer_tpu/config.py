@@ -92,6 +92,14 @@ class RenderParams:
     debug_mode: DebugMode = DebugMode.NONE
     # Deferred (visibility-buffer) vs forward (sequential, blend-exact) path.
     deferred: bool = True
+    # Visibility strategy: tile-binned (work ∝ triangle-tile overlap) vs
+    # brute force (every triangle × every pixel; the correctness slice).
+    binned: bool = True
+    tile_h: int = 32          # screen tile size for binning
+    tile_w: int = 128         # last dim 128 = TPU lane width
+    span_cap: int = 16        # bbox tile-span above which a tri goes global
+    tile_group: int = 8       # tiles processed per sequential step
+    chunk: int = 64           # triangles folded per reduction step
 
     def replace(self, **kw) -> "RenderParams":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,295 @@
+"""Tile-binned visibility: sort-middle rasterization without locks.
+
+The reference rasterizes each triangle over the 16×16-px tiles its bbox
+touches, serializing tile access with a mutex matrix
+(/root/reference/Rasterizer.cs:449-539, SURVEY.md §2.2 P2).  The TPU-native
+equivalent is sort-middle binning (SURVEY.md §7 step 4):
+
+  1. every valid triangle emits (tile_id, tri_id) pairs for the screen
+     tiles its clamped bbox overlaps — a static-shape expansion of up to
+     `span_cap` slots per triangle;
+  2. pairs are stable-sorted by tile id (keeps submission order inside a
+     tile), giving per-tile contiguous segments located by searchsorted;
+  3. each tile folds its segment through the same lexicographic
+     (depth, index) reduction the brute-force path uses — exactly
+     equivalent to the reference's sequential depth test because every
+     monotone depth mode is a total preorder on (depth, submission index).
+
+Triangles whose bbox spans more than `span_cap` tiles (near-camera walls,
+sky quads) would explode the pair table; they go to a capacity-free
+"global" list instead — a stable partition of the triangle ids — and every
+tile folds the globals before its own segment.  Order-independence of the
+lexicographic reduce makes the global/binned processing order irrelevant.
+
+All loop trip counts that depend on scene content (segment lengths, global
+count) are TRACED fori_loop bounds (lowered to while_loop), so there are
+no capacity knobs to overflow and no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from softwarerenderer_tpu.config import DepthTest, RenderParams
+from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR, NO_TRI, _REDUCE_RULES
+
+F32 = jnp.float32
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
+                  span_cap: int):
+    """Build the sorted (tile, triangle) pair table + the global-tri list.
+
+    Returns dict with:
+      order      (N,) i32 — triangle ids, globals first (submission order)
+      n_global   ()  i32
+      sorted_tri (N * span_cap,) i32 — pair table triangle ids
+      starts/counts (ntiles,) i32 — per-tile segment into sorted_tri
+    """
+    nty = _cdiv(params.height, tile_h)
+    ntx = _cdiv(params.width, tile_w)
+    ntiles = nty * ntx
+    bbox = tris["bbox"]                    # (N, 4) min_x, min_y, max_x, max_y
+    valid = tris["valid"]
+    n = bbox.shape[0]
+
+    tx0 = bbox[:, 0] // tile_w
+    ty0 = bbox[:, 1] // tile_h
+    tx1 = bbox[:, 2] // tile_w
+    ty1 = bbox[:, 3] // tile_h
+    span_w = tx1 - tx0 + 1
+    span_h = ty1 - ty0 + 1
+    span = span_w * span_h
+
+    is_global = valid & (span > span_cap)
+    is_binned = valid & ~is_global
+
+    # Stable partition: global triangle ids first, in submission order.
+    order = jnp.argsort(jnp.where(is_global, 0, 1), stable=True)
+    n_global = jnp.sum(is_global.astype(jnp.int32))
+
+    # Pair expansion: slot s of triangle t covers bbox tile (s//span_w,
+    # s%span_w); slots ≥ span (or non-binned tris) get the ntiles sentinel
+    # and sort to the tail.
+    s_idx = jnp.arange(span_cap, dtype=jnp.int32)[None, :]      # (1, S)
+    dy = s_idx // span_w[:, None]
+    dx = s_idx % span_w[:, None]
+    tile_id = (ty0[:, None] + dy) * ntx + (tx0[:, None] + dx)   # (N, S)
+    pair_ok = is_binned[:, None] & (s_idx < span[:, None])
+    tile_id = jnp.where(pair_ok, tile_id, ntiles).reshape(-1)
+    tri_id = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, span_cap)).reshape(-1)
+
+    perm = jnp.argsort(tile_id, stable=True)
+    sorted_tile = jnp.take(tile_id, perm)
+    sorted_tri = jnp.take(tri_id, perm)
+
+    tids = jnp.arange(ntiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left")
+    ends = jnp.searchsorted(sorted_tile, tids, side="right")
+    return {
+        "order": order.astype(jnp.int32),
+        "n_global": n_global,
+        "sorted_tri": sorted_tri,
+        "starts": starts.astype(jnp.int32),
+        "counts": (ends - starts).astype(jnp.int32),
+        "ntx": ntx, "nty": nty,
+    }
+
+
+def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
+                      init_depth=None, *, tile_h: int = 32,
+                      tile_w: int = 128, span_cap: int = 16,
+                      tile_group: int = 8):
+    """Binned per-pixel (depth, triangle-id) reduction.
+
+    Drop-in replacement for raster.visibility_brute_force (same contract)
+    with work proportional to triangle-tile overlap instead of T × H × W.
+    tile_group adjacent tiles are processed per sequential step so the
+    (group, chunk, tile_h·tile_w) working set stays VMEM-sized.
+    """
+    mode = params.depth_test
+    if mode not in _REDUCE_RULES:
+        raise NotImplementedError(
+            f"depth test {mode!r} is order-dependent; use render_forward")
+    use_max, later_wins = _REDUCE_RULES[mode]
+
+    H, W = params.height, params.width
+    bins = bin_triangles(tris, params, tile_h, tile_w, span_cap)
+    ntx, nty = bins["ntx"], bins["nty"]
+    ntiles = ntx * nty
+    ngroups = _cdiv(ntiles, tile_group)
+    ntiles_pad = ngroups * tile_group
+    tpx = tile_h * tile_w
+
+    screen = tris["screen"]
+    depth_v = tris["depth"]
+    inv_area = tris["inv_area"]
+    n = screen.shape[0]
+
+    # Framebuffer in tile layout (ntiles_pad, tpx).
+    if init_depth is None:
+        init_depth = jnp.full((H, W), DEPTH_CLEAR, dtype=F32)
+    Hp, Wp = nty * tile_h, ntx * tile_w
+    d0 = jnp.pad(init_depth, ((0, Hp - H), (0, Wp - W)))
+    d0 = d0.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
+    d0 = d0.reshape(ntiles, tpx)
+    d0 = jnp.pad(d0, ((0, ntiles_pad - ntiles), (0, 0)))
+    i0 = jnp.full((ntiles_pad, tpx), NO_TRI, dtype=jnp.int32)
+
+    starts = jnp.pad(bins["starts"], (0, ntiles_pad - ntiles))
+    counts = jnp.pad(bins["counts"], (0, ntiles_pad - ntiles))
+    sorted_tri = bins["sorted_tri"]
+    order = bins["order"]
+    n_global = bins["n_global"]
+
+    tile_ids_all = jnp.arange(ntiles_pad, dtype=jnp.int32)
+    px_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+                  .reshape(tpx))
+    py_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+                  .reshape(tpx))
+
+    def eval_chunk(tri_ids, tri_ok, px, py):
+        """tri_ids (G, C), tri_ok (G, C), px/py (G, tpx) →
+        depth (G, C, tpx), mask, idx."""
+        t = jnp.clip(tri_ids, 0, n - 1)
+        s = jnp.take(screen, t, axis=0)        # (G, C, 3, 2)
+        dv = jnp.take(depth_v, t, axis=0)      # (G, C, 3)
+        ia = jnp.take(inv_area, t, axis=0)     # (G, C)
+        s0 = s[..., 0, :][..., None, :]        # (G, C, 1, 2)
+        s1 = s[..., 1, :][..., None, :]
+        s2 = s[..., 2, :][..., None, :]
+        pxb = px[:, None, :].astype(F32)       # (G, 1, tpx)
+        pyb = py[:, None, :].astype(F32)
+        w0 = ((s1[..., 1] - s2[..., 1]) * (pxb - s1[..., 0])
+              + (s2[..., 0] - s1[..., 0]) * (pyb - s1[..., 1]))
+        w1 = ((s2[..., 1] - s0[..., 1]) * (pxb - s2[..., 0])
+              + (s0[..., 0] - s2[..., 0]) * (pyb - s2[..., 1]))
+        w2 = ((s0[..., 1] - s1[..., 1]) * (pxb - s0[..., 0])
+              + (s1[..., 0] - s0[..., 0]) * (pyb - s0[..., 1]))
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
+                 ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+        iab = ia[..., None]
+        d = (dv[..., 0, None] * (w0 * iab) + dv[..., 1, None] * (w1 * iab)
+             + dv[..., 2, None] * (w2 * iab))
+        mask = inside & tri_ok[..., None]
+        return d, mask, t
+
+    def merge(best_d, best_i, d, mask, idx):
+        """Lexicographic (depth, submission index) fold step over the chunk
+        axis (axis=-2) of d/mask/idx — order-independent, so globals and
+        per-tile segments can be folded in any order."""
+        if use_max is None:
+            key = jnp.where(mask, idx[..., None], -1)
+            pick = jnp.argmax(key, axis=-2)
+            cand_valid = jnp.any(mask, axis=-2)
+            cand_d = jnp.take_along_axis(d, pick[..., None, :],
+                                         axis=-2)[..., 0, :]
+            cand_i = jnp.take_along_axis(
+                jnp.broadcast_to(idx[..., None], d.shape),
+                pick[..., None, :], axis=-2)[..., 0, :]
+            take = cand_valid & (cand_i > best_i)
+        else:
+            bad = F32(-jnp.inf) if use_max else F32(jnp.inf)
+            dm = jnp.where(mask, d, bad)
+            cand_d = (jnp.max if use_max else jnp.min)(dm, axis=-2)
+            at_best = mask & (d == cand_d[..., None, :])
+            idxb = jnp.broadcast_to(idx[..., None], d.shape)
+            sel = jnp.where(at_best, idxb, -1 if later_wins else n)
+            cand_i = (jnp.max(sel, axis=-2) if later_wins
+                      else jnp.min(sel, axis=-2))
+            cand_valid = jnp.any(at_best, axis=-2)
+            if use_max:
+                strict = cand_d > best_d
+            else:
+                strict = cand_d < best_d
+            if later_wins:
+                # NO_TRI = -1 makes a tie against the initial buffer PASS,
+                # matching the reference's "new >= old" style comparisons.
+                tie = (cand_d == best_d) & (cand_i > best_i)
+            else:
+                # Strict modes: a tie against the initial buffer (-1) fails,
+                # matching "new > old"; among triangles the earlier wins.
+                tie = (cand_d == best_d) & (cand_i < best_i)
+            take = cand_valid & (strict | tie)
+        new_d = jnp.where(take, cand_d, best_d)
+        new_i = jnp.where(take, cand_i.astype(jnp.int32), best_i)
+        return new_d, new_i
+
+    def group_body(g, carry):
+        all_d, all_i = carry
+        base = g * tile_group
+        tiles = jax.lax.dynamic_slice_in_dim(tile_ids_all, base, tile_group)
+        g_starts = jax.lax.dynamic_slice_in_dim(starts, base, tile_group)
+        g_counts = jax.lax.dynamic_slice_in_dim(counts, base, tile_group)
+        ty = tiles // ntx
+        tx = tiles % ntx
+        px = tx[:, None] * tile_w + px_in_tile[None, :]   # (G, tpx)
+        py = ty[:, None] * tile_h + py_in_tile[None, :]
+
+        best_d = jax.lax.dynamic_slice_in_dim(all_d, base, tile_group)
+        best_i = jax.lax.dynamic_slice_in_dim(all_i, base, tile_group)
+
+        c_off = jnp.arange(chunk, dtype=jnp.int32)
+
+        # Fold the capacity-free global list (traced trip count).
+        def glob_body(c, bi_bd):
+            bd, bi = bi_bd
+            pos = c * chunk + c_off                       # (C,)
+            ok = pos < n_global
+            ids = jnp.take(order, jnp.clip(pos, 0, order.shape[0] - 1))
+            ids_g = jnp.broadcast_to(ids[None, :], (tile_group, chunk))
+            ok_g = jnp.broadcast_to(ok[None, :], (tile_group, chunk))
+            d, m, t = eval_chunk(ids_g, ok_g, px, py)
+            return merge(bd, bi, d, m, t)
+
+        best_d, best_i = jax.lax.fori_loop(
+            0, _cdiv(n_global, chunk), glob_body, (best_d, best_i))
+
+        # Fold this group's per-tile segments (traced trip count = the
+        # group's longest segment).
+        max_count = jnp.max(g_counts)
+
+        def seg_body(c, bi_bd):
+            bd, bi = bi_bd
+            pos = g_starts[:, None] + c * chunk + c_off[None, :]  # (G, C)
+            ok = (c * chunk + c_off)[None, :] < g_counts[:, None]
+            ids = jnp.take(sorted_tri,
+                           jnp.clip(pos, 0, sorted_tri.shape[0] - 1))
+            d, m, t = eval_chunk(ids, ok, px, py)
+            return merge(bd, bi, d, m, t)
+
+        best_d, best_i = jax.lax.fori_loop(
+            0, _cdiv(max_count, chunk), seg_body, (best_d, best_i))
+
+        all_d = jax.lax.dynamic_update_slice_in_dim(all_d, best_d, base,
+                                                    axis=0)
+        all_i = jax.lax.dynamic_update_slice_in_dim(all_i, best_i, base,
+                                                    axis=0)
+        return all_d, all_i
+
+    all_d, all_i = jax.lax.fori_loop(0, ngroups, group_body, (d0, i0))
+
+    def untile(a):
+        a = a[:ntiles].reshape(nty, ntx, tile_h, tile_w)
+        a = a.transpose(0, 2, 1, 3).reshape(Hp, Wp)
+        return a[:H, :W]
+
+    return untile(all_d), untile(all_i)
+
+
+def make_binned_visibility(tile_h: int = 32, tile_w: int = 128,
+                           span_cap: int = 16, tile_group: int = 8):
+    """Factory producing a visibility_fn for raster.render_deferred."""
+    def fn(tris, params, chunk=32, init_depth=None):
+        return visibility_binned(tris, params, chunk, init_depth,
+                                 tile_h=tile_h, tile_w=tile_w,
+                                 span_cap=span_cap, tile_group=tile_group)
+    return fn

@@ -283,14 +283,27 @@ def render_deferred(tris: Dict, fragment_shader: Callable, uniforms: Dict,
                     params: RenderParams,
                     fb_color: jnp.ndarray, fb_depth: jnp.ndarray,
                     per_tri_extra: Optional[Dict] = None,
-                    chunk: int = 128,
-                    visibility_fn: Callable = visibility_brute_force):
+                    chunk: Optional[int] = None,
+                    visibility_fn: Optional[Callable] = None):
     """Full deferred pass: visibility reduce + single-shade + blend.
 
     The reduction is seeded with the incoming fb_depth, so stacked passes
     (e.g. map first, then the view-model gun) depth-test against earlier
     passes exactly like the reference's shared buffer.
+
+    visibility_fn defaults from params.binned (the sort-middle binned
+    reducer, ops/binning.py) — pass explicitly to override.
     """
+    if chunk is None:
+        chunk = params.chunk
+    if visibility_fn is None:
+        if params.binned:
+            from softwarerenderer_tpu.ops.binning import make_binned_visibility
+            visibility_fn = make_binned_visibility(
+                tile_h=params.tile_h, tile_w=params.tile_w,
+                span_cap=params.span_cap, tile_group=params.tile_group)
+        else:
+            visibility_fn = visibility_brute_force
     best_depth, best_tri = visibility_fn(tris, params, chunk,
                                          init_depth=fb_depth)
     return shade_deferred(tris, best_depth, best_tri, fragment_shader,

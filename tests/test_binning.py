@@ -1,0 +1,110 @@
+"""Binned visibility must agree with the brute-force reducer.
+
+The brute-force path is itself golden-tested against ref_cpu
+(test_device_raster.py), so brute == binned closes the loop.  Winner ids
+must match everywhere except genuine depth ties (near-coplanar overlaps);
+depth values may differ by ~1 ulp because XLA fuses the two program shapes
+differently (FMA formation).
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softwarerenderer_tpu import DepthTest, RenderParams
+from softwarerenderer_tpu.models import primitives
+from softwarerenderer_tpu import shaders
+from softwarerenderer_tpu.ops import binning, geometry, raster
+from softwarerenderer_tpu.utils import mathlib as ml
+
+W, H = 200, 150  # deliberately not tile-aligned
+
+
+def make_uniforms():
+    return {
+        "model": np.eye(4, dtype=np.float32),
+        "view": ml.look_at(np.float32([0, 0, 3]), [0, 0, 0], [0, 1, 0]),
+        "projection": ml.perspective_fov(np.deg2rad(60.0), W / H, 0.1, 100.0),
+        "near_clip": np.float32(0.1),
+    }
+
+
+def run_both(mesh, depth_test=DepthTest.LESS_EQUAL, **bin_kw):
+    u = make_uniforms()
+    params = RenderParams(width=W, height=H, cull_mode=0,
+                          depth_test=depth_test)
+    vin = shaders.make_vertex_input(mesh["position"], mesh["uv"],
+                                    mesh["normal"], mesh["color"])
+    kw = dict(tile_h=16, tile_w=32, span_cap=6, tile_group=4)
+    kw.update(bin_kw)
+
+    def vis_pair(vin, idx, u):
+        tris = geometry.build_triangles(
+            shaders.default_vertex_shader, vin, idx, u,
+            width=W, height=H, cull_mode=params.cull_mode)
+        db, ib = raster.visibility_brute_force(tris, params, 32)
+        dn, i_n = binning.make_binned_visibility(**kw)(tris, params, 32)
+        return db, ib, dn, i_n
+
+    return map(np.asarray, jax.jit(vis_pair)(vin, mesh["indices"], u))
+
+
+def assert_equivalent(mesh, **kw):
+    db, ib, dn, i_n = run_both(mesh, **kw)
+    id_mismatch = (ib != i_n).mean()
+    assert id_mismatch < 1e-3, f"{(ib != i_n).sum()} winner-id mismatches"
+    both = (ib == i_n) & (ib != -1)
+    if both.any():  # GREATER_* vs a MinValue-cleared buffer draws nothing
+        assert np.abs(db[both] - dn[both]).max() < 1e-6
+
+
+def test_soup():
+    assert_equivalent(primitives.random_triangle_soup(120, seed=4))
+
+
+def test_near_clip_scene():
+    assert_equivalent(primitives.random_triangle_soup(
+        50, seed=5, z_range=(-4.0, 1.0)))
+
+
+def test_big_plane_goes_global():
+    # A 50-unit plane's two triangles span far more than span_cap tiles and
+    # must be handled by the capacity-free global list.
+    assert_equivalent(primitives.plane(50.0, y=-1.0))
+
+
+def test_mixed_global_and_binned():
+    soup = primitives.random_triangle_soup(60, seed=8)
+    plane = primitives.plane(40.0, y=-1.5)
+    n = soup["position"].shape[0]
+    mesh = {
+        "position": np.concatenate([soup["position"], plane["position"]]),
+        "uv": np.concatenate([soup["uv"], plane["uv"]]),
+        "normal": np.concatenate([soup["normal"], plane["normal"]]),
+        "color": np.concatenate([soup["color"], plane["color"]]),
+        "indices": np.concatenate([soup["indices"], plane["indices"] + n]),
+    }
+    assert_equivalent(mesh)
+
+
+@pytest.mark.parametrize("depth_test", [
+    DepthTest.LESS, DepthTest.GREATER_EQUAL, DepthTest.ALWAYS])
+def test_depth_modes(depth_test):
+    assert_equivalent(primitives.random_triangle_soup(60, seed=6),
+                      depth_test=depth_test)
+
+
+@pytest.mark.parametrize("tile", [(8, 8), (32, 128), (16, 64)])
+def test_tile_shapes(tile):
+    assert_equivalent(primitives.random_triangle_soup(60, seed=7),
+                      tile_h=tile[0], tile_w=tile[1])
+
+
+def test_empty_scene():
+    mesh = primitives.random_triangle_soup(4, seed=1, z_range=(5.0, 8.0))
+    db, ib, dn, i_n = run_both(mesh)  # fully behind camera
+    assert (i_n == -1).all() and (ib == -1).all()
