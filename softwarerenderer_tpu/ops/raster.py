@@ -186,13 +186,40 @@ def interpolate_at_pixels(tris: Dict, tri_id: jnp.ndarray,
     area-normalized edge weights at integer pixel coords, clip-w reciprocal
     correction with the reference's left-to-right summation, and the vec3
     "data" renormalization (Rasterizer.cs:680-688).
+
+    Gather-efficiency: all per-vertex varyings plus the triangle's screen
+    positions and inv_area are packed into ONE contiguous (N, 3, Ktot)
+    block, so each pixel issues a single row-gather instead of one gather
+    per attribute — this is the difference between HBM-friendly and
+    gather-bound on TPU.
     """
     H, W = tri_id.shape
     t = jnp.where(covered, tri_id, 0)
 
-    s = jnp.take(tris["screen"], t, axis=0)          # (H, W, 3, 2)
-    inv_area = jnp.take(tris["inv_area"], t, axis=0)  # (H, W)
-    clip_w = jnp.take(tris["attrs"]["clip_position"][..., 3], t, axis=0)
+    keys = sorted(tris["attrs"].keys())
+    slices = {}
+    parts = []
+    off = 0
+    for k in keys:
+        arr = tris["attrs"][k]
+        parts.append(arr)
+        slices[k] = (off, off + arr.shape[-1])
+        off += arr.shape[-1]
+    n = parts[0].shape[0]
+    parts.append(tris["screen"])                       # (N, 3, 2)
+    sl_screen = (off, off + 2); off += 2
+    parts.append(jnp.broadcast_to(tris["inv_area"][:, None, None],
+                                  (n, 3, 1)))
+    sl_ia = off; off += 1
+    packed = jnp.concatenate(parts, axis=-1)           # (N, 3, Ktot)
+
+    av = jnp.take(packed, t, axis=0)                   # (H, W, 3, Ktot)
+    a0, a1, a2 = av[..., 0, :], av[..., 1, :], av[..., 2, :]
+
+    s = av[..., sl_screen[0]:sl_screen[1]]             # (H, W, 3, 2)
+    inv_area = av[..., 0, sl_ia]
+    cw0, cw1 = slices["clip_position"]
+    clip_w = av[..., cw1 - 1]                          # (H, W, 3)
 
     px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(F32)
     py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(F32)
@@ -212,23 +239,26 @@ def interpolate_at_pixels(tris: Dict, tri_id: jnp.ndarray,
     wb = rcp_wb * w
     wc = rcp_wc * w
 
+    # Two interpolation flavors over the whole packed block; per-attribute
+    # columns pick the right one (plain-weight for "data" varyings,
+    # perspective-reciprocal for the rest — Rasterizer.cs:598-639).
+    pc = (a0 * rcp_wa[..., None] + a1 * rcp_wb[..., None]
+          + a2 * rcp_wc[..., None]) * w[..., None]
+    pw = (a0 * wa[..., None] + a1 * wb[..., None] + a2 * wc[..., None])
+
     flat = {}
-    for key, arr in tris["attrs"].items():
-        av = jnp.take(arr, t, axis=0)                # (H, W, 3, K)
-        if key.startswith("data."):
-            val = (av[..., 0, :] * wa[..., None]
-                   + av[..., 1, :] * wb[..., None]
-                   + av[..., 2, :] * wc[..., None])
-            if val.shape[-1] == 3:
+    for k in keys:
+        lo, hi = slices[k]
+        if k.startswith("data."):
+            val = pw[..., lo:hi]
+            if hi - lo == 3:
                 length_sq = jnp.sum(val * val, axis=-1, keepdims=True)
                 norm = val / jnp.sqrt(jnp.where(length_sq > 0, length_sq,
                                                 F32(1)))
                 val = jnp.where(length_sq > F32(1e-6), norm, val)
         else:
-            val = (av[..., 0, :] * rcp_wa[..., None]
-                   + av[..., 1, :] * rcp_wb[..., None]
-                   + av[..., 2, :] * rcp_wc[..., None]) * w[..., None]
-        flat[key] = val
+            val = pc[..., lo:hi]
+        flat[k] = val
 
     frag = unflatten_varyings(flat)
     frag["barycentric"] = jnp.stack([wa, wb, wc], axis=-1)
