@@ -1,0 +1,13 @@
+from softwarerenderer_tpu.sim.raycast import (  # noqa: F401
+    FACE_MASK_IGNORE_BACKFACES,
+    FACE_MASK_IGNORE_FRONTFACES,
+    FACE_MASK_NONE,
+    build_collision_world,
+    raycast,
+    raycast_batch,
+)
+from softwarerenderer_tpu.sim.character import (  # noqa: F401
+    character_step,
+    default_character_params,
+    initial_character_state,
+)
