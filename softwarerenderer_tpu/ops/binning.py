@@ -44,7 +44,7 @@ def _cdiv(a, b):
 
 
 def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
-                  span_cap: int):
+                  span_cap: int, row_offset=0):
     """Build the sorted (tile, triangle) pair table + the global-tri list.
 
     Returns dict with:
@@ -60,10 +60,19 @@ def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
     valid = tris["valid"]
     n = bbox.shape[0]
 
+    # Shard-local rows: params.height is this shard's height; bbox rows are
+    # GLOBAL screen coordinates, shifted here (row_offset = the shard's
+    # first row).  Triangles not overlapping the shard emit nothing.
+    off = jnp.asarray(row_offset, jnp.int32)
+    by0 = bbox[:, 1] - off
+    by1 = bbox[:, 3] - off
+    overlap = (by1 >= 0) & (by0 <= params.height - 1)
+    valid = valid & overlap
+
     tx0 = bbox[:, 0] // tile_w
-    ty0 = bbox[:, 1] // tile_h
+    ty0 = jnp.clip(by0, 0, params.height - 1) // tile_h
     tx1 = bbox[:, 2] // tile_w
-    ty1 = bbox[:, 3] // tile_h
+    ty1 = jnp.clip(by1, 0, params.height - 1) // tile_h
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
     span = span_w * span_h
@@ -105,7 +114,7 @@ def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
 
 
 def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
-                      init_depth=None, *, tile_h: int = 32,
+                      init_depth=None, row_offset=0, *, tile_h: int = 32,
                       tile_w: int = 128, span_cap: int = 16,
                       tile_group: int = 8):
     """Binned per-pixel (depth, triangle-id) reduction.
@@ -122,7 +131,7 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
     use_max, later_wins = _REDUCE_RULES[mode]
 
     H, W = params.height, params.width
-    bins = bin_triangles(tris, params, tile_h, tile_w, span_cap)
+    bins = bin_triangles(tris, params, tile_h, tile_w, span_cap, row_offset)
     ntx, nty = bins["ntx"], bins["nty"]
     ntiles = ntx * nty
     ngroups = _cdiv(ntiles, tile_group)
@@ -232,7 +241,8 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
         ty = tiles // ntx
         tx = tiles % ntx
         px = tx[:, None] * tile_w + px_in_tile[None, :]   # (G, tpx)
-        py = ty[:, None] * tile_h + py_in_tile[None, :]
+        py = ty[:, None] * tile_h + py_in_tile[None, :] \
+            + jnp.asarray(row_offset, jnp.int32)          # global rows
 
         best_d = jax.lax.dynamic_slice_in_dim(all_d, base, tile_group)
         best_i = jax.lax.dynamic_slice_in_dim(all_i, base, tile_group)
@@ -288,8 +298,8 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
 def make_binned_visibility(tile_h: int = 32, tile_w: int = 128,
                            span_cap: int = 16, tile_group: int = 8):
     """Factory producing a visibility_fn for raster.render_deferred."""
-    def fn(tris, params, chunk=32, init_depth=None):
-        return visibility_binned(tris, params, chunk, init_depth,
+    def fn(tris, params, chunk=32, init_depth=None, row_offset=0):
+        return visibility_binned(tris, params, chunk, init_depth, row_offset,
                                  tile_h=tile_h, tile_w=tile_w,
                                  span_cap=span_cap, tile_group=tile_group)
     return fn

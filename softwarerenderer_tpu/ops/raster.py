@@ -78,7 +78,8 @@ def _pad_pow2_chunks(n: int, chunk: int) -> int:
 
 def visibility_brute_force(tris: Dict, params: RenderParams,
                            chunk: int = 128,
-                           init_depth: Optional[jnp.ndarray] = None):
+                           init_depth: Optional[jnp.ndarray] = None,
+                           row_offset=0):
     """Per-pixel (depth, triangle-id) reduction over ALL triangles.
 
     tris: the geometry SoA from ops.geometry (screen/depth/valid/inv_area).
@@ -114,7 +115,8 @@ def visibility_brute_force(tris: Dict, params: RenderParams,
     valid = pad(tris["valid"])
 
     px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(F32)
-    py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(F32)
+    py = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+          + jnp.asarray(row_offset, jnp.int32)).astype(F32)
 
     bad = F32(-jnp.inf) if use_max in (True, None) else F32(jnp.inf)
 
@@ -179,7 +181,7 @@ def visibility_brute_force(tris: Dict, params: RenderParams,
 
 
 def interpolate_at_pixels(tris: Dict, tri_id: jnp.ndarray,
-                          covered: jnp.ndarray) -> Dict:
+                          covered: jnp.ndarray, row_offset=0) -> Dict:
     """Perspective-correct fragment inputs for each pixel's winning triangle.
 
     Replicates Rasterizer.Interpolate exactly (Rasterizer.cs:566-640):
@@ -222,7 +224,8 @@ def interpolate_at_pixels(tris: Dict, tri_id: jnp.ndarray,
     clip_w = av[..., cw1 - 1]                          # (H, W, 3)
 
     px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(F32)
-    py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(F32)
+    py = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+          + jnp.asarray(row_offset, jnp.int32)).astype(F32)
     s0x, s0y = s[..., 0, 0], s[..., 0, 1]
     s1x, s1y = s[..., 1, 0], s[..., 1, 1]
     s2x, s2y = s[..., 2, 0], s[..., 2, 1]
@@ -283,7 +286,8 @@ def shade_deferred(tris: Dict, best_depth, best_tri,
                    fragment_shader: Callable, uniforms: Dict,
                    params: RenderParams,
                    fb_color: jnp.ndarray, fb_depth: jnp.ndarray,
-                   per_tri_extra: Optional[Dict[str, jnp.ndarray]] = None):
+                   per_tri_extra: Optional[Dict[str, jnp.ndarray]] = None,
+                   row_offset=0):
     """Shade each covered pixel's winning triangle once, blend, write depth.
 
     per_tri_extra: optional dict of (T,) or (T, K) per-triangle arrays
@@ -291,7 +295,7 @@ def shade_deferred(tris: Dict, best_depth, best_tri,
     fragment dict as frag["tri"][name] so shaders can do material lookups.
     """
     covered = best_tri != NO_TRI
-    frag = interpolate_at_pixels(tris, best_tri, covered)
+    frag = interpolate_at_pixels(tris, best_tri, covered, row_offset)
     if per_tri_extra:
         t = jnp.where(covered, best_tri, 0)
         frag["tri"] = {k: jnp.take(v, t, axis=0)
@@ -314,7 +318,8 @@ def render_deferred(tris: Dict, fragment_shader: Callable, uniforms: Dict,
                     fb_color: jnp.ndarray, fb_depth: jnp.ndarray,
                     per_tri_extra: Optional[Dict] = None,
                     chunk: Optional[int] = None,
-                    visibility_fn: Optional[Callable] = None):
+                    visibility_fn: Optional[Callable] = None,
+                    row_offset=0):
     """Full deferred pass: visibility reduce + single-shade + blend.
 
     The reduction is seeded with the incoming fb_depth, so stacked passes
@@ -335,6 +340,8 @@ def render_deferred(tris: Dict, fragment_shader: Callable, uniforms: Dict,
         else:
             visibility_fn = visibility_brute_force
     best_depth, best_tri = visibility_fn(tris, params, chunk,
-                                         init_depth=fb_depth)
+                                         init_depth=fb_depth,
+                                         row_offset=row_offset)
     return shade_deferred(tris, best_depth, best_tri, fragment_shader,
-                          uniforms, params, fb_color, fb_depth, per_tri_extra)
+                          uniforms, params, fb_color, fb_depth, per_tri_extra,
+                          row_offset=row_offset)

@@ -1,0 +1,5 @@
+from softwarerenderer_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh,
+    render_frame_sharded,
+    shard_scene_triangles,
+)

@@ -1,0 +1,216 @@
+"""Multi-chip rendering: framebuffer + triangle sharding over a device mesh.
+
+The reference scales by decomposing the screen into mutex-guarded tiles on
+CPU threads (SURVEY.md §2.2 P2) — the TPU-native scale-out (SURVEY.md §5
+"long-context" analog, §7 step 8) shards the same two axes over a
+`jax.sharding.Mesh` with `shard_map`:
+
+  * axis "fb" — framebuffer ROWS: each device rasterizes + shades its own
+    horizontal band.  Embarrassingly parallel: triangles are replicated
+    (small), pixels are not.  This is the sequence-parallel analog: the
+    screen is the "long dimension".
+  * axis "tri" (optional) — TRIANGLES: geometry + visibility fold only the
+    local triangle shard; shard winners combine with a LEXICOGRAPHIC
+    (depth, global-submission-index) all-reduce over ICI (pmax/pmin pairs),
+    the collective form of the same total preorder the single-chip fold
+    uses.  Each device then shades only the pixels its shard won and the
+    color contributions combine with one psum.  This is the data-parallel
+    analog for the 1M+-triangle instancing config (BASELINE config 5).
+
+Collectives used: pmax/pmin/psum on ("tri",) only — everything on the "fb"
+axis is local, so ICI traffic is O(pixels·tri_shards), independent of
+triangle count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax.sharding import shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from softwarerenderer_tpu.config import DepthTest, RenderParams
+from softwarerenderer_tpu.ops import culling, geometry, raster
+from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR, NO_TRI, _REDUCE_RULES
+
+F32 = jnp.float32
+
+
+def make_mesh(n_fb: int, n_tri: int = 1,
+              devices=None) -> Mesh:
+    """Build an (fb, tri) device mesh from the first n_fb*n_tri devices."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_fb * n_tri
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_fb, n_tri)
+    return Mesh(arr, axis_names=("fb", "tri"))
+
+
+def shard_scene_triangles(scene: Dict, n_tri: int) -> Dict:
+    """Pad triangle-major arrays to a multiple of n_tri so shard_map can
+    split them evenly; padded slots point at vertex 0 of a culled mesh id
+    (they are masked out by an explicit pad mask)."""
+    t = scene["indices"].shape[0]
+    t_pad = -(-t // n_tri) * n_tri
+    out = dict(scene)
+    pad = t_pad - t
+    if pad:
+        for k in ("indices", "tri_mesh_id", "tri_texture_id"):
+            cfg = [(0, pad)] + [(0, 0)] * (scene[k].ndim - 1)
+            out[k] = np.pad(np.asarray(scene[k]), cfg)
+    out["tri_valid"] = np.arange(t_pad, dtype=np.int32) < t
+    return out
+
+
+def _lex_allreduce(depth, idx, covered, mode: DepthTest, n_total: int):
+    """Combine per-shard (depth, global idx) winners over the 'tri' axis
+    with the same total preorder the sequential fold uses."""
+    use_max, later = _REDUCE_RULES[mode]
+    if use_max is None:
+        gidx = jnp.where(covered, idx, -1)
+        istar = jax.lax.pmax(gidx, "tri")
+        owner = covered & (gidx == istar)
+        dstar = jax.lax.psum(jnp.where(owner, depth, 0.0), "tri")
+        return istar >= 0, dstar, istar
+    bad = F32(-jnp.inf) if use_max else F32(jnp.inf)
+    dm = jnp.where(covered, depth, bad)
+    dstar = (jax.lax.pmax if use_max else jax.lax.pmin)(dm, "tri")
+    at = covered & (depth == dstar)
+    if later:
+        istar = jax.lax.pmax(jnp.where(at, idx, -1), "tri")
+        covered_star = istar >= 0
+    else:
+        istar = jax.lax.pmin(jnp.where(at, idx, n_total), "tri")
+        covered_star = istar < n_total
+        istar = jnp.where(covered_star, istar, -1)
+    return covered_star, dstar, istar
+
+
+def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
+                         mesh: Mesh,
+                         vertex_shader: Optional[Callable] = None,
+                         fragment_shader: Optional[Callable] = None):
+    """Jit-compatible sharded frame: call under jax.jit with static params.
+
+    scene must come through shard_scene_triangles(scene, mesh.shape["tri"])
+    (a no-op-ish pad for n_tri == 1).  params.height must divide evenly by
+    mesh.shape["fb"].  Returns (color (H, W, 4), depth (H, W)) laid out
+    row-sharded over "fb".
+    """
+    from softwarerenderer_tpu.engine.renderer import (
+        camera_matrices,
+        scene_fragment_shader,
+        scene_vertex_shader,
+    )
+    from softwarerenderer_tpu.utils import mathlib as ml
+
+    vertex_shader = vertex_shader or scene_vertex_shader
+    fragment_shader = fragment_shader or scene_fragment_shader
+
+    n_fb = mesh.shape["fb"]
+    n_tri = mesh.shape["tri"]
+    H, W = params.height, params.width
+    if H % n_fb:
+        raise ValueError(f"height {H} not divisible by fb axis {n_fb}")
+    shard_h = H // n_fb
+    shard_params = params.replace(height=shard_h)
+    t_pad = scene["indices"].shape[0]
+    if t_pad % n_tri:
+        raise ValueError("run scene through shard_scene_triangles first")
+    t_local = t_pad // n_tri
+    n_total = 2 * t_pad  # post-clip global submission slots
+
+    tri_sharded = {"indices", "tri_mesh_id", "tri_texture_id", "tri_valid"}
+    in_specs = ({k: (P("tri") if k in tri_sharded else P())
+                 for k in scene}, P())
+    out_specs = (P("fb"), P("fb"))
+
+    def shard_fn(scene, uniforms):
+        fb_idx = jax.lax.axis_index("fb")
+        tri_idx = jax.lax.axis_index("tri")
+        row_offset = fb_idx * shard_h
+        tri_offset = tri_idx * (2 * t_local)
+
+        view, proj = camera_matrices(uniforms, W, H)
+        view_proj = ml.transform(view, proj, xp=jnp)
+        visible = culling.spheres_in_frustum(
+            scene["bounds_center"], scene["bounds_radius"],
+            scene["mesh_matrices"], view_proj, xp=jnp)
+        tri_mask = jnp.take(visible, scene["tri_mesh_id"]) \
+            & scene["tri_valid"]
+
+        model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
+                            axis=0)
+        u = dict(uniforms)
+        u.update(model=model_pv, view=view, projection=proj,
+                 atlas_data=scene["atlas_data"],
+                 atlas_offsets=scene["atlas_offsets"],
+                 atlas_sizes=scene["atlas_sizes"],
+                 base_color=scene["base_color"])
+
+        vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
+        tris = geometry.build_triangles(
+            vertex_shader, vin, scene["indices"], u,
+            width=W, height=H, cull_mode=params.cull_mode,
+            near_clip=u["near_clip"], tri_mask=tri_mask)
+
+        clear = jnp.asarray(uniforms["clear_color"], dtype=F32)
+        fb_color = jnp.broadcast_to(clear, (shard_h, W, 4))
+        fb_depth = jnp.full((shard_h, W), DEPTH_CLEAR, dtype=F32)
+
+        # Local visibility over this shard's triangles and rows.
+        if params.binned:
+            from softwarerenderer_tpu.ops.binning import (
+                make_binned_visibility,
+            )
+            vis = make_binned_visibility(
+                tile_h=params.tile_h, tile_w=params.tile_w,
+                span_cap=params.span_cap, tile_group=params.tile_group)
+        else:
+            vis = raster.visibility_brute_force
+        depth_l, tri_l = vis(tris, shard_params, params.chunk,
+                             init_depth=fb_depth, row_offset=row_offset)
+
+        covered_l = tri_l != NO_TRI
+        gidx = jnp.where(covered_l, tri_l + tri_offset, NO_TRI)
+        covered, dstar, istar = _lex_allreduce(
+            depth_l, gidx, covered_l, params.depth_test, n_total)
+
+        # Shade only the pixels THIS shard's winner owns; combine by psum.
+        mine = covered & (istar >= tri_offset) \
+            & (istar < tri_offset + 2 * t_local)
+        local_best = jnp.where(mine, istar - tri_offset, NO_TRI)
+        per_tri = {"tex_id": jnp.repeat(scene["tri_texture_id"], 2),
+                   "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2)}
+        color_s, depth_s = raster.shade_deferred(
+            tris, dstar, local_best, fragment_shader, u, shard_params,
+            fb_color, fb_depth, per_tri_extra=per_tri,
+            row_offset=row_offset)
+        # shade_deferred composited the owner's fragments onto the clear
+        # background; exactly one shard owns each covered pixel, so masked
+        # contributions sum exclusively across the 'tri' axis.  (A shader
+        # discard leaves color_s == background there, which still resolves
+        # to the background after the psum — consistent with the deferred
+        # path's documented discard semantics.)
+        written = mine
+        contrib_c = jnp.where(written[..., None], color_s, 0.0)
+        contrib_d = jnp.where(written, depth_s, 0.0)
+        any_written = jax.lax.psum(written.astype(jnp.int32), "tri") > 0
+        sum_c = jax.lax.psum(contrib_c, "tri")
+        sum_d = jax.lax.psum(contrib_d, "tri")
+        out_c = jnp.where(any_written[..., None], sum_c, fb_color)
+        out_d = jnp.where(any_written, sum_d, fb_depth)
+        return out_c, out_d
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_rep=False)
+    return fn(scene, uniforms)
