@@ -1,0 +1,374 @@
+"""UDP transport + colon-delimited string RPC + session management.
+
+First-party re-implementation of the reference's hand-rolled networking
+(/root/reference/Networking.cs) with identical wire format and semantics,
+so peers of the new framework speak the same protocol shape:
+
+  * host election: send "ping" to the target; "pong" within the timeout →
+    join as client, else bind the port and become host
+    (Networking.cs:71-184)
+  * wire format: "RPC:Method:p1:p2:…[:senderId=N]"; transport control
+    messages "ping"/"pong"/"id:N" (Networking.cs:250-259, 335-349)
+  * host assigns incrementing client ids on a "Ping" RPC with param "0";
+    known ids pinging from a new endpoint are re-bound; unknown ids are
+    re-assigned (Networking.cs:429-475)
+  * BUFFERED RPCs are replayed to late joiners (Networking.cs:265-269,
+    439-451)
+  * "Disconnect" removes the client and broadcasts "ClientDisconnected"
+    (Networking.cs:477-497)
+  * at-most-once unreliable delivery over raw UDP — no acks/sequencing,
+    faithful to the reference (SURVEY.md §2.2)
+  * FAITHFUL QUIRK: the host does NOT relay a client's game RPCs to the
+    other clients — only host-originated SendRPC broadcasts (verified
+    against Networking.cs:321-427: the receive path invokes the local
+    handler only).  Set relay_client_rpcs=True for the fixed topology
+    where every client RPC is re-broadcast (sender excluded).
+
+The reference's UPnP port mapping (Open.NAT, Networking.cs:32-69) is a
+no-op hook here (`try_enable_upnp`): this framework targets datacenter /
+LAN deployment where NAT traversal is an external concern.
+
+Receive runs on a daemon thread (the analog of the reference's Task.Run
+loop, :321-375); RPCs are BOTH queued for synchronous polling
+(poll_rpcs(), recommended — the reference mutates game state from the
+network thread and races, SURVEY.md §5) and delivered to on_receive_rpc
+callbacks on the receive thread (faithful behavior).
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import threading
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+DEFAULT_PORT = 7777
+
+
+class Networking:
+    def __init__(self):
+        self._sock: Optional[socket.socket] = None
+        self._remote: Optional[Tuple[str, int]] = None
+        self.is_host = False
+        self.client_id = 0
+        self._next_client_id = 1
+        self._clients: Dict[Tuple[str, int], int] = {}
+        self._buffered_rpcs: List[str] = []
+        self._lock = threading.RLock()
+        self._recv_thread: Optional[threading.Thread] = None
+        self._running = False
+        self._id_assigned = threading.Event()
+        self._rpc_queue: "queue.Queue[Tuple[str, List[str], int]]" = \
+            queue.Queue()
+        self.on_receive_rpc: List[Callable[[str, List[str]], None]] = []
+        self.relay_client_rpcs = False
+        self.listening_port = DEFAULT_PORT
+        self.log: Callable[[str], None] = lambda s: None
+
+    # -- connection lifecycle ------------------------------------------------
+
+    @property
+    def is_connected(self) -> bool:
+        return self._sock is not None
+
+    def try_enable_upnp(self, port: int) -> bool:
+        """UPnP hook (Networking.cs:32-52) — intentionally a no-op."""
+        self.log(f"[UPnP] skipped (datacenter deployment), port {port}")
+        return False
+
+    def connect(self, host: str = "127.0.0.1", port: int = DEFAULT_PORT,
+                handshake_timeout: float = 1.0,
+                id_timeout: float = 5.0) -> bool:
+        """Host election + join (Networking.cs:71-184)."""
+        self.listening_port = port
+        try:
+            addr = socket.getaddrinfo(host, port, socket.AF_INET,
+                                      socket.SOCK_DGRAM)[0][4]
+        except OSError as e:
+            self.log(f"Failed to resolve host '{host}': {e}")
+            return False
+        self._remote = addr
+
+        # Ping/pong handshake from a temporary socket.
+        got_pong = False
+        with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as tmp:
+            tmp.settimeout(handshake_timeout)
+            try:
+                tmp.sendto(b"ping", addr)
+                data, _ = tmp.recvfrom(65536)
+                got_pong = data == b"pong"
+            except OSError:
+                pass
+
+        if got_pong:
+            self.log("Connected as client.")
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._sock.connect(addr)
+            self.is_host = False
+            self._start_receive_loop()
+            self._id_assigned.clear()
+            self.send_rpc("Ping", ["0"])
+            if not self._id_assigned.wait(id_timeout):
+                self.log("Timed out waiting for client id.")
+                self.close(send_disconnect=False)
+                return False
+            return True
+
+        self.log("No response - becoming host...")
+        self.try_enable_upnp(port)
+        try:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._sock.bind(("0.0.0.0", port))
+        except OSError as e:
+            self.log(f"Error binding to port {port}: {e}")
+            self.close(send_disconnect=False)
+            return False
+        self.is_host = True
+        self.log(f"Listening for connections on port {port}")
+        self._start_receive_loop()
+        return True
+
+    def close(self, send_disconnect: bool = True) -> None:
+        """Networking.Close (:546-573): clients notify the host first."""
+        try:
+            if self._sock is not None and not self.is_host \
+                    and self.client_id != 0 and send_disconnect:
+                self.send_rpc("Disconnect", [str(self.client_id)])
+        except OSError:
+            pass
+        self._running = False
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+        if self._recv_thread is not None:
+            self._recv_thread.join(timeout=1.0)
+            self._recv_thread = None
+
+    # -- sending -------------------------------------------------------------
+
+    def _send_raw(self, data: bytes, target: Optional[Tuple[str, int]] = None
+                  ) -> None:
+        sock = self._sock
+        if sock is None:
+            return
+        try:
+            if self.is_host:
+                if target is not None:
+                    sock.sendto(data, target)
+                else:
+                    with self._lock:
+                        targets = list(self._clients.keys())
+                    for t in targets:
+                        sock.sendto(data, t)
+            else:
+                sock.send(data)
+        except OSError as e:
+            self.log(f"Error sending: {e}")
+
+    def send_rpc(self, method: str, params: Optional[List[str]] = None,
+                 target_client_id: int = 0, buffer_rpc: bool = False) -> None:
+        """SendRPC (Networking.cs:242-319): local echo + broadcast/target."""
+        if self._sock is None:
+            self.log("Cannot send RPC: not connected.")
+            return
+        params = [str(p) for p in (params or [])]
+        msg = "RPC:" + method
+        if params:
+            msg += ":" + ":".join(params)
+        if not self.is_host and self.client_id != 0:
+            msg += f":senderId={self.client_id}"
+        data = msg.encode("utf-8")
+
+        if self.is_host:
+            if buffer_rpc:
+                with self._lock:
+                    self._buffered_rpcs.append(msg)
+            if target_client_id == 0:
+                self._send_raw(data)
+                self._deliver(method, params, 0)
+            else:
+                with self._lock:
+                    target = next((ep for ep, cid in self._clients.items()
+                                   if cid == target_client_id), None)
+                if target is not None:
+                    self._send_raw(data, target)
+                else:
+                    self.log(f"Cannot send RPC: client {target_client_id} "
+                             "not found.")
+        else:
+            self._send_raw(data)
+            self._deliver(method, params, self.client_id)
+
+    def clear_buffered_rpcs(self) -> None:
+        with self._lock:
+            self._buffered_rpcs.clear()
+
+    # -- receiving -----------------------------------------------------------
+
+    def _start_receive_loop(self) -> None:
+        self._running = True
+        self._recv_thread = threading.Thread(target=self._receive_loop,
+                                             daemon=True)
+        self._recv_thread.start()
+
+    def _receive_loop(self) -> None:
+        sock = self._sock
+        if sock is None:
+            return
+        sock.settimeout(0.25)
+        while self._running:
+            try:
+                data, sender = sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            msg = data.decode("utf-8", errors="replace").strip()
+            if self.is_host and msg == "ping":
+                try:
+                    sock.sendto(b"pong", sender)
+                except OSError:
+                    pass
+                continue
+            if not self.is_host and msg == "pong":
+                continue
+            if not self.is_host and msg.startswith("id:"):
+                self._handle_id_assignment(msg)
+                continue
+            if msg.startswith("RPC:"):
+                self._parse_and_invoke(msg, sender)
+
+    def _handle_id_assignment(self, msg: str) -> None:
+        parts = msg.split(":")
+        if len(parts) == 2 and parts[1].isdigit():
+            self.client_id = int(parts[1])
+            self.log(f"Assigned client ID: {self.client_id}")
+            self._id_assigned.set()
+
+    def _parse_and_invoke(self, msg: str,
+                          sender: Tuple[str, int]) -> None:
+        """ParseAndInvokeRPC (Networking.cs:377-427)."""
+        parts = msg.split(":")
+        if len(parts) < 2 or parts[0] != "RPC":
+            self.log(f"Invalid RPC format: {msg}")
+            return
+        method = parts[1]
+        params = parts[2:]
+
+        sender_id = 0
+        if not self.is_host and params and params[-1].startswith("senderId="):
+            sid = params[-1][len("senderId="):]
+            if sid.lstrip("-").isdigit():
+                sender_id = int(sid)
+                params = params[:-1]
+        elif self.is_host:
+            with self._lock:
+                sender_id = self._clients.get(sender, 0)
+
+        if self.is_host:
+            if method == "Ping":
+                self._handle_host_ping(params, sender)
+                return
+            if method == "Disconnect":
+                self._handle_host_disconnect(params, sender)
+                return
+            if self.relay_client_rpcs:
+                # Optional fixed topology: re-broadcast client RPCs to the
+                # other clients (the reference never does this — see module
+                # docstring).
+                relay = msg if msg.endswith(f"senderId={sender_id}") else \
+                    msg + f":senderId={sender_id}"
+                data = relay.encode("utf-8")
+                with self._lock:
+                    others = [ep for ep in self._clients if ep != sender]
+                for ep in others:
+                    self._send_raw(data, ep)
+        else:
+            if method == "Disconnect":
+                return  # client-side log-only (Networking.cs:515-522)
+
+        self._deliver(method, params, sender_id)
+
+    def _deliver(self, method: str, params: List[str],
+                 sender_id: int) -> None:
+        self._rpc_queue.put((method, list(params), sender_id))
+        for cb in list(self.on_receive_rpc):
+            cb(method, list(params))
+
+    def poll_rpcs(self, max_items: int = 256
+                  ) -> List[Tuple[str, List[str], int]]:
+        """Drain queued RPCs on the caller's thread — the race-free way to
+        consume network events (the reference mutates Players/ChatMessages
+        from the network thread while the render thread iterates them,
+        SURVEY.md §5; polling designs that out)."""
+        out = []
+        for _ in range(max_items):
+            try:
+                out.append(self._rpc_queue.get_nowait())
+            except queue.Empty:
+                break
+        return out
+
+    # -- host session management ----------------------------------------------
+
+    def _handle_host_ping(self, params: List[str],
+                          sender: Tuple[str, int]) -> None:
+        """HandleHostPingRPC (Networking.cs:429-475)."""
+        if not params or not params[0].lstrip("-").isdigit():
+            self.log(f"Malformed Ping RPC from {sender}")
+            return
+        cid = int(params[0])
+        sock = self._sock
+        if cid == 0:
+            with self._lock:
+                new_id = self._next_client_id
+                self._next_client_id += 1
+                self._clients[sender] = new_id
+                buffered = list(self._buffered_rpcs)
+            self.log(f"New client {sender} assigned ID {new_id}")
+            if sock is not None:
+                sock.sendto(f"id:{new_id}".encode(), sender)
+                for rpc in buffered:
+                    sock.sendto(rpc.encode(), sender)
+            return
+        with self._lock:
+            existing = next((ep for ep, c in self._clients.items()
+                             if c == cid), None)
+            if existing is not None and existing != sender:
+                del self._clients[existing]
+                self._clients[sender] = cid
+                self.log(f"Updated client {cid} endpoint to {sender}")
+                return
+            if existing is None:
+                new_id = self._next_client_id
+                self._next_client_id += 1
+                self._clients[sender] = new_id
+        if existing is None and sock is not None:
+            self.log(f"Client {sender} pinged with unknown ID {cid}; "
+                     f"re-assigned {new_id}")
+            sock.sendto(f"id:{new_id}".encode(), sender)
+
+    def _handle_host_disconnect(self, params: List[str],
+                                sender: Tuple[str, int]) -> None:
+        """HandleHostDisconnectRPC (Networking.cs:477-497)."""
+        if not params or not params[0].lstrip("-").isdigit():
+            return
+        cid = int(params[0])
+        with self._lock:
+            entry = next((ep for ep, c in self._clients.items()
+                          if c == cid), None)
+            if entry is not None:
+                del self._clients[entry]
+        if entry is not None:
+            self.log(f"Client {cid} disconnected from {entry}")
+            self.send_rpc("ClientDisconnected", [str(cid)])
+
+    @property
+    def connected_clients(self) -> Dict[Tuple[str, int], int]:
+        with self._lock:
+            return dict(self._clients)

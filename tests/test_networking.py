@@ -1,0 +1,175 @@
+"""Loopback multiplayer session tests (SURVEY.md §4d).
+
+Each test spins real UDP sockets on an ephemeral port: first peer elects
+itself host (no pong), later peers join as clients with assigned ids —
+the reference's exact session behavior (Networking.cs:71-184, 429-475).
+"""
+
+import socket
+import time
+
+import pytest
+
+from softwarerenderer_tpu.io_host.networking import Networking
+
+
+def free_port():
+    with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def wait_for(pred, timeout=3.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(0.01)
+    return False
+
+
+@pytest.fixture
+def port():
+    return free_port()
+
+
+def make_peer(port, **kw):
+    n = Networking()
+    for k, v in kw.items():
+        setattr(n, k, v)
+    assert n.connect("127.0.0.1", port, handshake_timeout=0.3)
+    return n
+
+
+def test_host_election_and_id_assignment(port):
+    host = make_peer(port)
+    assert host.is_host and host.client_id == 0
+    c1 = make_peer(port)
+    c2 = make_peer(port)
+    try:
+        assert not c1.is_host and c1.client_id == 1
+        assert not c2.is_host and c2.client_id == 2
+        assert len(host.connected_clients) == 2
+    finally:
+        c2.close(); c1.close(); host.close()
+
+
+def test_host_broadcast_reaches_clients_and_self(port):
+    host = make_peer(port)
+    client = make_peer(port)
+    try:
+        host.send_rpc("ChatMessage", ["server", "hello"])
+        assert wait_for(lambda: any(
+            m == "ChatMessage" for m, p, s in client.poll_rpcs()))
+        # local echo on the host (Networking.cs:284)
+        assert any(m == "ChatMessage" and p == ["server", "hello"]
+                   for m, p, s in host.poll_rpcs())
+    finally:
+        client.close(); host.close()
+
+
+def test_client_rpc_reaches_host_with_sender_id(port):
+    host = make_peer(port)
+    client = make_peer(port)
+    try:
+        client.send_rpc("Update", ["1", "0", "0", "0"])
+        got = []
+        assert wait_for(lambda: got.extend(
+            x for x in host.poll_rpcs() if x[0] == "Update") or got)
+        method, params, sender = got[0]
+        # Faithful quirk: the HOST does not strip the senderId suffix before
+        # invoking handlers (Networking.cs:395-407 strips only when !IsHost),
+        # so it arrives as a trailing parameter.
+        assert params == ["1", "0", "0", "0",
+                          f"senderId={client.client_id}"]
+        assert sender == client.client_id
+    finally:
+        client.close(); host.close()
+
+
+def test_no_client_to_client_relay_by_default(port):
+    """Faithful quirk: the host does not relay client RPCs."""
+    host = make_peer(port)
+    c1 = make_peer(port)
+    c2 = make_peer(port)
+    try:
+        c1.send_rpc("ChatMessage", ["c1", "hi"])
+        time.sleep(0.5)
+        assert not any(m == "ChatMessage" for m, p, s in c2.poll_rpcs())
+    finally:
+        c2.close(); c1.close(); host.close()
+
+
+def test_relay_mode_fixes_topology(port):
+    host = make_peer(port, relay_client_rpcs=True)
+    c1 = make_peer(port)
+    c2 = make_peer(port)
+    try:
+        c1.send_rpc("ChatMessage", ["c1", "hi"])
+        got = []
+        assert wait_for(lambda: got.extend(
+            x for x in c2.poll_rpcs() if x[0] == "ChatMessage") or got)
+        method, params, sender = got[0]
+        assert params == ["c1", "hi"]
+        assert sender == c1.client_id   # senderId travels on the relay
+    finally:
+        c2.close(); c1.close(); host.close()
+
+
+def test_buffered_rpcs_replay_to_late_joiner(port):
+    host = make_peer(port)
+    host.send_rpc("ConnectedPlayer", ["0", "HostPlayer"], buffer_rpc=True)
+    late = make_peer(port)
+    try:
+        got = []
+        assert wait_for(lambda: got.extend(
+            x for x in late.poll_rpcs() if x[0] == "ConnectedPlayer") or got)
+        assert got[0][1] == ["0", "HostPlayer"]
+    finally:
+        late.close(); host.close()
+
+
+def test_disconnect_broadcasts_client_disconnected(port):
+    host = make_peer(port)
+    c1 = make_peer(port)
+    c2 = make_peer(port)
+    cid = c1.client_id
+    try:
+        c1.close()  # sends Disconnect RPC
+        got = []
+        assert wait_for(lambda: got.extend(
+            x for x in c2.poll_rpcs() if x[0] == "ClientDisconnected") or got)
+        assert got[0][1] == [str(cid)]
+        assert wait_for(lambda: len(host.connected_clients) == 1)
+    finally:
+        c2.close(); host.close()
+
+
+def test_reconnect_updates_endpoint(port):
+    host = make_peer(port)
+    c1 = make_peer(port)
+    cid = c1.client_id
+    old_ep = list(host.connected_clients.keys())[0]
+    try:
+        # Simulate the client pinging from a new endpoint with its known id.
+        with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+            s.bind(("127.0.0.1", 0))
+            s.sendto(f"RPC:Ping:{cid}".encode(), ("127.0.0.1", port))
+            new_ep = s.getsockname()
+            assert wait_for(lambda: host.connected_clients.get(
+                ("127.0.0.1", new_ep[1])) == cid)
+        assert old_ep not in host.connected_clients
+    finally:
+        c1.close(); host.close()
+
+
+def test_callback_delivery(port):
+    host = make_peer(port)
+    events = []
+    host.on_receive_rpc.append(lambda m, p: events.append((m, p)))
+    client = make_peer(port)
+    try:
+        client.send_rpc("Shoot", ["1", "2", "3"])
+        assert wait_for(lambda: any(m == "Shoot" for m, p in events))
+    finally:
+        client.close(); host.close()
