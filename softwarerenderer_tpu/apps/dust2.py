@@ -1,0 +1,615 @@
+"""The Dust2 multiplayer FPS demo — the reference game on the TPU engine.
+
+Reproduces /root/reference/Renderer.cs end to end: Quake-style movement on
+the Dust2 map, hitscan shooting with health/respawn, UDP multiplayer with
+host election and chat, view-model gun with sway/recoil, nametags, HUD,
+live-tunable fog/light, noclip + mouse-capture toggles.
+
+Architecture differences (TPU-first, SURVEY.md §7):
+  * ALL meshes (map + gun + MAX_PLAYERS player-model slots) live in ONE
+    packed device scene; per-frame motion only rewrites the (M, 4, 4)
+    mesh-matrix array + a mesh-visibility mask — one jitted frame program
+    instead of per-mesh Parallel.ForEach draws (Renderer.cs:444-540)
+  * physics is the jitted character_step; shooting is one batched raycast
+    against the whole soup with per-group masks instead of per-player
+    Parallel.ForEach (Renderer.cs:172-249)
+  * network RPCs are polled on the main thread (race-free), with the
+    reference's exact RPC vocabulary (Renderer.cs:862-965)
+
+Game constants are the reference's (Renderer.cs:30-46): spawns, fog
+(1..25, color 1/0.62/0.5), light euler (-45,-45,0), clear color
+(0.9137, 0.7098, 0.6588), FOV 90, shot cooldown 0.25 s, damage 10.
+
+Run headless: python -m softwarerenderer_tpu.apps.dust2 --headless
+--frames 3 --out /tmp/frame.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import random
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from softwarerenderer_tpu import RenderParams
+from softwarerenderer_tpu.engine import Engine, camera_matrices
+from softwarerenderer_tpu.io_host import audio, model_loader
+from softwarerenderer_tpu.io_host.networking import Networking
+from softwarerenderer_tpu.io_host.ui import Hud, project_nametag
+from softwarerenderer_tpu.io_host.window import make_window
+from softwarerenderer_tpu.models import primitives, scene as scene_mod
+from softwarerenderer_tpu.ops import texture as tex_ops
+from softwarerenderer_tpu.sim import (
+    build_collision_world,
+    character_step,
+    default_character_params,
+    initial_character_state,
+    raycast_batch,
+)
+from softwarerenderer_tpu.utils import mathlib as ml
+
+F32 = np.float32
+
+DEFAULT_ASSETS = os.environ.get(
+    "SRT_ASSETS", "/root/reference/OutputAssets/Assets")
+
+SPAWN_1 = np.asarray([-16.4, 1.5, 6.5], F32)      # Renderer.cs:30
+SPAWN_2 = np.asarray([-16.5, 0.6, -23.0], F32)    # Renderer.cs:31
+MAP_SCALE = 0.5                                    # Renderer.cs:32
+SHOT_COOLDOWN = 0.25                               # Renderer.cs:60
+SHOT_DAMAGE = 10.0                                 # Renderer.cs:223
+SHOT_RANGE = 100.0                                 # Renderer.cs:176
+MOUSE_SENSITIVITY = 0.1                            # Camera.cs:10
+
+
+class ConnectedPlayer:
+    """Renderer.cs:63-70."""
+
+    def __init__(self, pid: int, name: str):
+        self.id = pid
+        self.name = name
+        self.position = np.zeros(3, F32)
+        self.local_position = np.zeros(3, F32)
+        self.rotation = ml.QUAT_IDENTITY.copy()
+        self.health = 100.0
+
+
+def load_player_name(path: str = "./Playername.txt") -> str:
+    """Renderer.LoadPlayerNameFromFile (:86-110)."""
+    try:
+        with open(path) as f:
+            name = f.read().strip()
+        return name or "Player"
+    except OSError:
+        return "Player"
+
+
+def _fallback_map():
+    """Procedural arena when the Dust2 assets are unavailable."""
+    checker = np.asarray(tex_ops.checkerboard(
+        64, 8, (0.8, 0.75, 0.6, 1.0), (0.55, 0.5, 0.4, 1.0))["data"])
+    meshes = [dict(primitives.plane(80.0), material=scene_mod.Material(),
+                   bounds_center=np.zeros(3, F32), bounds_radius=60.0)]
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        cube = primitives.cube(3.0)
+        offs = rng.uniform(-30, 30, 3).astype(F32)
+        offs[1] = 1.5
+        cube["position"] = cube["position"] + offs
+        c, r = scene_mod.bounding_sphere(cube["position"])
+        meshes.append(dict(cube, material=scene_mod.Material(),
+                           bounds_center=c, bounds_radius=r))
+    model = model_loader.Model(meshes=meshes)
+    return model, checker
+
+
+class Dust2Game:
+    def __init__(self, server: str = "127.0.0.1", port: int = 7777,
+                 width: int = 800, height: int = 600,
+                 render_scale: float = 0.25, headless: bool = False,
+                 assets_dir: str = DEFAULT_ASSETS,
+                 player_name: Optional[str] = None,
+                 max_players: int = 8, out: Optional[str] = None,
+                 offline: bool = False, seed: Optional[int] = None):
+        self.window = make_window(width, height, render_scale,
+                                  headless=headless or None, out_path=out)
+        self.hud = Hud()
+        self.max_players = max_players
+        self.player_name = player_name or load_player_name()
+        self.assets_dir = assets_dir
+        self.rng = random.Random(seed)
+
+        self._load_scene()
+        self._init_state()
+
+        # Networking bootstrap (Renderer.cs:75-82).
+        self.net = Networking()
+        if not offline:
+            self.net.log = lambda s: None
+            if not self.net.connect(server, port):
+                raise SystemExit(1)  # Renderer.cs:115-118
+            self.net.send_rpc(
+                "ConnectedPlayer",
+                [str(self.net.client_id), self.player_name],
+                buffer_rpc=True)
+        self.players: List[ConnectedPlayer] = []
+
+    # -- scene assembly -------------------------------------------------------
+
+    def _load_scene(self):
+        fallback_tex = np.asarray(tex_ops.checkerboard(
+            64, 8, (0.8, 0.75, 0.6, 1.0), (0.55, 0.5, 0.4, 1.0))["data"])
+        dust2_path = os.path.join(self.assets_dir, "dust2", "scene.gltf")
+        gun_path = os.path.join(self.assets_dir, "Gun", "scene.gltf")
+        player_path = os.path.join(self.assets_dir, "gordon_freeman",
+                                   "scene.gltf")
+        self.map_matrix = ml.scale(MAP_SCALE)
+        if os.path.exists(dust2_path):
+            map_model = model_loader.load_model(dust2_path)
+        else:
+            map_model, fallback_tex = _fallback_map()
+            self.map_matrix = np.eye(4, dtype=F32)
+
+        insts = model_loader.model_instances(
+            map_model, self.map_matrix, fallback_texture=fallback_tex)
+        self.n_map = len(insts)
+
+        # View-model gun (Renderer.cs:33, 476-477).
+        self.gun_base = (ml.scale(0.02)
+                         @ ml.matrix_from_yaw_pitch_roll(
+                             -90 * math.pi / 180, 0.0, 0.0)).astype(F32)
+        if os.path.exists(gun_path):
+            gun_model = model_loader.load_model(gun_path)
+        else:
+            gun_model = model_loader.Model(meshes=[dict(
+                primitives.cube(1.0), material=scene_mod.Material(),
+                bounds_center=np.zeros(3, F32), bounds_radius=1.0)])
+            self.gun_base = ml.scale(0.1).astype(F32)
+        gun_insts = model_loader.model_instances(
+            gun_model, np.eye(4, dtype=F32), fallback_texture=fallback_tex)
+        self.gun_slice = (len(insts), len(insts) + len(gun_insts))
+        insts += gun_insts
+
+        # MAX_PLAYERS player-model slots.
+        if os.path.exists(player_path):
+            player_model = model_loader.load_model(player_path)
+        else:
+            player_model = model_loader.Model(meshes=[dict(
+                primitives.cube(1.0), material=scene_mod.Material(),
+                bounds_center=np.zeros(3, F32), bounds_radius=1.0)])
+        self.player_slices = []
+        for _ in range(self.max_players):
+            pinsts = model_loader.model_instances(
+                player_model, np.eye(4, dtype=F32),
+                fallback_texture=fallback_tex)
+            self.player_slices.append((len(insts), len(insts) + len(pinsts)))
+            insts += pinsts
+
+        self.scene = scene_mod.build_scene_buffers(insts)
+        self.n_meshes = self.scene["mesh_matrices"].shape[0]
+
+        params = RenderParams(*self.window.render_size)
+        self.engine = Engine(self.scene, params)
+        u = self.engine.uniforms
+        # The game's live-tuned defaults (Renderer.cs:39-46).
+        u["fog_start"] = np.float32(1.0)
+        u["fog_end"] = np.float32(25.0)
+        u["fog_color"] = np.asarray([1.0, 0.62, 0.5, 1.0], F32)
+        u["light_direction"] = np.asarray(
+            ml.euler_degrees_to_direction([-45.0, -45.0, 0.0]), F32)
+        u["light_color"] = np.ones(4, F32)
+        u["clear_color"] = np.asarray([0.9137, 0.7098, 0.6588, 1.0], F32)
+        u["fov_degrees"] = np.float32(90.0)
+        u["near_clip"] = np.float32(0.1)
+        u["far_clip"] = np.float32(1000.0)
+        u["mesh_visible"] = np.ones(self.n_meshes, bool)
+
+        # Collision world: the map only (Renderer.cs:438 passes Dust2Model).
+        map_tris = np.asarray(self.scene["tri_mesh_id"]) < self.n_map
+        self._map_tri_mask = map_tris
+        map_scene = {k: self.scene[k] for k in self.scene}
+        self._world_fn = jax.jit(build_collision_world)
+        self.world = self._world_fn(self.scene)
+        self._char_step = jax.jit(
+            lambda s, m, j, dt: character_step(
+                s, m, j, dt, self.world, self.char_params,
+                tri_mask=self._map_tri_mask))
+        self._shoot_rays = jax.jit(
+            lambda o, d, w, mask: raycast_batch(o, d, w, tri_mask=mask))
+
+    def _init_state(self):
+        self.char_params = default_character_params()
+        spawn_first = self.rng.random() > 0.5   # Renderer.cs:426-436
+        spawn = SPAWN_1 if spawn_first else SPAWN_2
+        self.cam_rotation = (ml.QUAT_IDENTITY.copy() if spawn_first else
+                             ml.quat_from_axis_angle(
+                                 np.asarray([0, 1, 0], F32), math.pi))
+        self.char = initial_character_state(spawn)
+        self.cam_position = spawn + self.char_params["cam_offset"]
+        self.weapon_sway = ml.QUAT_IDENTITY.copy()
+        self.recoil = ml.QUAT_IDENTITY.copy()
+        self.time = 0.0
+        self.last_shot = -10.0
+        self.mouse_locked = True
+        self.window.set_mouse_capture(True)
+        self.noclip = False
+        self._prev_keys = set()
+        self._mesh_matrices = np.asarray(
+            self.scene["mesh_matrices"]).copy()
+
+    # -- per-frame ------------------------------------------------------------
+
+    def step(self, dt: float, inputs: Optional[dict] = None) -> None:
+        """One frame: input → net → sim → render → present
+        (Renderer.Update ordering, :258-268)."""
+        self.time += dt
+        inp = inputs if inputs is not None else self.window.poll()
+        if inp["quit"]:
+            self.window.should_close = True
+
+        self._update_mouse_look(inp)
+        # weapon sway/recoil (Renderer.cs:261-262)
+        self.weapon_sway = np.asarray(ml.quat_slerp(
+            self.weapon_sway, self.cam_rotation, 15.0 * dt), F32)
+        self.recoil = np.asarray(ml.quat_slerp(
+            self.recoil, ml.QUAT_IDENTITY, 5.0 * dt), F32)
+
+        self._update_network()
+        self._update_character(dt, inp)
+        self._update_toggles(inp)
+        if inp["mouse_down"] and self.mouse_locked \
+                and self.time - self.last_shot >= SHOT_COOLDOWN:
+            self.shoot()
+            self.last_shot = self.time
+
+        self._render(dt)
+        self.hud.tick(dt)
+
+    def _update_mouse_look(self, inp):
+        """HandleMouseMovement (Renderer.cs:140-161)."""
+        if not self.mouse_locked:
+            return
+        dx, dy = inp["mouse_delta"]
+        if dx == 0 and dy == 0:
+            return
+        euler = np.asarray(ml.quat_to_euler_degrees(self.cam_rotation))
+        yaw = euler[1] - dx * MOUSE_SENSITIVITY
+        pitch = float(np.clip(euler[0] - dy * MOUSE_SENSITIVITY, -89, 89))
+        self.cam_rotation = np.asarray(ml.quat_from_yaw_pitch_roll(
+            yaw * math.pi / 180, pitch * math.pi / 180,
+            euler[2] * math.pi / 180), F32)
+
+    def _update_network(self):
+        """Pose RPC every frame (Renderer.cs:270-287) + inbound handling."""
+        if not self.net.is_connected:
+            return
+        euler = np.asarray(ml.quat_to_euler_degrees(self.cam_rotation))
+        rot = ml.quat_from_yaw_pitch_roll(euler[1] * math.pi / 180, 0.0, 0.0)
+        pos = np.asarray(self.char["position"])
+        self.net.send_rpc("Update", [
+            str(self.net.client_id),
+            repr(float(pos[0])), repr(float(pos[1])), repr(float(pos[2])),
+            repr(float(rot[0])), repr(float(rot[1])),
+            repr(float(rot[2])), repr(float(rot[3]))])
+        for method, params, sender in self.net.poll_rpcs():
+            self._handle_rpc(method, params)
+
+    def _handle_rpc(self, method: str, params: List[str]):
+        """The game's RPC switch (Renderer.cs:866-965)."""
+        try:
+            if method == "ConnectedPlayer" and len(params) >= 2:
+                pid = int(params[0])
+                if not any(p.id == pid for p in self.players):
+                    self.players.append(ConnectedPlayer(pid, params[1]))
+                self.hud.add_chat(f"{params[1]} has joined the game!")
+            elif method == "Update" and len(params) >= 8:
+                pid = int(params[0])
+                p = next((x for x in self.players if x.id == pid), None)
+                if p is not None:
+                    p.position = np.asarray(
+                        [float(params[1]), float(params[2]),
+                         float(params[3])], F32)
+                    p.rotation = np.asarray(
+                        [float(params[4]), float(params[5]),
+                         float(params[6]), float(params[7])], F32)
+            elif method in ("DisconnectedPlayer", "ClientDisconnected") \
+                    and len(params) >= 1:
+                pid = int(params[0])
+                p = next((x for x in self.players if x.id == pid), None)
+                if p is not None:
+                    self.players.remove(p)
+            elif method == "ChatMessage" and len(params) >= 2:
+                self.hud.add_chat(f"{params[0]}: {params[1]}")
+            elif method == "PlayerHit" and len(params) >= 3:
+                self._handle_player_hit(int(params[0]), float(params[2]))
+            elif method == "Shoot" and len(params) >= 3:
+                shot_pos = np.asarray([float(params[0]), float(params[1]),
+                                       float(params[2])], F32)
+                dist = float(np.linalg.norm(self.cam_position - shot_pos))
+                wav = os.path.join(self.assets_dir, "pistol.wav")
+                audio.play_sound(wav, audio.shot_volume(dist))
+        except (ValueError, IndexError):
+            pass
+
+    def _handle_player_hit(self, pid: int, damage: float):
+        """PlayerHit: damage, kill message, respawn, heal (Renderer.cs:
+        911-950)."""
+        p = next((x for x in self.players if x.id == pid), None)
+        if p is None:
+            return
+        p.health = max(0.0, p.health - damage)
+        if pid == self.net.client_id:
+            self.hud.state.health = p.health
+        if p.health <= 0:
+            self.hud.add_chat(f"{p.name} was killed!")
+            if pid == self.net.client_id:
+                spawn_first = self.rng.random() > 0.5
+                spawn = SPAWN_1 if spawn_first else SPAWN_2
+                self.char["position"] = jnp.asarray(spawn)
+                self.cam_rotation = (
+                    ml.QUAT_IDENTITY.copy() if spawn_first else
+                    np.asarray(ml.quat_from_axis_angle(
+                        np.asarray([0, 1, 0], F32), math.pi), F32))
+            p.health = 100.0
+            if pid == self.net.client_id:
+                self.hud.state.health = 100.0
+            self.net.send_rpc("Update", [
+                str(p.id),
+                repr(float(p.position[0])), repr(float(p.position[1])),
+                repr(float(p.position[2])),
+                repr(float(p.rotation[0])), repr(float(p.rotation[1])),
+                repr(float(p.rotation[2])), repr(float(p.rotation[3]))])
+
+    def _update_character(self, dt: float, inp):
+        """UpdateCharacterController (Renderer.cs:356-383)."""
+        keys = inp["keys"]
+        front = np.asarray(ml.quat_rotate(
+            np.asarray([0, 0, -1], F32), self.cam_rotation))
+        right = np.asarray(ml.normalize(np.cross(front, [0.0, 1.0, 0.0])))
+        front[1] = 0
+        n = np.linalg.norm(front)
+        front = front / n if n > 0 else front
+        right[1] = 0
+        n = np.linalg.norm(right)
+        right = right / n if n > 0 else right
+
+        move = np.zeros(3, F32)
+        if not self.hud.state.chat_active:
+            if "w" in keys:
+                move += front
+            if "s" in keys:
+                move -= front
+            if "a" in keys:
+                move -= right
+            if "d" in keys:
+                move += right
+            if "space" in keys:
+                move[1] += 1
+            if "shift" in keys:
+                move[1] -= 1
+        jump = "space" in keys and not self.hud.state.chat_active
+
+        self.char["noclip"] = jnp.asarray(self.noclip)
+        self.char = self._char_step(self.char, move.astype(F32), jump,
+                                    np.float32(dt))
+        self.cam_position = np.asarray(self.char["position"]) \
+            + np.asarray(self.char_params["cam_offset"])
+
+    def _update_toggles(self, inp):
+        """Esc mouse-capture + V noclip edge toggles (Renderer.cs:385-402)."""
+        keys = inp["keys"]
+        if "escape" in keys and "escape" not in self._prev_keys:
+            self.mouse_locked = not self.mouse_locked
+            self.window.set_mouse_capture(self.mouse_locked)
+        if "v" in keys and "v" not in self._prev_keys \
+                and not self.hud.state.chat_active:
+            self.noclip = not self.noclip
+        # chat input (T to open, Renderer.cs:587-656 simplified)
+        hs = self.hud.state
+        if hs.chat_active:
+            hs.chat_input += inp["chars"]
+            if "return" in keys and "return" not in self._prev_keys:
+                text = hs.chat_input.strip()
+                if text and self.net.is_connected:
+                    me = next((p for p in self.players
+                               if p.id == self.net.client_id), None)
+                    self.net.send_rpc("ChatMessage",
+                                      [me.name if me else self.player_name,
+                                       text])
+                hs.chat_input = ""
+                hs.chat_active = False
+        elif "t" in keys and "t" not in self._prev_keys:
+            hs.chat_active = True
+            hs.chat_input = ""
+        self._prev_keys = set(keys)
+
+    # -- shooting -------------------------------------------------------------
+
+    def _player_matrix(self, p: ConnectedPlayer) -> np.ndarray:
+        """CreatePlayerMatrix (Renderer.cs:251-256)."""
+        h = float(self.char_params["height"])
+        flip = ml.quat_from_axis_angle(np.asarray([0, 1, 0], F32), math.pi)
+        rot = ml.quat_mul(p.rotation, flip)
+        return (ml.scale(h / 2)
+                @ ml.matrix_from_quaternion(rot)
+                @ ml.translation(p.local_position
+                                 - np.asarray([0, h / 2, 0], F32))
+                ).astype(F32)
+
+    def shoot(self):
+        """Hitscan (Renderer.cs:172-249): one batched raycast against the
+        packed soup; winners classified map-vs-player by mesh id."""
+        origin = self.cam_position.astype(F32)
+        direction = np.asarray(ml.quat_rotate(
+            np.asarray([0, 0, -1], F32), self.cam_rotation), F32)
+
+        active_slots = {}
+        for i, p in enumerate(self.players):
+            if p.id == self.net.client_id or i >= self.max_players:
+                continue
+            active_slots[i] = p
+        shoot_mask = self._map_tri_mask.copy()
+        tri_mesh = np.asarray(self.scene["tri_mesh_id"])
+        for slot in active_slots:
+            lo, hi = self.player_slices[slot]
+            shoot_mask |= (tri_mesh >= lo) & (tri_mesh < hi)
+
+        world = self._world_fn(dict(self.scene,
+                                    mesh_matrices=self._mesh_matrices))
+        out = self._shoot_rays(origin[None], direction[None], world,
+                               shoot_mask)
+        hit = bool(out["hit"][0])
+        dist = float(out["distance"][0])
+        point = np.asarray(out["point"][0])
+        normal = np.asarray(out["normal"][0])
+        mesh_id = int(tri_mesh[int(out["tri"][0])]) if hit else -1
+
+        if self.net.is_connected:
+            self.net.send_rpc("Shoot", [repr(float(origin[0])),
+                                        repr(float(origin[1])),
+                                        repr(float(origin[2]))])
+        if hit and dist < SHOT_RANGE:
+            hit_player = None
+            for slot, p in active_slots.items():
+                lo, hi = self.player_slices[slot]
+                if lo <= mesh_id < hi:
+                    hit_player = p
+                    break
+            if self.net.is_connected:
+                if hit_player is not None:
+                    self.net.send_rpc("PlayerHit", [
+                        str(hit_player.id), str(self.net.client_id),
+                        str(SHOT_DAMAGE)])
+                elif mesh_id < self.n_map:
+                    self.net.send_rpc("LevelHit", [
+                        str(self.net.client_id),
+                        repr(float(point[0])), repr(float(point[1])),
+                        repr(float(point[2])),
+                        repr(float(normal[0])), repr(float(normal[1])),
+                        repr(float(normal[2]))])
+        # recoil kick (Renderer.cs:248) — 45 is in RADIANS in the reference.
+        self.recoil = np.asarray(ml.quat_mul(
+            self.recoil, ml.quat_from_yaw_pitch_roll(0.0, 45.0, 0.0)), F32)
+
+    # -- render ---------------------------------------------------------------
+
+    def _render(self, dt: float):
+        """RenderScene (Renderer.cs:404-419): update matrices + one frame."""
+        mm = self._mesh_matrices
+        visible = np.ones(self.n_meshes, bool)
+
+        # Gun matrix (Renderer.cs:476-477).
+        sway_recoil = ml.quat_mul(self.weapon_sway, self.recoil)
+        gun_off = ml.quat_rotate(np.asarray(
+            [0.05, -0.05, -0.15 + abs(float(self.recoil[0]) / 5)], F32),
+            self.cam_rotation)
+        gun_m = (self.gun_base @ ml.matrix_from_quaternion(sway_recoil)
+                 @ ml.translation(self.cam_position + gun_off)).astype(F32)
+        for i in range(*self.gun_slice):
+            mm[i] = gun_m
+
+        # Remote players: interpolation + slot matrices (Renderer.cs:503-540).
+        factor = 1.0 - math.exp(-12.0 * dt)
+        used = set()
+        for i, p in enumerate(self.players):
+            p.local_position = p.local_position \
+                + (p.position - p.local_position) * F32(factor)
+            if p.id == self.net.client_id or i >= self.max_players:
+                continue
+            pm = self._player_matrix(p)
+            lo, hi = self.player_slices[i]
+            for j in range(lo, hi):
+                mm[j] = pm
+            used.add(i)
+        for slot in range(self.max_players):
+            if slot not in used:
+                lo, hi = self.player_slices[slot]
+                visible[lo:hi] = False
+
+        u = self.engine.uniforms
+        u["camera_position"] = self.cam_position.astype(F32)
+        u["camera_rotation"] = self.cam_rotation.astype(F32)
+        u["mesh_visible"] = visible
+        self.engine.scene["mesh_matrices"] = jnp.asarray(mm)
+
+        rgb = self.engine.present(u)
+        self.hud.state.rendered_meshes = int(visible.sum())
+        self.hud.state.nametags = self._nametags()
+        self.window.present(rgb, overlay=self.hud)
+
+    def _nametags(self):
+        """Renderer.RenderPlayerNametags (:544-585)."""
+        view, proj = camera_matrices(
+            {k: self.engine.uniforms[k] for k in
+             ("camera_position", "camera_rotation", "fov_degrees",
+              "near_clip", "far_clip")},
+            self.window.width, self.window.height, xp=np)
+        tags = []
+        for p in self.players:
+            if p.id == self.net.client_id:
+                continue
+            xy = project_nametag(p.local_position, view, proj,
+                                 self.window.width, self.window.height)
+            if xy is not None:
+                tags.append((xy[0], xy[1], p.name))
+        return tags
+
+    # -- main loop ------------------------------------------------------------
+
+    def run(self, frames: Optional[int] = None):
+        last = time.perf_counter()
+        n = 0
+        try:
+            while not self.window.should_close:
+                now = time.perf_counter()
+                dt = min(now - last, 0.1)
+                last = now
+                self.step(dt if dt > 0 else 1 / 60)
+                n += 1
+                if frames is not None and n >= frames:
+                    break
+        finally:
+            self.close()
+
+    def close(self):
+        if self.net.is_connected:
+            self.net.send_rpc("DisconnectedPlayer",
+                              [str(self.net.client_id)])
+            self.net.close()
+        audio.cleanup()
+        self.window.close()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("server", nargs="?", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7777)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--render-scale", type=float, default=0.25)
+    ap.add_argument("--headless", action="store_true")
+    ap.add_argument("--offline", action="store_true",
+                    help="skip networking entirely")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--out", default=None, help="headless PNG output path")
+    ap.add_argument("--assets", default=DEFAULT_ASSETS)
+    ap.add_argument("--name", default=None)
+    args = ap.parse_args(argv)
+
+    game = Dust2Game(server=args.server, port=args.port, width=args.width,
+                     height=args.height, render_scale=args.render_scale,
+                     headless=args.headless, assets_dir=args.assets,
+                     player_name=args.name, out=args.out,
+                     offline=args.offline)
+    game.run(frames=args.frames)
+
+
+if __name__ == "__main__":
+    main()

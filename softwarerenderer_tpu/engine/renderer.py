@@ -131,6 +131,10 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     visible = culling.spheres_in_frustum(
         scene["bounds_center"], scene["bounds_radius"],
         scene["mesh_matrices"], view_proj, xp=jnp)        # (M,)
+    if "mesh_visible" in uniforms:
+        # App-driven per-mesh visibility (e.g. unused player-model slots in
+        # the Dust2 demo) ANDed with the frustum test.
+        visible = visible & jnp.asarray(uniforms["mesh_visible"], bool)
     tri_mask = jnp.take(visible, scene["tri_mesh_id"])
 
     model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"], axis=0)

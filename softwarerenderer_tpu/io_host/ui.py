@@ -1,0 +1,118 @@
+"""HUD / debug overlay: crosshair, health, chat, nametags, tuning panel.
+
+Role-equivalent of the reference's ImGui surface (Renderer.cs:289-820 —
+crosshair :310-335, health bar :336-356, nametags :544-585, chat
+:587-656, debug/tuning panel :658-820), drawn host-side onto the
+presented window surface.  The overlay is a plain draw callback so any
+window backend can host it; headless runs skip it entirely.
+
+Nametag projection mirrors the reference exactly (Renderer.cs:549-573):
+world point + 0.25 up → view·projection, behind-camera rejected (w ≤ 0),
+NDC → window coords with Y flip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from softwarerenderer_tpu.utils import mathlib as ml
+
+
+@dataclasses.dataclass
+class HudState:
+    health: float = 100.0
+    fps: float = 0.0
+    frame_ms: float = 0.0
+    rendered_meshes: int = 0
+    chat_messages: List[str] = dataclasses.field(default_factory=list)
+    chat_input: str = ""
+    chat_active: bool = False
+    nametags: List[Tuple[float, float, str]] = \
+        dataclasses.field(default_factory=list)
+    debug_lines: List[str] = dataclasses.field(default_factory=list)
+    show_debug: bool = False
+    max_chat_lines: int = 8
+
+
+def project_nametag(world_pos, view, projection, width: int, height: int
+                    ) -> Optional[Tuple[float, float]]:
+    """Renderer.RenderPlayerNametags' clip-space projection (:549-573)."""
+    p = np.asarray(
+        [world_pos[0], world_pos[1] + 0.25, world_pos[2], 1.0],
+        dtype=np.float32)
+    clip = ml.transform(ml.transform(p, view), projection)
+    if clip[3] <= 0:
+        return None
+    ndc = clip[:3] / clip[3]
+    x = (ndc[0] * 0.5 + 0.5) * width
+    y = (1.0 - (ndc[1] * 0.5 + 0.5)) * height
+    if not (0 <= x < width and 0 <= y < height):
+        return None
+    return float(x), float(y)
+
+
+class Hud:
+    def __init__(self):
+        self.state = HudState()
+        self._font = None
+        self._t_last = time.monotonic()
+
+    def tick(self, dt: float) -> None:
+        self.state.fps = 1.0 / dt if dt > 0 else 0.0
+        self.state.frame_ms = dt * 1000.0
+
+    def add_chat(self, line: str) -> None:
+        self.state.chat_messages.append(line)
+        del self.state.chat_messages[:-100]
+
+    def __call__(self, screen, pg) -> None:
+        """Overlay callback for window.present."""
+        s = self.state
+        if self._font is None:
+            self._font = pg.font.SysFont("monospace", 14)
+        w, h = screen.get_size()
+        white = (255, 255, 255)
+
+        # Crosshair (Renderer.cs:310-335): two centered lines.
+        cx, cy = w // 2, h // 2
+        pg.draw.line(screen, white, (cx - 8, cy), (cx + 8, cy), 2)
+        pg.draw.line(screen, white, (cx, cy - 8), (cx, cy + 8), 2)
+
+        # Health bar (Renderer.cs:336-356).
+        frac = max(0.0, min(1.0, s.health / 100.0))
+        bar_w = 180
+        pg.draw.rect(screen, (40, 40, 40), (16, h - 40, bar_w, 18))
+        pg.draw.rect(screen, (200, 40, 40),
+                     (16, h - 40, int(bar_w * frac), 18))
+        screen.blit(self._font.render(f"{s.health:.0f}", True, white),
+                    (16 + bar_w + 8, h - 40))
+
+        # Chat (Renderer.cs:587-656): last lines + input row.
+        y = 16
+        for line in s.chat_messages[-s.max_chat_lines:]:
+            screen.blit(self._font.render(line[:80], True, white), (16, y))
+            y += 16
+        if s.chat_active:
+            screen.blit(self._font.render("> " + s.chat_input, True,
+                                          (255, 255, 0)), (16, y))
+
+        # Nametags (Renderer.cs:544-585).
+        for x, ny, name in s.nametags:
+            t = self._font.render(name, True, white)
+            screen.blit(t, (int(x) - t.get_width() // 2, int(ny) - 18))
+
+        # Performance + debug panel (Renderer.cs:662-668, 658-820).
+        perf = f"{s.fps:5.1f} fps  {s.frame_ms:6.2f} ms  " \
+               f"meshes {s.rendered_meshes}"
+        screen.blit(self._font.render(perf, True, (255, 255, 0)),
+                    (w - 330, 8))
+        if s.show_debug:
+            y = 32
+            for line in s.debug_lines:
+                screen.blit(self._font.render(line, True, (0, 255, 128)),
+                            (w - 330, y))
+                y += 16

@@ -1,0 +1,179 @@
+"""Window/present + input: blit device-rendered frames to a window.
+
+Role-equivalent of MainWindow.cs (GLFW window + GL textured fullscreen
+quad + input contexts, /root/reference/MainWindow.cs:45-266): owns the
+window, presents RGB frames, exposes keyboard/mouse state, and implements
+the render-scale decoupling (render resolution = window × scale,
+MainWindow.cs:93-96, 268-274) and the 0.25 s debounced resize
+(MainWindow.cs:278-296).
+
+Backends:
+  * PygameWindow — SDL window; the framebuffer upload is one surfarray
+    blit + scale (the analog of the reference's TexSubImage2D + quad).
+  * HeadlessWindow — no display; optionally writes frames as PNGs.
+    Keeps the full API so the game loop is backend-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class WindowBase:
+    def __init__(self, width: int, height: int, render_scale: float = 0.25):
+        self.width = width
+        self.height = height
+        self.render_scale = max(0.1, min(1.0, render_scale))
+        self.should_close = False
+        self.mouse_captured = False
+        self._pending_resize: Optional[Tuple[int, int, float]] = None
+
+    @property
+    def render_size(self) -> Tuple[int, int]:
+        """Render resolution = window × scale (MainWindow.cs:93-96),
+        min 1 px."""
+        return (max(1, int(self.width * self.render_scale)),
+                max(1, int(self.height * self.render_scale)))
+
+    def poll(self) -> dict:
+        """Returns {"keys": set[str], "mouse_delta": (dx, dy),
+        "mouse_down": bool, "chars": str, "quit": bool}."""
+        raise NotImplementedError
+
+    def present(self, rgb: np.ndarray, overlay=None) -> None:
+        raise NotImplementedError
+
+    def set_mouse_capture(self, captured: bool) -> None:
+        self.mouse_captured = captured
+
+    def close(self) -> None:
+        pass
+
+
+class HeadlessWindow(WindowBase):
+    """Null present backend: optional PNG dump per frame."""
+
+    def __init__(self, width: int, height: int, render_scale: float = 0.25,
+                 out_path: Optional[str] = None):
+        super().__init__(width, height, render_scale)
+        self.out_path = out_path
+        self.frame_index = 0
+        self.last_frame: Optional[np.ndarray] = None
+
+    def poll(self) -> dict:
+        return {"keys": set(), "mouse_delta": (0.0, 0.0),
+                "mouse_down": False, "chars": "", "quit": False}
+
+    def present(self, rgb: np.ndarray, overlay=None) -> None:
+        self.last_frame = np.asarray(rgb)
+        if self.out_path:
+            try:
+                from PIL import Image
+                base, ext = os.path.splitext(self.out_path)
+                path = f"{base}_{self.frame_index:04d}{ext or '.png'}" \
+                    if self.frame_index else self.out_path
+                Image.fromarray(self.last_frame).save(path)
+            except Exception:
+                pass
+        self.frame_index += 1
+
+
+_KEY_NAMES = {
+    "w": "w", "a": "a", "s": "s", "d": "d", "space": "space",
+    "escape": "escape", "v": "v", "t": "t", "return": "return",
+    "backspace": "backspace", "left shift": "shift",
+}
+
+
+class PygameWindow(WindowBase):
+    """SDL-backed window + input (the MainWindow role)."""
+
+    def __init__(self, width: int, height: int, render_scale: float = 0.25,
+                 title: str = "Software Renderer TPU - Dust2"):
+        super().__init__(width, height, render_scale)
+        import pygame
+        self._pg = pygame
+        pygame.display.init()
+        pygame.font.init()
+        self._screen = pygame.display.set_mode((width, height),
+                                               pygame.RESIZABLE)
+        pygame.display.set_caption(title)
+        self._resize_at: Optional[float] = None
+        self._resize_to: Optional[Tuple[int, int]] = None
+
+    def poll(self) -> dict:
+        pg = self._pg
+        chars = ""
+        mouse_down = False
+        quit_ = False
+        for ev in pg.event.get():
+            if ev.type == pg.QUIT:
+                quit_ = True
+            elif ev.type == pg.VIDEORESIZE:
+                # debounced resize (MainWindow.cs:278-296: 0.25 s)
+                self._resize_to = (max(1, ev.w), max(1, ev.h))
+                self._resize_at = time.monotonic() + 0.25
+            elif ev.type == pg.MOUSEBUTTONDOWN and ev.button == 1:
+                mouse_down = True
+            elif ev.type == pg.TEXTINPUT:
+                chars += ev.text
+        if self._resize_at is not None \
+                and time.monotonic() >= self._resize_at:
+            self.width, self.height = self._resize_to
+            self._screen = pg.display.set_mode((self.width, self.height),
+                                               pg.RESIZABLE)
+            self._resize_at = None
+
+        pressed = pg.key.get_pressed()
+        keys = set()
+        for name, out in _KEY_NAMES.items():
+            try:
+                if pressed[pg.key.key_code(name)]:
+                    keys.add(out)
+            except Exception:
+                pass
+        dx, dy = pg.mouse.get_rel() if self.mouse_captured else (0, 0)
+        return {"keys": keys, "mouse_delta": (float(dx), float(dy)),
+                "mouse_down": mouse_down, "chars": chars, "quit": quit_}
+
+    def set_mouse_capture(self, captured: bool) -> None:
+        super().set_mouse_capture(captured)
+        self._pg.mouse.set_visible(not captured)
+        self._pg.event.set_grab(captured)
+        if captured:
+            self._pg.mouse.get_rel()  # swallow the first jump
+
+    def present(self, rgb: np.ndarray, overlay=None) -> None:
+        pg = self._pg
+        h, w = rgb.shape[:2]
+        surf = pg.surfarray.make_surface(
+            np.swapaxes(np.asarray(rgb), 0, 1))
+        if (w, h) != (self.width, self.height):
+            surf = pg.transform.scale(surf, (self.width, self.height))
+        self._screen.blit(surf, (0, 0))
+        if overlay is not None:
+            overlay(self._screen, pg)
+        pg.display.flip()
+
+    def close(self) -> None:
+        self._pg.display.quit()
+
+
+def make_window(width: int, height: int, render_scale: float = 0.25,
+                headless: Optional[bool] = None,
+                out_path: Optional[str] = None,
+                title: str = "Software Renderer TPU - Dust2") -> WindowBase:
+    """Pick a backend: headless when no display or explicitly requested."""
+    if headless is None:
+        headless = not os.environ.get("DISPLAY") \
+            and os.environ.get("SDL_VIDEODRIVER") != "dummy"
+    if headless:
+        return HeadlessWindow(width, height, render_scale, out_path)
+    try:
+        return PygameWindow(width, height, render_scale, title)
+    except Exception:
+        return HeadlessWindow(width, height, render_scale, out_path)

@@ -1,0 +1,120 @@
+"""End-to-end Dust2 app tests: headless frames + a 2-player loopback match."""
+
+import os
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from softwarerenderer_tpu.apps.dust2 import Dust2Game
+
+
+def free_port():
+    with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def make_game(port=None, offline=False, **kw):
+    kw.setdefault("width", 160)
+    kw.setdefault("height", 120)
+    kw.setdefault("render_scale", 1.0)
+    kw.setdefault("headless", True)
+    kw.setdefault("seed", 1)
+    return Dust2Game(server="127.0.0.1", port=port or free_port(),
+                     offline=offline, **kw)
+
+
+def test_offline_headless_frames():
+    g = make_game(offline=True)
+    try:
+        for _ in range(3):
+            g.step(1 / 60)
+        frame = g.window.last_frame
+        assert frame is not None and frame.shape == (120, 160, 3)
+        # scene visible: not a uniform clear-color image
+        assert len(np.unique(frame.reshape(-1, 3), axis=0)) > 10
+    finally:
+        g.close()
+
+
+def test_character_stays_on_map():
+    g = make_game(offline=True)
+    try:
+        for _ in range(30):
+            g.step(1 / 30)
+        pos = np.asarray(g.char["position"])
+        assert np.isfinite(pos).all()
+        assert pos[1] > -10.0   # did not fall through the world
+    finally:
+        g.close()
+
+
+def test_noclip_toggle_moves_through_geometry():
+    g = make_game(offline=True)
+    try:
+        g.noclip = True
+        inp = {"keys": {"shift"}, "mouse_delta": (0.0, 0.0),
+               "mouse_down": False, "chars": "", "quit": False}
+        y0 = float(np.asarray(g.char["position"])[1])
+        for _ in range(30):
+            g.step(1 / 30, inputs=inp)
+        assert float(np.asarray(g.char["position"])[1]) < y0 - 2.0
+    finally:
+        g.close()
+
+
+def test_two_player_session_sees_each_other():
+    port = free_port()
+    host = make_game(port=port, player_name="HostP")
+    client = None
+    try:
+        assert host.net.is_host
+        client = make_game(port=port, player_name="ClientP")
+        assert not client.net.is_host and client.net.client_id == 1
+        # a few frames each so Update/ConnectedPlayer RPCs flow
+        for _ in range(10):
+            host.step(1 / 30)
+            client.step(1 / 30)
+            time.sleep(0.01)
+        # host sees the client's join (buffered RPC also reached client)
+        host_names = {p.name for p in host.players}
+        client_names = {p.name for p in client.players}
+        assert "ClientP" in host_names
+        assert "HostP" in client_names
+        # host received the client's pose updates
+        cp = next(p for p in host.players if p.name == "ClientP")
+        np.testing.assert_allclose(
+            cp.position, np.asarray(client.char["position"]), atol=0.5)
+    finally:
+        if client is not None:
+            client.close()
+        host.close()
+
+
+def test_shoot_hits_level_and_kicks_recoil():
+    g = make_game(offline=True)
+    try:
+        g.step(1 / 60)
+        r0 = g.recoil.copy()
+        g.shoot()
+        assert not np.allclose(g.recoil, r0)  # recoil kicked
+    finally:
+        g.close()
+
+
+def test_player_hit_respawns_self():
+    g = make_game(offline=True)
+    try:
+        # registered self as a player (offline: simulate)
+        from softwarerenderer_tpu.apps.dust2 import ConnectedPlayer
+        me = ConnectedPlayer(0, "me")
+        g.players.append(me)
+        for _ in range(10):
+            g._handle_rpc("PlayerHit", ["0", "0", "10"])
+        # after exactly 100 damage: killed message, health reset to 100
+        assert me.health == 100.0
+        assert any("was killed" in m for m in g.hud.state.chat_messages)
+    finally:
+        g.close()
