@@ -162,6 +162,15 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         fb_depth = jnp.full((H, W), raster.DEPTH_CLEAR, dtype=F32)
     else:
         fb_color, fb_depth = fb
+    from softwarerenderer_tpu.config import DebugMode, DepthTest
+    needs_forward = (params.debug_mode == DebugMode.WIREFRAME
+                     or not params.deferred
+                     or params.depth_test in (DepthTest.EQUAL,
+                                              DepthTest.NOT_EQUAL))
+    if needs_forward:
+        from softwarerenderer_tpu.ops.forward import render_forward
+        return render_forward(tris, fragment_shader, u, params,
+                              fb_color, fb_depth, per_tri_extra=per_tri)
     return raster.render_deferred(tris, fragment_shader, u, params,
                                   fb_color, fb_depth, per_tri_extra=per_tri,
                                   chunk=chunk)
