@@ -1,0 +1,105 @@
+"""Tracing / profiling / metrics — first-class, unlike the reference.
+
+The reference's only instrumentation is a display-only ImGui FPS pane
+(Renderer.cs:662-668; SURVEY.md §5 "no tracer/profiler").  Here:
+
+  * FrameStats — rolling frame-time window with fps / p50 / p99 and the
+    throughput counters BASELINE.md names first-class: Mpixels/s shaded
+    and Mtriangles/s through raster
+  * stage_timer — wall-clock span recorder (host-side stages: input, net,
+    sim dispatch, render dispatch, present)
+  * trace() — context manager around jax.profiler for device-side traces
+    viewable in TensorBoard/Perfetto
+  * counters() — a plain dict snapshot for HUD display or structured logs
+"""
+
+from __future__ import annotations
+
+import collections
+import contextlib
+import time
+from typing import Dict, Optional
+
+
+class FrameStats:
+    """Rolling window of frame times + workload counters."""
+
+    def __init__(self, window: int = 120):
+        self._times = collections.deque(maxlen=window)
+        self._stages: Dict[str, collections.deque] = {}
+        self.pixels_per_frame = 0
+        self.triangles_per_frame = 0
+        self._last = None
+
+    def frame(self, pixels: Optional[int] = None,
+              triangles: Optional[int] = None) -> None:
+        """Call once per presented frame."""
+        now = time.perf_counter()
+        if self._last is not None:
+            self._times.append(now - self._last)
+        self._last = now
+        if pixels is not None:
+            self.pixels_per_frame = pixels
+        if triangles is not None:
+            self.triangles_per_frame = triangles
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        """Per-stage host span: with stats.stage("render"): ..."""
+        dq = self._stages.setdefault(name, collections.deque(maxlen=120))
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dq.append(time.perf_counter() - t0)
+
+    def _pct(self, sorted_times, q):
+        if not sorted_times:
+            return 0.0
+        i = min(len(sorted_times) - 1, int(q * (len(sorted_times) - 1)))
+        return sorted_times[i]
+
+    def counters(self) -> Dict[str, float]:
+        ts = sorted(self._times)
+        mean = sum(ts) / len(ts) if ts else 0.0
+        fps = 1.0 / mean if mean > 0 else 0.0
+        out = {
+            "fps": fps,
+            "frame_ms_mean": mean * 1000.0,
+            "frame_ms_p50": self._pct(ts, 0.50) * 1000.0,
+            "frame_ms_p99": self._pct(ts, 0.99) * 1000.0,
+            "mpixels_per_s": self.pixels_per_frame * fps / 1e6,
+            "mtris_per_s": self.triangles_per_frame * fps / 1e6,
+        }
+        for name, dq in self._stages.items():
+            if dq:
+                out[f"stage_{name}_ms"] = 1000.0 * sum(dq) / len(dq)
+        return out
+
+    def debug_lines(self):
+        c = self.counters()
+        lines = [f"{c['fps']:6.1f} fps   {c['frame_ms_mean']:6.2f} ms "
+                 f"(p99 {c['frame_ms_p99']:.2f})",
+                 f"{c['mpixels_per_s']:8.2f} Mpix/s  "
+                 f"{c['mtris_per_s']:8.2f} Mtris/s"]
+        for k, v in sorted(c.items()):
+            if k.startswith("stage_"):
+                lines.append(f"{k[6:]:>10s}: {v:6.2f} ms")
+        return lines
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/srt_trace"):
+    """Device-side profiler trace (jax.profiler) around a code span."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named span inside a trace (shows up in the profiler timeline)."""
+    import jax
+    return jax.profiler.TraceAnnotation(name)
