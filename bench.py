@@ -18,6 +18,11 @@ import os
 import sys
 import time
 
+# Persistent compilation cache: the axon remote-compile path can be slow;
+# identical programs then load from disk across processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 
@@ -104,13 +109,170 @@ def bench_cpu_reference(width, height, frames=1):
     return width * height * frames / dt / 1e6
 
 
+def _bench_engine(insts, width, height, frames, uniforms_fn=None, **ekw):
+    import jax
+    from softwarerenderer_tpu import RenderParams
+    from softwarerenderer_tpu.engine import Engine
+    from softwarerenderer_tpu.models import scene as scene_mod
+
+    scene = scene_mod.build_scene_buffers(insts)
+    eng = Engine(scene, RenderParams(width=width, height=height), **ekw)
+    u = dict(eng.uniforms)
+    if uniforms_fn:
+        uniforms_fn(u, scene)
+    out = eng.render(u)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(frames):
+        u["fov_degrees"] = np.float32(90.0 + 0.01 * i)  # defeat caching
+        out = eng.render(u)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return width * height * frames / dt / 1e6, frames / dt
+
+
+def bench_config(n: int, frames: int = 20):
+    """The 5 BASELINE.json benchmark configs."""
+    from softwarerenderer_tpu.models import primitives, scene as scene_mod
+    from softwarerenderer_tpu.ops import texture as tex_ops
+    from softwarerenderer_tpu.utils import mathlib as ml
+
+    checker = np.asarray(tex_ops.checkerboard(64, 8)["data"])
+    if n == 1:    # textured cube + directional light, 640x480
+        insts = [scene_mod.MeshInstance(
+            primitives.cube(1.5), ml.matrix_from_yaw_pitch_roll(0.5, 0.3, 0)
+            @ ml.translation([0, 0, -3]), texture=checker)]
+        return _bench_engine(insts, 640, 480, frames)
+    if n == 2:    # OBJ mesh + texture sampling + z-buffer, 1280x720
+        import tempfile
+        from softwarerenderer_tpu.io_host import model_loader
+        sph = primitives.uv_sphere(1.0, rings=24, sectors=48)
+        with tempfile.NamedTemporaryFile("w", suffix=".obj",
+                                         delete=False) as f:
+            for p in sph["position"]:
+                f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+            for t in sph["uv"]:
+                f.write(f"vt {t[0]} {1.0 - t[1]}\n")
+            for nn in sph["normal"]:
+                f.write(f"vn {nn[0]} {nn[1]} {nn[2]}\n")
+            for a, b, c in sph["indices"] + 1:
+                f.write(f"f {a}/{a}/{a} {b}/{b}/{b} {c}/{c}/{c}\n")
+            path = f.name
+        model = model_loader.load_model(path)
+        insts = model_loader.model_instances(
+            model, ml.translation([0.0, 0.0, -3.0]),
+            texture_override=checker)
+        return _bench_engine(insts, 1280, 720, frames)
+    if n == 3:    # multi-object frustum-culled multi-light, 1080p
+        from softwarerenderer_tpu.models.scene import Light, LightType
+        from softwarerenderer_tpu.ops.lighting import (
+            lit_scene_vertex_shader, multi_light_fragment_shader,
+            pack_lights)
+        rng = np.random.default_rng(0)
+        insts = [scene_mod.MeshInstance(
+            primitives.plane(60.0), ml.translation([0, -1, 0]),
+            texture=checker)]
+        for _ in range(40):
+            pos = rng.uniform(-25, 25, 3).astype(np.float32)
+            pos[1] = rng.uniform(0, 2)
+            insts.append(scene_mod.MeshInstance(
+                primitives.cube(1.0), ml.translation(pos), texture=checker))
+        lights = [Light(light_type=LightType.DIRECTIONAL,
+                        direction=(0.4, -1.0, -0.3), color=(0.8, 0.8, 0.7)),
+                  Light(light_type=LightType.POINT, position=(0, 3, -5),
+                        color=(4, 1, 1), attenuation_linear=0.3),
+                  Light(light_type=LightType.POINT, position=(8, 2, 4),
+                        color=(1, 1, 5), attenuation_quadratic=0.1),
+                  Light(light_type=LightType.SPOT, position=(-5, 6, 0),
+                        direction=(0, -1, 0), color=(3, 3, 3),
+                        spot_inner=0.4, spot_outer=0.7)]
+
+        def add_lights(u, scene):
+            u.update(pack_lights(lights))
+            u["camera_position"] = np.float32([0, 2, 10])
+        return _bench_engine(insts, 1920, 1080, frames,
+                             uniforms_fn=add_lights,
+                             vertex_shader=lit_scene_vertex_shader,
+                             fragment_shader=multi_light_fragment_shader)
+    if n == 4:    # physics-coupled character+render in ONE jitted step
+        import functools
+        import jax
+        import jax.numpy as jnp
+        from softwarerenderer_tpu import RenderParams
+        from softwarerenderer_tpu.engine import render_frame
+        from softwarerenderer_tpu.sim import (build_collision_world,
+                                              character_step,
+                                              default_character_params,
+                                              initial_character_state)
+        scene = build_scene()
+        width, height = 1280, 720
+        params = RenderParams(width=width, height=height)
+        cp = default_character_params()
+
+        @functools.partial(jax.jit, static_argnames=())
+        def step(state, scene, u):
+            world = build_collision_world(scene)
+            state = character_step(state, jnp.asarray([0.0, 0.0, -1.0]),
+                                   False, 1.0 / 60.0, world, cp)
+            u = dict(u)
+            u["camera_position"] = state["position"] + cp["cam_offset"]
+            color, depth = render_frame(scene, u, params)
+            return state, color, depth
+
+        from softwarerenderer_tpu.engine import default_frame_uniforms
+        u = camera_uniforms(default_frame_uniforms(width, height))
+        state = initial_character_state([0.0, 3.0, 6.0])
+        scene = jax.device_put(scene)
+        out = step(state, scene, u)
+        jax.block_until_ready(out)
+        state = out[0]
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            out = step(out[0], scene, u)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        return width * height * frames / dt / 1e6, frames / dt
+    if n == 5:    # 1000+ instanced meshes, binned raster, 4K
+        rng = np.random.default_rng(1)
+        insts = []
+        for i in range(1100):
+            pos = rng.uniform(-40, 40, 3).astype(np.float32)
+            pos[1] = rng.uniform(-2, 6)
+            insts.append(scene_mod.MeshInstance(
+                primitives.cube(1.2),
+                (ml.matrix_from_yaw_pitch_roll(
+                    float(rng.uniform(0, 3)), 0.0, 0.0)
+                 @ ml.translation(pos)).astype(np.float32),
+                texture=checker))
+
+        def cam(u, scene):
+            u["camera_position"] = np.float32([0, 2, 55])
+            u["far_clip"] = np.float32(300.0)
+        return _bench_engine(insts, 3840, 2160, max(frames // 2, 5),
+                             uniforms_fn=cam)
+    raise ValueError(f"unknown config {n}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--no-baseline", action="store_true",
                     help="skip the slow CPU-reference measurement")
+    ap.add_argument("--config", type=int, default=None,
+                    help="run one BASELINE config (1-5) instead of the "
+                         "headline dust2 1080p metric")
     args = ap.parse_args()
+
+    if args.config is not None:
+        mpix, fps = bench_config(args.config, args.frames or 20)
+        print(json.dumps({
+            "metric": f"mpixels_per_s_config{args.config}",
+            "value": round(mpix, 2), "unit": "Mpixels/s",
+            "vs_baseline": None,
+            "extra": {"fps": round(fps, 2), "device": _device_name()},
+        }))
+        return
 
     if args.small:
         width, height, frames = 320, 240, 10
