@@ -171,6 +171,14 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         from softwarerenderer_tpu.ops.forward import render_forward
         return render_forward(tris, fragment_shader, u, params,
                               fb_color, fb_depth, per_tri_extra=per_tri)
+    if params.binned:
+        # Fully fused tile renderer: visibility + one-hot-matmul attribute
+        # resolve + shading inside one per-tile loop (no full-screen
+        # per-pixel gathers).
+        from softwarerenderer_tpu.ops.binning import render_binned_fused
+        return render_binned_fused(tris, fragment_shader, u, params,
+                                   fb_color, fb_depth,
+                                   per_tri_extra=per_tri)
     return raster.render_deferred(tris, fragment_shader, u, params,
                                   fb_color, fb_depth, per_tri_extra=per_tri,
                                   chunk=chunk)

@@ -295,6 +295,294 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
     return untile(all_d), untile(all_i)
 
 
+def render_binned_fused(tris: Dict, fragment_shader, uniforms: Dict,
+                        params: RenderParams,
+                        fb_color, fb_depth,
+                        per_tri_extra: Optional[Dict] = None,
+                        row_offset=0):
+    """Fully fused tile renderer: visibility fold + winner-attribute resolve
+    + perspective-correct interpolation + fragment shading + blend, all
+    inside one per-tile-group loop.
+
+    The deferred path's full-screen per-pixel row-gathers (the HBM-bound
+    stage: ~60 gathered floats × 2M pixels) are replaced by a second
+    streaming pass over each tile's triangle bins that resolves the
+    winner's packed payload with ONE-HOT MATMULS — (tpx, C) match matrix ×
+    (C, 3·K) chunk payload on the MXU — so triangle data is only ever read
+    in contiguous chunk order and per-pixel attributes never round-trip
+    through HBM.
+    """
+    mode = params.depth_test
+    if mode not in _REDUCE_RULES:
+        raise NotImplementedError(
+            f"depth test {mode!r} is order-dependent; use render_forward")
+    use_max, later_wins = _REDUCE_RULES[mode]
+    tile_h, tile_w = params.tile_h, params.tile_w
+    span_cap, tile_group = params.span_cap, params.tile_group
+    chunk = params.chunk
+
+    H, W = params.height, params.width
+    bins = bin_triangles(tris, params, tile_h, tile_w, span_cap, row_offset)
+    ntx, nty = bins["ntx"], bins["nty"]
+    ntiles = ntx * nty
+    ngroups = _cdiv(ntiles, tile_group)
+    ntiles_pad = ngroups * tile_group
+    tpx = tile_h * tile_w
+
+    screen = tris["screen"]
+    depth_v = tris["depth"]
+    inv_area = tris["inv_area"]
+    n = screen.shape[0]
+
+    # ---- packed per-triangle resolve payload: varyings + screen + inv_area
+    # + per-tri extras, flattened to (N, 3*Kp) so a chunk is one contiguous
+    # block and the one-hot matmul resolves everything at once.
+    keys = sorted(tris["attrs"].keys())
+    slices = {}
+    parts = []
+    off = 0
+    for k in keys:
+        arr = tris["attrs"][k]
+        parts.append(arr)
+        slices[k] = (off, off + arr.shape[-1])
+        off += arr.shape[-1]
+    parts.append(screen)
+    sl_screen = (off, off + 2); off += 2
+    parts.append(jnp.broadcast_to(inv_area[:, None, None], (n, 3, 1)))
+    sl_ia = off; off += 1
+    extra_slices = {}
+    if per_tri_extra:
+        for k in sorted(per_tri_extra.keys()):
+            v = jnp.asarray(per_tri_extra[k], jnp.float32)[:, None, None]
+            parts.append(jnp.broadcast_to(v, (n, 3, 1)))
+            extra_slices[k] = off
+            off += 1
+    kp = off
+    payload = jnp.concatenate(parts, axis=-1).reshape(n, 3 * kp)
+    # Invalid slots (clip-rejected fans, degenerate tris) carry NaN screen/
+    # inv_area; they never win the fold, but 0·NaN = NaN would poison the
+    # one-hot matmul — zero them, and add a zero row as the target for
+    # masked candidate slots.
+    payload = jnp.where(tris["valid"][:, None], payload, 0.0)
+    payload = jnp.concatenate([payload, jnp.zeros((1, 3 * kp), F32)], axis=0)
+    clo, chi = slices["clip_position"]
+
+    # ---- framebuffer in tile layout --------------------------------------
+    Hp, Wp = nty * tile_h, ntx * tile_w
+
+    def tile_in(a, fill):
+        a = jnp.pad(a, ((0, Hp - H), (0, Wp - W)) + ((0, 0),) * (a.ndim - 2),
+                    constant_values=fill)
+        a = a.reshape((nty, tile_h, ntx, tile_w) + a.shape[2:])
+        a = jnp.moveaxis(a, 2, 1).reshape((ntiles, tpx) + a.shape[4:])
+        pad_cfg = ((0, ntiles_pad - ntiles), (0, 0)) \
+            + ((0, 0),) * (a.ndim - 2)
+        return jnp.pad(a, pad_cfg, constant_values=fill)
+
+    d0 = tile_in(fb_depth, DEPTH_CLEAR)
+    c0 = tile_in(fb_color, 0.0)
+    i0 = jnp.full((ntiles_pad, tpx), NO_TRI, dtype=jnp.int32)
+
+    starts = jnp.pad(bins["starts"], (0, ntiles_pad - ntiles))
+    counts = jnp.pad(bins["counts"], (0, ntiles_pad - ntiles))
+    sorted_tri = bins["sorted_tri"]
+    order = bins["order"]
+    n_global = bins["n_global"]
+    c_off = jnp.arange(chunk, dtype=jnp.int32)
+    tile_ids_all = jnp.arange(ntiles_pad, dtype=jnp.int32)
+    px_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+                  .reshape(tpx))
+    py_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+                  .reshape(tpx))
+
+    def eval_chunk(tri_ids, tri_ok, px, py):
+        t = jnp.clip(tri_ids, 0, n - 1)
+        s = jnp.take(screen, t, axis=0)
+        dv = jnp.take(depth_v, t, axis=0)
+        ia = jnp.take(inv_area, t, axis=0)
+        s0 = s[..., 0, :][..., None, :]
+        s1 = s[..., 1, :][..., None, :]
+        s2 = s[..., 2, :][..., None, :]
+        pxb = px[:, None, :].astype(F32)
+        pyb = py[:, None, :].astype(F32)
+        w0 = ((s1[..., 1] - s2[..., 1]) * (pxb - s1[..., 0])
+              + (s2[..., 0] - s1[..., 0]) * (pyb - s1[..., 1]))
+        w1 = ((s2[..., 1] - s0[..., 1]) * (pxb - s2[..., 0])
+              + (s0[..., 0] - s2[..., 0]) * (pyb - s2[..., 1]))
+        w2 = ((s0[..., 1] - s1[..., 1]) * (pxb - s0[..., 0])
+              + (s1[..., 0] - s0[..., 0]) * (pyb - s0[..., 1]))
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
+                 ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+        iab = ia[..., None]
+        d = (dv[..., 0, None] * (w0 * iab) + dv[..., 1, None] * (w1 * iab)
+             + dv[..., 2, None] * (w2 * iab))
+        return d, inside & tri_ok[..., None], t
+
+    def merge(best_d, best_i, d, mask, idx):
+        if use_max is None:
+            key = jnp.where(mask, idx[..., None], -1)
+            pick = jnp.argmax(key, axis=-2)
+            cand_valid = jnp.any(mask, axis=-2)
+            cand_d = jnp.take_along_axis(d, pick[..., None, :],
+                                         axis=-2)[..., 0, :]
+            cand_i = jnp.take_along_axis(
+                jnp.broadcast_to(idx[..., None], d.shape),
+                pick[..., None, :], axis=-2)[..., 0, :]
+            take = cand_valid & (cand_i > best_i)
+        else:
+            bad = F32(-jnp.inf) if use_max else F32(jnp.inf)
+            dm = jnp.where(mask, d, bad)
+            cand_d = (jnp.max if use_max else jnp.min)(dm, axis=-2)
+            at_best = mask & (d == cand_d[..., None, :])
+            idxb = jnp.broadcast_to(idx[..., None], d.shape)
+            sel = jnp.where(at_best, idxb, -1 if later_wins else n)
+            cand_i = (jnp.max(sel, axis=-2) if later_wins
+                      else jnp.min(sel, axis=-2))
+            cand_valid = jnp.any(at_best, axis=-2)
+            strict = (cand_d > best_d) if use_max else (cand_d < best_d)
+            tie = (cand_d == best_d) & ((cand_i > best_i) if later_wins
+                                        else (cand_i < best_i))
+            take = cand_valid & (strict | tie)
+        return (jnp.where(take, cand_d, best_d),
+                jnp.where(take, cand_i.astype(jnp.int32), best_i))
+
+    def group_body(g, carry):
+        all_c, all_d = carry
+        base = g * tile_group
+        tiles = jax.lax.dynamic_slice_in_dim(tile_ids_all, base, tile_group)
+        g_starts = jax.lax.dynamic_slice_in_dim(starts, base, tile_group)
+        g_counts = jax.lax.dynamic_slice_in_dim(counts, base, tile_group)
+        ty = tiles // ntx
+        tx = tiles % ntx
+        px = tx[:, None] * tile_w + px_in_tile[None, :]
+        py = ty[:, None] * tile_h + py_in_tile[None, :] \
+            + jnp.asarray(row_offset, jnp.int32)
+
+        best_d = jax.lax.dynamic_slice_in_dim(d0, base, tile_group)
+        best_i = jnp.full((tile_group, tpx), NO_TRI, jnp.int32)
+        fb_c = jax.lax.dynamic_slice_in_dim(c0, base, tile_group)
+        fb_d = best_d
+
+        n_glob_chunks = _cdiv(n_global, chunk)
+
+        def glob_ids(c):
+            pos = c * chunk + c_off
+            ok = pos < n_global
+            ids = jnp.take(order, jnp.clip(pos, 0, order.shape[0] - 1))
+            return (jnp.broadcast_to(ids[None, :], (tile_group, chunk)),
+                    jnp.broadcast_to(ok[None, :], (tile_group, chunk)))
+
+        def seg_ids(c):
+            pos = g_starts[:, None] + c * chunk + c_off[None, :]
+            ok = (c * chunk + c_off)[None, :] < g_counts[:, None]
+            ids = jnp.take(sorted_tri,
+                           jnp.clip(pos, 0, sorted_tri.shape[0] - 1))
+            return ids, ok
+
+        # ---- pass A: visibility fold ----
+        def fold(ids_fn):
+            def body(c, bd_bi):
+                bd, bi = bd_bi
+                ids, ok = ids_fn(c)
+                d, m, t = eval_chunk(ids, ok, px, py)
+                return merge(bd, bi, d, m, t)
+            return body
+        best_d, best_i = jax.lax.fori_loop(
+            0, n_glob_chunks, fold(glob_ids), (best_d, best_i))
+        max_count = jnp.max(g_counts)
+        best_d, best_i = jax.lax.fori_loop(
+            0, _cdiv(max_count, chunk), fold(seg_ids), (best_d, best_i))
+
+        # ---- pass B: winner payload resolve via one-hot matmul ----
+        def resolve(ids_fn):
+            def body(c, acc):
+                ids, ok = ids_fn(c)
+                t = jnp.where(ok, jnp.clip(ids, 0, n - 1), n)  # n = zero row
+                pl = jnp.take(payload, t, axis=0)        # (G, C, 3Kp)
+                onehot = ((best_i[..., None] == t[:, None, :]) & ok[:, None, :]
+                          ).astype(F32)                  # (G, tpx, C)
+                return acc + jax.lax.dot_general(
+                    onehot, pl, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+            return body
+        acc0 = jnp.zeros((tile_group, tpx, 3 * kp), F32)
+        acc = jax.lax.fori_loop(0, n_glob_chunks, resolve(glob_ids), acc0)
+        acc = jax.lax.fori_loop(0, _cdiv(max_count, chunk),
+                                resolve(seg_ids), acc)
+        av = acc.reshape(tile_group, tpx, 3, kp)
+
+        covered = best_i != NO_TRI
+
+        # ---- interpolate (Rasterizer.Interpolate, Rasterizer.cs:566-640) --
+        s = av[..., sl_screen[0]:sl_screen[1]]
+        ia = av[..., 0, sl_ia]
+        clip_w = av[..., chi - 1]
+        pxf = px[:, None, :].astype(F32)[:, 0, :]
+        pyf = py[:, None, :].astype(F32)[:, 0, :]
+        s0x, s0y = s[..., 0, 0], s[..., 0, 1]
+        s1x, s1y = s[..., 1, 0], s[..., 1, 1]
+        s2x, s2y = s[..., 2, 0], s[..., 2, 1]
+        w0 = ((s1y - s2y) * (pxf - s1x) + (s2x - s1x) * (pyf - s1y)) * ia
+        w1 = ((s2y - s0y) * (pxf - s2x) + (s0x - s2x) * (pyf - s2y)) * ia
+        w2 = ((s0y - s1y) * (pxf - s0x) + (s1x - s0x) * (pyf - s0y)) * ia
+        rcp_wa = w0 / jnp.where(clip_w[..., 0] == 0, F32(1), clip_w[..., 0])
+        rcp_wb = w1 / jnp.where(clip_w[..., 1] == 0, F32(1), clip_w[..., 1])
+        rcp_wc = w2 / jnp.where(clip_w[..., 2] == 0, F32(1), clip_w[..., 2])
+        wsum = rcp_wa + rcp_wb + rcp_wc
+        wgt = F32(1.0) / jnp.where(wsum == 0, F32(1), wsum)
+        wa, wb, wc = rcp_wa * wgt, rcp_wb * wgt, rcp_wc * wgt
+        a0, a1, a2 = av[..., 0, :], av[..., 1, :], av[..., 2, :]
+        pc = (a0 * rcp_wa[..., None] + a1 * rcp_wb[..., None]
+              + a2 * rcp_wc[..., None]) * wgt[..., None]
+        pw = a0 * wa[..., None] + a1 * wb[..., None] + a2 * wc[..., None]
+
+        flat = {}
+        for k in keys:
+            lo, hi = slices[k]
+            if k.startswith("data."):
+                val = pw[..., lo:hi]
+                if hi - lo == 3:
+                    lsq = jnp.sum(val * val, axis=-1, keepdims=True)
+                    nrm = val / jnp.sqrt(jnp.where(lsq > 0, lsq, F32(1)))
+                    val = jnp.where(lsq > F32(1e-6), nrm, val)
+            else:
+                val = pc[..., lo:hi]
+            flat[k] = val
+        from softwarerenderer_tpu.ops.geometry import unflatten_varyings
+        frag = unflatten_varyings(flat)
+        frag["barycentric"] = jnp.stack([wa, wb, wc], axis=-1)
+        if extra_slices:
+            frag["tri"] = {k: av[..., 0, i].astype(jnp.int32)
+                           for k, i in extra_slices.items()}
+
+        color = fragment_shader(frag, uniforms, jnp)
+        written = covered & (color[..., 3] > 0)
+        out_c = jnp.where(written[..., None],
+                          _fused_blend(color, fb_c, params.blend_mode), fb_c)
+        if params.depth_test == DepthTest.DISABLED:
+            out_d = fb_d
+        else:
+            out_d = jnp.where(written, best_d, fb_d)
+
+        all_c = jax.lax.dynamic_update_slice_in_dim(all_c, out_c, base, 0)
+        all_d = jax.lax.dynamic_update_slice_in_dim(all_d, out_d, base, 0)
+        return all_c, all_d
+
+    all_c, all_d = jax.lax.fori_loop(0, ngroups, group_body, (c0, d0))
+
+    def untile(a):
+        a = a[:ntiles].reshape((nty, ntx, tile_h, tile_w) + a.shape[2:])
+        a = jnp.moveaxis(a, 1, 2).reshape((Hp, Wp) + a.shape[4:])
+        return a[:H, :W]
+
+    return untile(all_c), untile(all_d)
+
+
+def _fused_blend(src, dst, mode):
+    from softwarerenderer_tpu.ops.raster import _blend
+    return _blend(src, dst, mode)
+
+
 def make_binned_visibility(tile_h: int = 32, tile_w: int = 128,
                            span_cap: int = 16, tile_group: int = 8):
     """Factory producing a visibility_fn for raster.render_deferred."""
