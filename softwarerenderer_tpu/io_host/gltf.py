@@ -233,11 +233,12 @@ def load_gltf(path: str, flip_uv: bool = True) -> Dict:
                 if idx.shape[0] % 3:
                     idx = idx[: idx.shape[0] - idx.shape[0] % 3]
 
-                # Bake world transform (ModelLoader.cs:196-200).
-                wpos = (pos @ global_m[:3, :3] + global_m[3, :3]).astype(F32)
-                wn = normal @ rot_only[:3, :3]
-                norms = np.linalg.norm(wn, axis=-1, keepdims=True)
-                wn = (wn / np.where(norms > 0, norms, 1.0)).astype(F32)
+                # Bake world transform (ModelLoader.cs:196-200) — native
+                # C++ kernels when built, NumPy otherwise.
+                from softwarerenderer_tpu.native import (bake_normals,
+                                                         bake_positions)
+                wpos = bake_positions(pos, global_m)
+                wn = bake_normals(normal, rot_only)
 
                 center, radius = bounding_sphere(wpos)
                 meshes.append({
