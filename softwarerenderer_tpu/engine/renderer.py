@@ -80,6 +80,11 @@ def scene_fragment_shader(frag, uniforms, xp=jnp):
     return xp.concatenate([rgba[..., :3], base[..., 3:4]], axis=-1)
 
 
+# Varying registry: the flat attribute names this shader reads — unused
+# varyings are pruned from the raster payload (SURVEY.md §7 hard-part (c)).
+scene_fragment_shader.varyings = ("color", "uv", "data.world_normal")
+
+
 def default_frame_uniforms(width: int, height: int) -> Dict:
     """Per-frame traced parameters with the reference game's defaults
     (Renderer.cs:34-46, 74, 406-413)."""
@@ -150,7 +155,8 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     tris = geometry.build_triangles(
         vertex_shader, vin, scene["indices"], u,
         width=W, height=H, cull_mode=params.cull_mode,
-        near_clip=u["near_clip"], tri_mask=tri_mask)
+        near_clip=u["near_clip"], tri_mask=tri_mask,
+        keep_varyings=getattr(fragment_shader, "varyings", None))
 
     # Per-triangle material plumbing; ×2 to match the clipper's fan slots.
     per_tri = {"tex_id": jnp.repeat(scene["tri_texture_id"], 2),

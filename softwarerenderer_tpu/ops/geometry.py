@@ -242,16 +242,30 @@ def build_triangles(vertex_shader: Callable, vertex_input: Dict,
                     width: int, height: int,
                     cull_mode: CullMode = CullMode.BACK,
                     near_clip=0.1,
-                    tri_mask: jnp.ndarray | None = None) -> Dict:
+                    tri_mask: jnp.ndarray | None = None,
+                    keep_varyings=None) -> Dict:
     """Full geometry stage: shade → assemble → clip → setup.
 
     tri_mask: optional (T,) bool per INPUT triangle (e.g. frustum-cull mask
     per mesh, SURVEY.md §2.2 P6 — culled meshes become masked triangles
     rather than dynamic shapes).
+
+    keep_varyings: optional collection of flat varying names the fragment
+    shader actually reads ("color", "uv", "data.world_normal", ...) — the
+    typed-registry answer to the reference's open Data dictionary
+    (SURVEY.md §7 hard-part (c)).  Unused varyings are dropped before
+    clipping so they never enter the resolve payload; clip_position is
+    always kept.
     """
     vs_out = shade_vertices(vertex_shader, vertex_input, uniforms)
     attrs = assemble_triangles(vs_out, indices)
+    if keep_varyings is not None:
+        keep = set(keep_varyings) | {"clip_position"}
+        attrs = {k: v for k, v in attrs.items() if k in keep}
     attrs2, valid = clip_triangles(attrs, uniforms.get("near_clip", near_clip))
     if tri_mask is not None:
         valid = valid & jnp.repeat(jnp.asarray(tri_mask, bool), 2)
-    return setup_triangles(attrs2, valid, width, height, cull_mode)
+    tris = setup_triangles(attrs2, valid, width, height, cull_mode)
+    if keep_varyings is not None and "screen_coords" not in keep_varyings:
+        tris["attrs"].pop("screen_coords", None)
+    return tris

@@ -126,6 +126,10 @@ def multi_light_fragment_shader(frag, uniforms, xp):
     return xp.concatenate([rgb, base[..., 3:4]], axis=-1)
 
 
+multi_light_fragment_shader.varyings = (
+    "color", "uv", "data.world_normal", "data.world_position")
+
+
 def lit_scene_vertex_shader(vin, uniforms, xp):
     """scene_vertex_shader + world position varying for point lights."""
     world = ml.transform(ml.homogenize(vin["position"], xp=xp),

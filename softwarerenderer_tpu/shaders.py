@@ -107,9 +107,16 @@ def flat_color_fragment_shader(frag, uniforms, xp=np):
     return frag["color"]
 
 
+flat_color_fragment_shader.varyings = ("color",)
+
+
 def textured_fragment_shader(frag, uniforms, xp=np):
     """Texture * vertex color, no lighting/fog."""
     from softwarerenderer_tpu.ops import texture as tex_ops
 
     tex_color = tex_ops.sample_nearest(uniforms["texture"], frag["uv"], xp=xp)
     return frag["color"] * tex_color
+
+
+textured_fragment_shader.varyings = ("color", "uv")
+default_fragment_shader.varyings = ("color", "uv", "data.world_normal")
