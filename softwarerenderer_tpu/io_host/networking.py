@@ -65,6 +65,19 @@ class Networking:
         self.relay_client_rpcs = False
         self.listening_port = DEFAULT_PORT
         self.log: Callable[[str], None] = lambda s: None
+        # --- failure detection (absent in the reference — SURVEY.md §5:
+        # "a vanished host strands clients").  peer_timeout > 0 enables
+        # last-heard tracking: hosts expire silent clients (and broadcast
+        # ClientDisconnected), clients flag a silent host via host_lost.
+        self.peer_timeout: float = 0.0
+        self.host_lost = False
+        self.on_host_lost: List[Callable[[], None]] = []
+        self._last_heard: Dict[Tuple[str, int], float] = {}
+        self._last_host_heard = 0.0
+        # --- fault injection for tests (SURVEY.md §5: "no fault injection
+        # anywhere" — we add it): fraction of outbound datagrams dropped.
+        self.drop_rate: float = 0.0
+        self._drop_seq = 0
 
     # -- connection lifecycle ------------------------------------------------
 
@@ -106,6 +119,7 @@ class Networking:
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
             self._sock.connect(addr)
             self.is_host = False
+            self._last_host_heard = time.monotonic()
             self._start_receive_loop()
             self._id_assigned.clear()
             self.send_rpc("Ping", ["0"])
@@ -156,6 +170,12 @@ class Networking:
         sock = self._sock
         if sock is None:
             return
+        if self.drop_rate > 0:
+            # Deterministic fault injection: drop every k-th datagram to
+            # approximate the configured rate (reproducible in tests).
+            self._drop_seq += 1
+            if (self._drop_seq * self.drop_rate) % 1.0 < self.drop_rate:
+                return
         try:
             if self.is_host:
                 if target is not None:
@@ -225,10 +245,20 @@ class Networking:
             try:
                 data, sender = sock.recvfrom(65536)
             except socket.timeout:
+                if self.peer_timeout > 0:
+                    self._check_timeouts(time.monotonic())
                 continue
             except OSError:
                 break
             msg = data.decode("utf-8", errors="replace").strip()
+            now = time.monotonic()
+            if self.is_host:
+                with self._lock:
+                    self._last_heard[sender] = now
+            else:
+                self._last_host_heard = now
+            if self.peer_timeout > 0:
+                self._check_timeouts(now)
             if self.is_host and msg == "ping":
                 try:
                     sock.sendto(b"pong", sender)
@@ -242,6 +272,27 @@ class Networking:
                 continue
             if msg.startswith("RPC:"):
                 self._parse_and_invoke(msg, sender)
+
+    def _check_timeouts(self, now: float) -> None:
+        """Expire silent peers (heartbeat-style failure detection)."""
+        if self.is_host:
+            with self._lock:
+                expired = [(ep, cid) for ep, cid in self._clients.items()
+                           if now - self._last_heard.get(ep, now)
+                           > self.peer_timeout]
+                for ep, _ in expired:
+                    del self._clients[ep]
+                    self._last_heard.pop(ep, None)
+            for ep, cid in expired:
+                self.log(f"Client {cid} timed out ({ep})")
+                self.send_rpc("ClientDisconnected", [str(cid)])
+        else:
+            if not self.host_lost and self._last_host_heard > 0 \
+                    and now - self._last_host_heard > self.peer_timeout:
+                self.host_lost = True
+                self.log("Host timed out")
+                for cb in list(self.on_host_lost):
+                    cb()
 
     def _handle_id_assignment(self, msg: str) -> None:
         parts = msg.split(":")

@@ -173,3 +173,61 @@ def test_callback_delivery(port):
         assert wait_for(lambda: any(m == "Shoot" for m, p in events))
     finally:
         client.close(); host.close()
+
+
+def test_host_timeout_detection(port):
+    host = make_peer(port, peer_timeout=0.5)
+    client = make_peer(port, peer_timeout=0.5)
+    try:
+        lost = []
+        client.on_host_lost.append(lambda: lost.append(True))
+        # silence the host (kill its socket without Disconnect)
+        host._running = False
+        host._sock.close(); host._sock = None
+        assert wait_for(lambda: client.host_lost, timeout=2.0)
+        assert lost
+    finally:
+        client.close(send_disconnect=False)
+        host._recv_thread = None
+
+
+def test_client_timeout_expires_and_broadcasts(port):
+    host = make_peer(port, peer_timeout=0.5)
+    c1 = make_peer(port)
+    c2 = make_peer(port)
+    cid = c1.client_id
+    try:
+        # c1 vanishes silently (no Disconnect RPC)
+        c1._running = False
+        c1._sock.close(); c1._sock = None
+        # keep traffic flowing so the host's check runs
+        def chatter():
+            c2.send_rpc("Update", ["x"])
+        got = []
+        t0 = time.time()
+        while time.time() - t0 < 3.0 and not got:
+            chatter()
+            got.extend(x for x in c2.poll_rpcs()
+                       if x[0] == "ClientDisconnected")
+            time.sleep(0.05)
+        assert got and got[0][1][0] == str(cid)
+        assert cid not in host.connected_clients.values()
+    finally:
+        c2.close(); host.close()
+
+
+def test_fault_injection_drops_packets(port):
+    host = make_peer(port)
+    client = make_peer(port)
+    try:
+        host.drop_rate = 1.0   # drop everything outbound
+        for _ in range(5):
+            host.send_rpc("ChatMessage", ["s", "dropped"])
+        time.sleep(0.3)
+        assert not any(m == "ChatMessage" for m, p, s in client.poll_rpcs())
+        host.drop_rate = 0.0
+        host.send_rpc("ChatMessage", ["s", "arrives"])
+        assert wait_for(lambda: any(
+            m == "ChatMessage" for m, p, s in client.poll_rpcs()))
+    finally:
+        client.close(); host.close()
