@@ -217,9 +217,11 @@ class Dust2Game:
         map_scene = {k: self.scene[k] for k in self.scene}
         self._world_fn = jax.jit(build_collision_world)
         self.world = self._world_fn(self.scene)
+        # char params passed as a traced argument so live tuning applies
+        # (a closure would bake them in as compile-time constants).
         self._char_step = jax.jit(
-            lambda s, m, j, dt: character_step(
-                s, m, j, dt, self.world, self.char_params,
+            lambda s, m, j, dt, cp: character_step(
+                s, m, j, dt, self.world, cp,
                 tri_mask=self._map_tri_mask))
         self._shoot_rays = jax.jit(
             lambda o, d, w, mask: raycast_batch(o, d, w, tri_mask=mask))
@@ -241,6 +243,9 @@ class Dust2Game:
         self.window.set_mouse_capture(True)
         self.noclip = False
         self._prev_keys = set()
+        self._tune_idx = 0
+        from softwarerenderer_tpu.utils.profiling import FrameStats
+        self.stats = FrameStats()
         self._mesh_matrices = np.asarray(
             self.scene["mesh_matrices"]).copy()
 
@@ -398,12 +403,29 @@ class Dust2Game:
 
         self.char["noclip"] = jnp.asarray(self.noclip)
         self.char = self._char_step(self.char, move.astype(F32), jump,
-                                    np.float32(dt))
+                                    np.float32(dt), self.char_params)
         self.cam_position = np.asarray(self.char["position"]) \
             + np.asarray(self.char_params["cam_offset"])
 
+    # Live-tunable parameters (the reference's ImGui sliders,
+    # Renderer.cs:690-817): all TRACED uniforms/params, so adjusting them
+    # never recompiles.  name -> (container, key, step, lo, hi)
+    TUNABLES = [
+        ("fov_degrees", "u", 1.0, 30.0, 120.0),
+        ("fog_start", "u", 0.5, 0.0, 100.0),
+        ("fog_end", "u", 0.5, 1.0, 200.0),
+        ("near_clip", "u", 0.01, 0.01, 1.0),
+        ("far_clip", "u", 10.0, 10.0, 5000.0),
+        ("move_speed", "c", 0.25, 0.5, 20.0),
+        ("jump_force", "c", 0.25, 0.5, 20.0),
+        ("ground_friction", "c", 0.25, 0.0, 20.0),
+        ("air_control", "c", 0.05, 0.0, 2.0),
+        ("max_air_speed", "c", 0.25, 0.5, 30.0),
+    ]
+
     def _update_toggles(self, inp):
-        """Esc mouse-capture + V noclip edge toggles (Renderer.cs:385-402)."""
+        """Esc mouse-capture + V noclip edge toggles (Renderer.cs:385-402),
+        F3-style debug panel + [-/=] live tuning."""
         keys = inp["keys"]
         if "escape" in keys and "escape" not in self._prev_keys:
             self.mouse_locked = not self.mouse_locked
@@ -411,6 +433,23 @@ class Dust2Game:
         if "v" in keys and "v" not in self._prev_keys \
                 and not self.hud.state.chat_active:
             self.noclip = not self.noclip
+        # debug panel + tuning via typed characters (works on any backend)
+        for ch in inp["chars"]:
+            if self.hud.state.chat_active:
+                break
+            if ch == "`":
+                self.hud.state.show_debug = not self.hud.state.show_debug
+            elif ch == "[":
+                self._tune_idx = (self._tune_idx - 1) % len(self.TUNABLES)
+            elif ch == "]":
+                self._tune_idx = (self._tune_idx + 1) % len(self.TUNABLES)
+            elif ch in "-=":
+                name, kind, step, lo, hi = self.TUNABLES[self._tune_idx]
+                delta = step if ch == "=" else -step
+                tgt = self.engine.uniforms if kind == "u" \
+                    else self.char_params
+                tgt[name] = np.float32(
+                    min(hi, max(lo, float(tgt[name]) + delta)))
         # chat input (T to open, Renderer.cs:587-656 simplified)
         hs = self.hud.state
         if hs.chat_active:
@@ -542,6 +581,18 @@ class Dust2Game:
         rgb = self.engine.present(u)
         self.hud.state.rendered_meshes = int(visible.sum())
         self.hud.state.nametags = self._nametags()
+        rw, rh = self.window.render_size
+        n_tris = self.scene["indices"].shape[0]
+        self.stats.frame(pixels=rw * rh, triangles=n_tris)
+        if self.hud.state.show_debug:
+            lines = self.stats.debug_lines()
+            lines.append("-- tunables ([ ] select, -/= adjust) --")
+            for i, (name, kind, *_rest) in enumerate(self.TUNABLES):
+                tgt = self.engine.uniforms if kind == "u" else \
+                    self.char_params
+                mark = ">" if i == self._tune_idx else " "
+                lines.append(f"{mark} {name}: {float(tgt[name]):.2f}")
+            self.hud.state.debug_lines = lines
         self.window.present(rgb, overlay=self.hud)
 
     def _nametags(self):
