@@ -4,6 +4,7 @@ from softwarerenderer_tpu.engine.renderer import (  # noqa: F401
     default_frame_uniforms,
     render_frame,
     scene_fragment_shader,
+    scene_fragment_shader_bilinear,
     scene_vertex_shader,
     to_rgb8,
 )

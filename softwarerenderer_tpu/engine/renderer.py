@@ -85,6 +85,31 @@ def scene_fragment_shader(frag, uniforms, xp=jnp):
 scene_fragment_shader.varyings = ("color", "uv", "data.world_normal")
 
 
+def scene_fragment_shader_bilinear(frag, uniforms, xp=jnp):
+    """scene_fragment_shader with bilinear texture filtering — the quality
+    mode the reference lacks (it ships nearest only, SURVEY.md §6 note 4)."""
+    world_normal = frag["data"]["world_normal"]
+    light_dir = uniforms["light_direction"]
+    diffuse = xp.maximum(F32(0.25), ml.dot(world_normal, -light_dir, xp=xp))
+    tex_color = tex_ops.sample_atlas_bilinear(
+        uniforms["atlas_data"], uniforms["atlas_offsets"],
+        uniforms["atlas_sizes"], frag["tri"]["tex_id"], frag["uv"], xp=xp)
+    base = frag["color"] * tex_color
+    depth = frag["clip_position"][..., 2]
+    fog = xp.clip((uniforms["fog_end"] - depth)
+                  / (uniforms["fog_end"] - uniforms["fog_start"]),
+                  F32(0.0), F32(1.0))
+    fog = fog * fog * (F32(3.0) - F32(2.0) * fog)
+    lit = base * (F32(0.1) + F32(0.9) * diffuse[..., None]) \
+        * uniforms["light_color"]
+    rgba = uniforms["fog_color"] + (lit - uniforms["fog_color"]) \
+        * fog[..., None]
+    return xp.concatenate([rgba[..., :3], base[..., 3:4]], axis=-1)
+
+
+scene_fragment_shader_bilinear.varyings = scene_fragment_shader.varyings
+
+
 def default_frame_uniforms(width: int, height: int) -> Dict:
     """Per-frame traced parameters with the reference game's defaults
     (Renderer.cs:34-46, 74, 406-413)."""

@@ -165,7 +165,8 @@ def visibility_pallas(tris: Dict, params: RenderParams,
     if params.depth_test != DepthTest.LESS_EQUAL:
         raise NotImplementedError("pallas fold supports LESS_EQUAL; use the "
                                   "XLA binned path for other modes")
-    chunk = int(chunk or params.chunk)
+    # DMA slices along the lane dimension must be 128-aligned.
+    chunk = max(128, _cdiv(int(chunk or params.chunk), 128) * 128)
     tile_h, tile_w = params.tile_h, params.tile_w
     H, W = params.height, params.width
     nty, ntx = _cdiv(H, tile_h), _cdiv(W, tile_w)

@@ -78,6 +78,44 @@ def sample_atlas_nearest(atlas_data, offsets, sizes, tex_id, uv, xp=np):
     return xp.take(flat, idx, axis=0)
 
 
+def sample_atlas_bilinear(atlas_data, offsets, sizes, tex_id, uv, xp=np):
+    """Bilinear filtering with repeat wrap inside an atlas sub-rectangle
+    (texel centers at half-integers).  The non-parity quality mode — the
+    reference only ships nearest (SURVEY.md §6 note 4)."""
+    data = xp.asarray(atlas_data, dtype=xp.float32)
+    ah, aw = data.shape[0], data.shape[1]
+    size = xp.take(xp.asarray(sizes, dtype=xp.int32), tex_id, axis=0)
+    off = xp.take(xp.asarray(offsets, dtype=xp.int32), tex_id, axis=0)
+    h = size[..., 0]
+    w = size[..., 1]
+    st = _wrap_uv(uv, xp)
+    fx = st[..., 0] * w.astype(xp.float32) - F32(0.5)
+    fy = st[..., 1] * h.astype(xp.float32) - F32(0.5)
+    x0 = xp.floor(fx)
+    y0 = xp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = xp.asarray(x0, dtype=xp.int32) % w
+    y0i = xp.asarray(y0, dtype=xp.int32) % h
+    x0i = xp.where(x0i < 0, x0i + w, x0i)
+    y0i = xp.where(y0i < 0, y0i + h, y0i)
+    x1i = (x0i + 1) % w
+    y1i = (y0i + 1) % h
+    flat = data.reshape(ah * aw, data.shape[-1])
+
+    def fetch(yi, xi):
+        return xp.take(flat, (off[..., 0] + yi) * aw + (off[..., 1] + xi),
+                       axis=0)
+
+    c00 = fetch(y0i, x0i)
+    c10 = fetch(y0i, x1i)
+    c01 = fetch(y1i, x0i)
+    c11 = fetch(y1i, x1i)
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
+
+
 def sample_bilinear(texture, uv, xp=np):
     """Bilinear filtering with repeat wrap (texel centers at half-integers)."""
     data = texture["data"]
