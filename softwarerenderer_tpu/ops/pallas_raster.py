@@ -92,12 +92,17 @@ def _fold_kernel(ntx, nty, tile_h, tile_w, chunk, row_offset,
 
     def fold_stream(stream_ref, offset, length, carry):
         """Fold `length` candidates starting at stream[:, offset] with
-        double-buffered chunk DMA."""
-        n_chunks = _pl_cdiv(length, chunk)
+        double-buffered chunk DMA.  DMA lane offsets must be 128-aligned,
+        so chunks start at the aligned-down base and the fold masks the
+        out-of-range lanes."""
+        abase = (offset // 128) * 128
+        lead = offset - abase           # 0..127 lanes before the segment
+        n_chunks = _pl_cdiv(lead + length, chunk)
 
         def get_dma(slot, c):
+            start = pl.multiple_of(abase + c * chunk, 128)
             return pltpu.make_async_copy(
-                stream_ref.at[:, pl.ds(offset + c * chunk, chunk)],
+                stream_ref.at[:, pl.ds(start, chunk)],
                 buf_ref.at[slot],
                 sem_ref.at[slot],
             )
@@ -129,7 +134,8 @@ def _fold_kernel(ntx, nty, tile_h, tile_w, chunk, row_offset,
             inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
                      ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
             lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-            ok = inside & (lane + c * chunk < length)
+            pos = lane + c * chunk          # relative to the aligned base
+            ok = inside & (pos >= lead) & (pos < lead + length)
             d = d0 * (w0 * ia) + d1 * (w1 * ia) + d2 * (w2 * ia)
 
             # LESS_EQUAL: max depth, later submission wins ties — the
