@@ -3,3 +3,7 @@ from softwarerenderer_tpu.parallel.sharding import (  # noqa: F401
     render_frame_sharded,
     shard_scene_triangles,
 )
+from softwarerenderer_tpu.parallel.ring import (  # noqa: F401
+    make_ring_mesh,
+    render_frame_ring,
+)

@@ -92,3 +92,26 @@ def test_entry_compiles():
     c, d = jax.jit(fn)(*args)
     assert c.shape == (192, 256, 4)
     assert np.isfinite(np.asarray(c)).all()
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_ring_matches_single_device(n):
+    from softwarerenderer_tpu.parallel import make_ring_mesh, \
+        render_frame_ring
+    params = RenderParams(width=W, height=H)
+    scene = small_scene()
+    u = uniforms()
+    ref_c, ref_d = jax.jit(
+        lambda s, u: render_frame(s, u, params=params))(scene, u)
+    ref_c, ref_d = np.asarray(ref_c), np.asarray(ref_d)
+
+    sscene = shard_scene_triangles(scene, n)
+    mesh = make_ring_mesh(n)
+    with mesh:
+        c, d = jax.jit(lambda s, u: render_frame_ring(
+            s, u, params, mesh))(sscene, u)
+    c, d = np.asarray(c), np.asarray(d)
+    cbad = (np.abs(c - ref_c).max(axis=-1) > 1e-5).mean()
+    dbad = (np.abs(d - ref_d) > 1e-5).mean()
+    assert cbad < 2e-3, f"{cbad:.4f} color mismatch fraction"
+    assert dbad < 2e-3, f"{dbad:.4f} depth mismatch fraction"
