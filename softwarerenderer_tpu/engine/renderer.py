@@ -194,11 +194,17 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     else:
         fb_color, fb_depth = fb
     from softwarerenderer_tpu.config import DebugMode, DepthTest
-    needs_forward = (params.debug_mode == DebugMode.WIREFRAME
-                     or not params.deferred
-                     or params.depth_test in (DepthTest.EQUAL,
-                                              DepthTest.NOT_EQUAL))
-    if needs_forward:
+    order_dependent = params.depth_test in (DepthTest.EQUAL,
+                                            DepthTest.NOT_EQUAL)
+    if params.debug_mode == DebugMode.WIREFRAME:
+        if params.deferred and not order_dependent:
+            return raster.render_wireframe_deferred(
+                tris, fragment_shader, u, params, fb_color, fb_depth,
+                per_tri_extra=per_tri, chunk=chunk)
+        from softwarerenderer_tpu.ops.forward import render_forward
+        return render_forward(tris, fragment_shader, u, params,
+                              fb_color, fb_depth, per_tri_extra=per_tri)
+    if not params.deferred or order_dependent:
         from softwarerenderer_tpu.ops.forward import render_forward
         return render_forward(tris, fragment_shader, u, params,
                               fb_color, fb_depth, per_tri_extra=per_tri)

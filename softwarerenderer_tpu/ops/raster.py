@@ -313,6 +313,170 @@ def shade_deferred(tris: Dict, best_depth, best_tri,
     return out_color, out_depth
 
 
+def render_wireframe_deferred(tris: Dict, fragment_shader: Callable,
+                              uniforms: Dict, params: RenderParams,
+                              fb_color: jnp.ndarray, fb_depth: jnp.ndarray,
+                              per_tri_extra: Optional[Dict] = None,
+                              chunk: Optional[int] = None,
+                              row_offset=0):
+    """Deferred wireframe: per-pixel (depth, segment) reduction over all
+    3N triangle edges, then one shade of the winner.
+
+    Line semantics replicate DrawLine (Rasterizer.cs:232-340) — pixel
+    centers at +0.5, truncated bbox clamp, reciprocal depth of the lerped
+    FIRST-TWO-vertex depths, attributes anchored to raster vertices 0/1
+    with weights (1−t, t, 0) for every edge, write when alpha != 0.  Like
+    the fill-mode deferred path it shades only the winner (ordered-blend
+    exactness lives in ops/forward.py).
+    """
+    if chunk is None:
+        chunk = params.chunk
+    mode = params.depth_test
+    if mode not in _REDUCE_RULES:
+        raise NotImplementedError(
+            f"depth test {mode!r} is order-dependent; use render_forward")
+    use_max, later_wins = _REDUCE_RULES[mode]
+    H, W = fb_depth.shape
+
+    screen = tris["screen"]                     # (N, 3, 2)
+    n = screen.shape[0]
+    edge_order = jnp.asarray([[0, 1], [1, 2], [2, 0]])
+    p0 = screen[:, edge_order[:, 0]].reshape(-1, 2)   # (3N, 2) interleaved
+    p1 = screen[:, edge_order[:, 1]].reshape(-1, 2)
+    d01 = jnp.repeat(tris["depth"][:, :2], 3, axis=0)  # (3N, 2) d0,d1 quirk
+    valid = jnp.repeat(tris["valid"], 3)
+    n_seg = 3 * n
+    n_pad = _pad_pow2_chunks(max(n_seg, 1), chunk)
+
+    def pad(a):
+        cfg = [(0, n_pad - n_seg)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, cfg)
+
+    p0, p1, d01, valid = pad(p0), pad(p1), pad(d01), pad(valid)
+
+    px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(F32)
+    py = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+          + jnp.asarray(row_offset, jnp.int32)).astype(F32)
+    pxc = px + F32(0.5)
+    pyc = py + F32(0.5)
+    bad = F32(-jnp.inf) if use_max in (True, None) else F32(jnp.inf)
+
+    def seg_eval(a0, a1, dd):
+        """Coverage + depth + t of one chunk of segments over all pixels."""
+        min_x = jnp.maximum(jnp.minimum(a0[:, 0], a1[:, 0]), 0) \
+            .astype(jnp.int32)
+        max_x = jnp.minimum(jnp.maximum(a0[:, 0], a1[:, 0]), W - 1) \
+            .astype(jnp.int32)
+        min_y = jnp.maximum(jnp.minimum(a0[:, 1], a1[:, 1]), 0) \
+            .astype(jnp.int32)
+        max_y = jnp.minimum(jnp.maximum(a0[:, 1], a1[:, 1]), H - 1) \
+            .astype(jnp.int32)
+        in_bbox = ((px >= min_x[:, None, None])
+                   & (px <= max_x[:, None, None])
+                   & (py >= min_y[:, None, None])
+                   & (py <= max_y[:, None, None]))
+        dx = (a1[:, 0] - a0[:, 0])[:, None, None]
+        dy = (a1[:, 1] - a0[:, 1])[:, None, None]
+        len_sq = dx * dx + dy * dy
+        rx = pxc - a0[:, 0][:, None, None]
+        ry = pyc - a0[:, 1][:, None, None]
+        t = jnp.where(len_sq <= 0, 0.0,
+                      (rx * dx + ry * dy)
+                      / jnp.where(len_sq == 0, F32(1), len_sq))
+        t = jnp.clip(t, 0.0, 1.0)
+        cx = a0[:, 0][:, None, None] + t * dx
+        cy = a0[:, 1][:, None, None] + t * dy
+        dist_sq = (pxc - cx) ** 2 + (pyc - cy) ** 2
+        covered = in_bbox & (dist_sq <= F32(0.25))
+        d = F32(1.0) / (dd[:, 0][:, None, None] * (F32(1.0) - t)
+                        + dd[:, 1][:, None, None] * t)
+        return covered, d
+
+    def chunk_body(c, carry):
+        best_d, best_i = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk)
+        covered, d = seg_eval(sl(p0), sl(p1), sl(d01))
+        mask = covered & sl(valid)[:, None, None]
+        idx = c * chunk + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (chunk, 1, 1), 0)
+        if use_max is None:
+            key = jnp.where(mask, idx, -1)
+            pick = jnp.argmax(key, axis=0)
+            cand_valid = jnp.any(mask, axis=0)
+            cand_d = jnp.take_along_axis(d, pick[None], axis=0)[0]
+            cand_i = jnp.take_along_axis(
+                jnp.broadcast_to(idx, d.shape), pick[None], axis=0)[0]
+            take = cand_valid
+        else:
+            dm = jnp.where(mask, d, bad)
+            cand_d = (jnp.max if use_max else jnp.min)(dm, axis=0)
+            at = mask & (d == cand_d)
+            sel = jnp.where(at, idx, -1 if later_wins else n_pad)
+            cand_i = (jnp.max(sel, axis=0) if later_wins
+                      else jnp.min(sel, axis=0))
+            cand_valid = jnp.any(at, axis=0)
+            if use_max:
+                cmp = (cand_d >= best_d) if later_wins else (cand_d > best_d)
+            else:
+                cmp = (cand_d <= best_d) if later_wins else (cand_d < best_d)
+            take = cand_valid & cmp
+        return (jnp.where(take, cand_d, best_d),
+                jnp.where(take, cand_i.astype(jnp.int32), best_i))
+
+    init = (fb_depth, jnp.full((H, W), NO_TRI, dtype=jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_pad // chunk, chunk_body, init)
+    covered = best_i != NO_TRI
+
+    # Winner's t parameter + triangle id; shade with (1-t, t, 0) anchors.
+    seg = jnp.where(covered, best_i, 0)
+    tri_of = seg // 3
+    a0 = jnp.take(p0, seg, axis=0)
+    a1 = jnp.take(p1, seg, axis=0)
+    dx = a1[..., 0] - a0[..., 0]
+    dy = a1[..., 1] - a0[..., 1]
+    len_sq = dx * dx + dy * dy
+    t = jnp.where(len_sq <= 0, 0.0,
+                  ((pxc - a0[..., 0]) * dx + (pyc - a0[..., 1]) * dy)
+                  / jnp.where(len_sq == 0, F32(1), len_sq))
+    t = jnp.clip(t, 0.0, 1.0)
+
+    keys = sorted(tris["attrs"].keys())
+    flat = {}
+    ow = F32(1.0) - t
+    clip_w = jnp.take(tris["attrs"]["clip_position"][:, :2, 3], tri_of,
+                      axis=0)
+    rcp_a = ow / clip_w[..., 0]
+    rcp_b = t / clip_w[..., 1]
+    wsum = rcp_a + rcp_b
+    wgt = F32(1.0) / jnp.where(wsum == 0, F32(1), wsum)
+    wa, wb = rcp_a * wgt, rcp_b * wgt
+    for k in keys:
+        av = jnp.take(tris["attrs"][k][:, :2], tri_of, axis=0)  # (H,W,2,K)
+        if k.startswith("data."):
+            val = av[..., 0, :] * wa[..., None] + av[..., 1, :] * wb[..., None]
+            if val.shape[-1] == 3:
+                lsq = jnp.sum(val * val, axis=-1, keepdims=True)
+                nrm = val / jnp.sqrt(jnp.where(lsq > 0, lsq, F32(1)))
+                val = jnp.where(lsq > F32(1e-6), nrm, val)
+        else:
+            val = (av[..., 0, :] * rcp_a[..., None]
+                   + av[..., 1, :] * rcp_b[..., None]) * wgt[..., None]
+        flat[k] = val
+    frag = unflatten_varyings(flat)
+    frag["barycentric"] = jnp.stack([wa, wb, jnp.zeros_like(wa)], axis=-1)
+    if per_tri_extra:
+        frag["tri"] = {k: jnp.take(v, tri_of, axis=0)
+                       for k, v in per_tri_extra.items()}
+    color = fragment_shader(frag, uniforms, jnp)
+    written = covered & (color[..., 3] != 0)
+    out_color = jnp.where(written[..., None],
+                          _blend(color, fb_color, params.blend_mode),
+                          fb_color)
+    out_depth = fb_depth if params.depth_test == DepthTest.DISABLED \
+        else jnp.where(written, best_d, fb_depth)
+    return out_color, out_depth
+
+
 def render_deferred(tris: Dict, fragment_shader: Callable, uniforms: Dict,
                     params: RenderParams,
                     fb_color: jnp.ndarray, fb_depth: jnp.ndarray,

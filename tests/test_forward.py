@@ -131,3 +131,31 @@ def test_forward_matches_deferred_on_opaque():
     fb, dc, dd = run_pair(mesh, params)
     bad = (np.abs(dc - fb.color).max(axis=-1) > 2e-5).mean()
     assert bad < 0.005
+
+
+def test_wireframe_deferred_matches_forward():
+    """The fast deferred wireframe must agree with the exact forward one on
+    an opaque scene (modulo boundary ties)."""
+    mesh = primitives.random_triangle_soup(12, seed=9)
+    params = RenderParams(width=W, height=H, cull_mode=CullMode.NONE,
+                          debug_mode=DebugMode.WIREFRAME)
+    u = uniforms()
+    vin = shaders.make_vertex_input(mesh["position"], mesh["uv"],
+                                    mesh["normal"], mesh["color"])
+
+    def both(vin, idx, u):
+        tris = geometry.build_triangles(
+            shaders.default_vertex_shader, vin, idx, u,
+            width=W, height=H, cull_mode=params.cull_mode)
+        c0 = jnp.broadcast_to(jnp.asarray(CLEAR), (H, W, 4))
+        d0 = jnp.full((H, W), raster.DEPTH_CLEAR, jnp.float32)
+        fc, fd = forward.render_forward(
+            tris, shaders.flat_color_fragment_shader, u, params, c0, d0)
+        dc, dd = raster.render_wireframe_deferred(
+            tris, shaders.flat_color_fragment_shader, u, params, c0, d0,
+            chunk=16)
+        return fc, fd, dc, dd
+
+    fc, fd, dc, dd = map(np.asarray, jax.jit(both)(vin, mesh["indices"], u))
+    bad = (np.abs(fc - dc).max(axis=-1) > 1e-5).mean()
+    assert bad < 0.01, f"{bad:.4f} wireframe deferred/forward mismatch"
