@@ -244,6 +244,8 @@ class Dust2Game:
         self.noclip = False
         self._prev_keys = set()
         self._tune_idx = 0
+        self.wireframe = False
+        self._wire_engine = None
         from softwarerenderer_tpu.utils.profiling import FrameStats
         self.stats = FrameStats()
         self._mesh_matrices = np.asarray(
@@ -439,6 +441,11 @@ class Dust2Game:
                 break
             if ch == "`":
                 self.hud.state.show_debug = not self.hud.state.show_debug
+            elif ch == "p":
+                # wireframe debug mode (Rasterizer.RenderDebugMode toggle,
+                # Renderer.cs:799-804); compiles a second frame program on
+                # first use
+                self.wireframe = not self.wireframe
             elif ch == "[":
                 self._tune_idx = (self._tune_idx - 1) % len(self.TUNABLES)
             elif ch == "]":
@@ -578,7 +585,20 @@ class Dust2Game:
         u["mesh_visible"] = visible
         self.engine.scene["mesh_matrices"] = jnp.asarray(mm)
 
-        rgb = self.engine.present(u)
+        if self.wireframe:
+            if self._wire_engine is None:
+                from softwarerenderer_tpu.config import DebugMode
+                self._wire_engine = Engine(
+                    self.engine.scene,
+                    self.engine.params.replace(
+                        debug_mode=DebugMode.WIREFRAME))
+                # share the live scene dict so per-frame matrix updates
+                # (gun, players) reach the wireframe program too
+                self._wire_engine.scene = self.engine.scene
+                self._wire_engine.uniforms = self.engine.uniforms
+            rgb = self._wire_engine.present(u)
+        else:
+            rgb = self.engine.present(u)
         self.hud.state.rendered_meshes = int(visible.sum())
         self.hud.state.nametags = self._nametags()
         rw, rh = self.window.render_size
