@@ -246,6 +246,9 @@ class Dust2Game:
         self._tune_idx = 0
         self.wireframe = False
         self._wire_engine = None
+        # live-tuned light euler (Renderer.cs:42 LightEulerDegrees)
+        self.light_euler = {"light_yaw": np.float32(-45.0),
+                            "light_pitch": np.float32(-45.0)}
         from softwarerenderer_tpu.utils.profiling import FrameStats
         self.stats = FrameStats()
         self._mesh_matrices = np.asarray(
@@ -418,6 +421,9 @@ class Dust2Game:
         ("fog_end", "u", 0.5, 1.0, 200.0),
         ("near_clip", "u", 0.01, 0.01, 1.0),
         ("far_clip", "u", 10.0, 10.0, 5000.0),
+        ("light_yaw", "l", 5.0, -180.0, 180.0),
+        ("light_pitch", "l", 5.0, -89.0, 89.0),
+        ("render_scale", "w", 0.05, 0.1, 1.0),
         ("move_speed", "c", 0.25, 0.5, 20.0),
         ("jump_force", "c", 0.25, 0.5, 20.0),
         ("ground_friction", "c", 0.25, 0.0, 20.0),
@@ -453,10 +459,25 @@ class Dust2Game:
             elif ch in "-=":
                 name, kind, step, lo, hi = self.TUNABLES[self._tune_idx]
                 delta = step if ch == "=" else -step
-                tgt = self.engine.uniforms if kind == "u" \
-                    else self.char_params
+                if kind == "u":
+                    tgt = self.engine.uniforms
+                elif kind == "c":
+                    tgt = self.char_params
+                elif kind == "l":
+                    tgt = self.light_euler
+                else:  # "w": window-level, re-derives the engine size
+                    self.window.render_scale = min(
+                        hi, max(lo, self.window.render_scale + delta))
+                    self._rebuild_engine_for_scale()
+                    continue
                 tgt[name] = np.float32(
                     min(hi, max(lo, float(tgt[name]) + delta)))
+                if kind == "l":
+                    self.engine.uniforms["light_direction"] = np.asarray(
+                        ml.euler_degrees_to_direction(
+                            [self.light_euler["light_pitch"],
+                             self.light_euler["light_yaw"], 0.0]),
+                        F32)
         # chat input (T to open, Renderer.cs:587-656 simplified)
         hs = self.hud.state
         if hs.chat_active:
@@ -477,6 +498,31 @@ class Dust2Game:
         self._prev_keys = set(keys)
 
     # -- shooting -------------------------------------------------------------
+
+    def _rebuild_engine_for_scale(self):
+        """Render-scale change = new framebuffer shapes = a new compiled
+        frame program (UpdateRenderScale, MainWindow.cs:268-274); scene and
+        uniforms carry over."""
+        new_size = self.window.render_size
+        if new_size == (self.engine.params.width,
+                        self.engine.params.height):
+            return
+        old = self.engine
+        self.engine = Engine(old.scene,
+                             old.params.replace(width=new_size[0],
+                                                height=new_size[1]))
+        self.engine.scene = old.scene
+        self.engine.uniforms = old.uniforms
+        self._wire_engine = None
+
+    def _tunable_value(self, name: str, kind: str) -> float:
+        if kind == "u":
+            return float(self.engine.uniforms[name])
+        if kind == "c":
+            return float(self.char_params[name])
+        if kind == "l":
+            return float(self.light_euler[name])
+        return float(self.window.render_scale)
 
     def _player_matrix(self, p: ConnectedPlayer) -> np.ndarray:
         """CreatePlayerMatrix (Renderer.cs:251-256)."""
@@ -608,10 +654,9 @@ class Dust2Game:
             lines = self.stats.debug_lines()
             lines.append("-- tunables ([ ] select, -/= adjust) --")
             for i, (name, kind, *_rest) in enumerate(self.TUNABLES):
-                tgt = self.engine.uniforms if kind == "u" else \
-                    self.char_params
                 mark = ">" if i == self._tune_idx else " "
-                lines.append(f"{mark} {name}: {float(tgt[name]):.2f}")
+                lines.append(
+                    f"{mark} {name}: {self._tunable_value(name, kind):.2f}")
             self.hud.state.debug_lines = lines
         self.window.present(rgb, overlay=self.hud)
 
