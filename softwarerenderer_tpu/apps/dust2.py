@@ -31,7 +31,7 @@ import math
 import os
 import random
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

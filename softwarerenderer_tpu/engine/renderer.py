@@ -17,7 +17,6 @@ program structure lives in the static RenderParams.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Callable, Dict, Optional
 

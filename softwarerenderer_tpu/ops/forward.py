@@ -35,7 +35,6 @@ import jax.numpy as jnp
 
 from softwarerenderer_tpu.config import (
     EPSILON,
-    BlendMode,
     DebugMode,
     DepthTest,
     RenderParams,

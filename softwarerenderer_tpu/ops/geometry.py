@@ -27,7 +27,6 @@ NaN/Inf NDC or any clip w == 0 or zero area drops the triangle (:378-396).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict
 
 import jax

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from softwarerenderer_tpu.config import DepthTest, RenderParams
 from softwarerenderer_tpu.ops.binning import _cdiv, bin_triangles
-from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR, NO_TRI
+from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR
 
 F32 = jnp.float32
 N_FIELDS = 16

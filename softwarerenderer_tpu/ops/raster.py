@@ -40,14 +40,12 @@ Sequential-semantics notes:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from softwarerenderer_tpu.config import (
-    EPSILON,
     BlendMode,
     DepthTest,
     RenderParams,

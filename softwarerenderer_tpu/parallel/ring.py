@@ -36,7 +36,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from softwarerenderer_tpu.config import DepthTest, RenderParams
-from softwarerenderer_tpu.ops import culling, geometry, raster
+from softwarerenderer_tpu.ops import culling, geometry
 from softwarerenderer_tpu.ops.geometry import unflatten_varyings
 from softwarerenderer_tpu.ops.raster import (
     DEPTH_CLEAR,

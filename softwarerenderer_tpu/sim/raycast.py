@@ -21,7 +21,7 @@ Faithful semantics (Physics.cs:136-179):
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
