@@ -95,11 +95,13 @@ class RenderParams:
     # Visibility strategy: tile-binned (work ∝ triangle-tile overlap) vs
     # brute force (every triangle × every pixel; the correctness slice).
     binned: bool = True
+    # Tile/chunk defaults from the round-1 sweep on TPU v5e @1080p dust2
+    # (BENCHMARKS.md): 32x128 tiles, 16-tile groups, 32-triangle chunks.
     tile_h: int = 32          # screen tile size for binning
     tile_w: int = 128         # last dim 128 = TPU lane width
     span_cap: int = 16        # bbox tile-span above which a tri goes global
-    tile_group: int = 8       # tiles processed per sequential step
-    chunk: int = 64           # triangles folded per reduction step
+    tile_group: int = 16      # tiles processed per sequential step
+    chunk: int = 32           # triangles folded per reduction step
 
     def replace(self, **kw) -> "RenderParams":
         return dataclasses.replace(self, **kw)

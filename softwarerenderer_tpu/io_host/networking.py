@@ -64,7 +64,8 @@ class Networking:
         self.on_receive_rpc: List[Callable[[str, List[str]], None]] = []
         self.relay_client_rpcs = False
         self.listening_port = DEFAULT_PORT
-        self.log: Callable[[str], None] = lambda s: None
+        from softwarerenderer_tpu.utils import slog
+        self.log: Callable[[str], None] = slog.get_logger("net").debug
         # --- failure detection (absent in the reference — SURVEY.md §5:
         # "a vanished host strands clients").  peer_timeout > 0 enables
         # last-heard tracking: hosts expire silent clients (and broadcast

@@ -97,3 +97,10 @@ def test_appconfig_defaults_match_reference():
     assert cfg.fov_degrees == 90.0       # Renderer.cs:46
     assert cfg.char_height == 0.5        # CharacterController.cs:24
     assert cfg.port == 7777              # Networking.cs:71
+
+
+def test_slog_kv_and_logger(capsys):
+    from softwarerenderer_tpu.utils import slog
+    assert slog.kv(a=1, b="x") == "a=1 b=x"
+    log = slog.get_logger("test")
+    log.info("hello %s", slog.kv(n=2))
