@@ -246,6 +246,7 @@ class Dust2Game:
         self._tune_idx = 0
         self.wireframe = False
         self._wire_engine = None
+        self._pending_rgb = None
         # live-tuned light euler (Renderer.cs:42 LightEulerDegrees)
         self.light_euler = {"light_yaw": np.float32(-45.0),
                             "light_pitch": np.float32(-45.0)}
@@ -642,9 +643,18 @@ class Dust2Game:
                 # (gun, players) reach the wireframe program too
                 self._wire_engine.scene = self.engine.scene
                 self._wire_engine.uniforms = self.engine.uniforms
-            rgb = self._wire_engine.present(u)
+            eng = self._wire_engine
         else:
-            rgb = self.engine.present(u)
+            eng = self.engine
+        # One-frame present pipeline: dispatch this frame on device (async)
+        # and convert/display the PREVIOUS frame's result, overlapping the
+        # device->host copy with device compute (the reference instead
+        # blocks on its CPU->GPU upload every frame, MainWindow.cs:247-251).
+        pending = eng._present(eng.scene, u)
+        rgb_dev, self._pending_rgb = self._pending_rgb, pending
+        if rgb_dev is None:
+            rgb_dev = pending
+        rgb = np.asarray(rgb_dev)
         self.hud.state.rendered_meshes = int(visible.sum())
         self.hud.state.nametags = self._nametags()
         rw, rh = self.window.render_size
