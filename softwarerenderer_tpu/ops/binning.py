@@ -389,7 +389,11 @@ def render_binned_fused(tris: Dict, fragment_shader, uniforms: Dict,
     order = bins["order"]
     n_global = bins["n_global"]
     c_off = jnp.arange(chunk, dtype=jnp.int32)
-    tile_ids_all = jnp.arange(ntiles_pad, dtype=jnp.int32)
+    # Occupancy bucketing: process tiles in descending bin-count order so a
+    # group's chunk-loop bound (its max count) matches its members — this is
+    # what lets tile_group be large (few sequential steps) without padding
+    # every group to the busiest tile on screen.
+    tile_ids_all = jnp.argsort(-counts, stable=True).astype(jnp.int32)
     px_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
                   .reshape(tpx))
     py_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -447,18 +451,18 @@ def render_binned_fused(tris: Dict, fragment_shader, uniforms: Dict,
                 jnp.where(take, cand_i.astype(jnp.int32), best_i))
 
     def group_body(g, carry):
-        all_acc, all_d, all_i = carry
+        all_c, all_d = carry
         base = g * tile_group
         tiles = jax.lax.dynamic_slice_in_dim(tile_ids_all, base, tile_group)
-        g_starts = jax.lax.dynamic_slice_in_dim(starts, base, tile_group)
-        g_counts = jax.lax.dynamic_slice_in_dim(counts, base, tile_group)
+        g_starts = jnp.take(starts, tiles)
+        g_counts = jnp.take(counts, tiles)
         ty = tiles // ntx
         tx = tiles % ntx
         px = tx[:, None] * tile_w + px_in_tile[None, :]
         py = ty[:, None] * tile_h + py_in_tile[None, :] \
             + jnp.asarray(row_offset, jnp.int32)
 
-        best_d = jax.lax.dynamic_slice_in_dim(d0, base, tile_group)
+        best_d = jnp.take(d0, tiles, axis=0)
         best_i = jnp.full((tile_group, tpx), NO_TRI, jnp.int32)
 
         n_glob_chunks = _cdiv(n_global, chunk)
@@ -507,83 +511,76 @@ def render_binned_fused(tris: Dict, fragment_shader, uniforms: Dict,
         acc = jax.lax.fori_loop(0, n_glob_chunks, resolve(glob_ids), acc0)
         acc = jax.lax.fori_loop(0, _cdiv(max_count, chunk),
                                 resolve(seg_ids), acc)
+        av = acc.reshape(tile_group, tpx, 3, kp)
 
-        all_acc = jax.lax.dynamic_update_slice_in_dim(all_acc, acc, base, 0)
-        all_d = jax.lax.dynamic_update_slice_in_dim(all_d, best_d, base, 0)
-        all_i = jax.lax.dynamic_update_slice_in_dim(all_i, best_i, base, 0)
-        return all_acc, all_d, all_i
+        covered = best_i != NO_TRI
+        fb_c = jnp.take(c0, tiles, axis=0)
+        fb_d = jnp.take(d0, tiles, axis=0)
 
-    # The group loop only does the triangle-dependent work (fold + resolve);
-    # interpolation + shading run ONCE over the whole frame below.  Shading
-    # inside the loop would launch its ~100 elementwise ops per group — at
-    # 1080p that fixed dispatch overhead alone was ~26 ms (an empty scene
-    # cost as much as a full one).
-    acc_all0 = jnp.zeros((ntiles_pad, tpx, 3 * kp), F32)
-    all_acc, all_d, all_i = jax.lax.fori_loop(
-        0, ngroups, group_body, (acc_all0, d0, i0))
+        # ---- interpolate (Rasterizer.Interpolate, Rasterizer.cs:566-640),
+        # in-loop so `acc` never round-trips through HBM ----
+        s = av[..., sl_screen[0]:sl_screen[1]]
+        ia = av[..., 0, sl_ia]
+        clip_w = av[..., chi - 1]
+        pxf = px.astype(F32)
+        pyf = py.astype(F32)
+        s0x, s0y = s[..., 0, 0], s[..., 0, 1]
+        s1x, s1y = s[..., 1, 0], s[..., 1, 1]
+        s2x, s2y = s[..., 2, 0], s[..., 2, 1]
+        w0 = ((s1y - s2y) * (pxf - s1x) + (s2x - s1x) * (pyf - s1y)) * ia
+        w1 = ((s2y - s0y) * (pxf - s2x) + (s0x - s2x) * (pyf - s2y)) * ia
+        w2 = ((s0y - s1y) * (pxf - s0x) + (s1x - s0x) * (pyf - s0y)) * ia
+        rcp_wa = w0 / jnp.where(clip_w[..., 0] == 0, F32(1), clip_w[..., 0])
+        rcp_wb = w1 / jnp.where(clip_w[..., 1] == 0, F32(1), clip_w[..., 1])
+        rcp_wc = w2 / jnp.where(clip_w[..., 2] == 0, F32(1), clip_w[..., 2])
+        wsum = rcp_wa + rcp_wb + rcp_wc
+        wgt = F32(1.0) / jnp.where(wsum == 0, F32(1), wsum)
+        wa, wb, wc = rcp_wa * wgt, rcp_wb * wgt, rcp_wc * wgt
+        a0, a1, a2 = av[..., 0, :], av[..., 1, :], av[..., 2, :]
+        pc = (a0 * rcp_wa[..., None] + a1 * rcp_wb[..., None]
+              + a2 * rcp_wc[..., None]) * wgt[..., None]
+        pw = a0 * wa[..., None] + a1 * wb[..., None] + a2 * wc[..., None]
 
-    covered = all_i != NO_TRI
-    av = all_acc.reshape(ntiles_pad, tpx, 3, kp)
-    tidx = tile_ids_all
-    pxf = (tidx[:, None] % ntx * tile_w + px_in_tile[None, :]).astype(F32)
-    pyf = (tidx[:, None] // ntx * tile_h + py_in_tile[None, :]
-           + jnp.asarray(row_offset, jnp.int32)).astype(F32)
+        flat = {}
+        for k in keys:
+            lo, hi = slices[k]
+            if k.startswith("data."):
+                val = pw[..., lo:hi]
+                if hi - lo == 3:
+                    lsq = jnp.sum(val * val, axis=-1, keepdims=True)
+                    nrm = val / jnp.sqrt(jnp.where(lsq > 0, lsq, F32(1)))
+                    val = jnp.where(lsq > F32(1e-6), nrm, val)
+            else:
+                val = pc[..., lo:hi]
+            flat[k] = val
+        from softwarerenderer_tpu.ops.geometry import unflatten_varyings
+        frag = unflatten_varyings(flat)
+        frag["barycentric"] = jnp.stack([wa, wb, wc], axis=-1)
+        if extra_slices:
+            frag["tri"] = {k: av[..., 0, i].astype(jnp.int32)
+                           for k, i in extra_slices.items()}
 
-    # ---- interpolate (Rasterizer.Interpolate, Rasterizer.cs:566-640) ----
-    s = av[..., sl_screen[0]:sl_screen[1]]
-    ia = av[..., 0, sl_ia]
-    clip_w = av[..., chi - 1]
-    s0x, s0y = s[..., 0, 0], s[..., 0, 1]
-    s1x, s1y = s[..., 1, 0], s[..., 1, 1]
-    s2x, s2y = s[..., 2, 0], s[..., 2, 1]
-    w0 = ((s1y - s2y) * (pxf - s1x) + (s2x - s1x) * (pyf - s1y)) * ia
-    w1 = ((s2y - s0y) * (pxf - s2x) + (s0x - s2x) * (pyf - s2y)) * ia
-    w2 = ((s0y - s1y) * (pxf - s0x) + (s1x - s0x) * (pyf - s0y)) * ia
-    rcp_wa = w0 / jnp.where(clip_w[..., 0] == 0, F32(1), clip_w[..., 0])
-    rcp_wb = w1 / jnp.where(clip_w[..., 1] == 0, F32(1), clip_w[..., 1])
-    rcp_wc = w2 / jnp.where(clip_w[..., 2] == 0, F32(1), clip_w[..., 2])
-    wsum = rcp_wa + rcp_wb + rcp_wc
-    wgt = F32(1.0) / jnp.where(wsum == 0, F32(1), wsum)
-    wa, wb, wc = rcp_wa * wgt, rcp_wb * wgt, rcp_wc * wgt
-    a0, a1, a2 = av[..., 0, :], av[..., 1, :], av[..., 2, :]
-    pc = (a0 * rcp_wa[..., None] + a1 * rcp_wb[..., None]
-          + a2 * rcp_wc[..., None]) * wgt[..., None]
-    pw = a0 * wa[..., None] + a1 * wb[..., None] + a2 * wc[..., None]
-
-    flat = {}
-    for k in keys:
-        lo, hi = slices[k]
-        if k.startswith("data."):
-            val = pw[..., lo:hi]
-            if hi - lo == 3:
-                lsq = jnp.sum(val * val, axis=-1, keepdims=True)
-                nrm = val / jnp.sqrt(jnp.where(lsq > 0, lsq, F32(1)))
-                val = jnp.where(lsq > F32(1e-6), nrm, val)
+        color = fragment_shader(frag, uniforms, jnp)
+        written = covered & (color[..., 3] > 0)
+        out_c = jnp.where(written[..., None],
+                          _fused_blend(color, fb_c, params.blend_mode), fb_c)
+        if params.depth_test == DepthTest.DISABLED:
+            out_d = fb_d
         else:
-            val = pc[..., lo:hi]
-        flat[k] = val
-    from softwarerenderer_tpu.ops.geometry import unflatten_varyings
-    frag = unflatten_varyings(flat)
-    frag["barycentric"] = jnp.stack([wa, wb, wc], axis=-1)
-    if extra_slices:
-        frag["tri"] = {k: av[..., 0, i].astype(jnp.int32)
-                       for k, i in extra_slices.items()}
+            out_d = jnp.where(written, best_d, fb_d)
 
-    color = fragment_shader(frag, uniforms, jnp)
-    written = covered & (color[..., 3] > 0)
-    out_c = jnp.where(written[..., None],
-                      _fused_blend(color, c0, params.blend_mode), c0)
-    if params.depth_test == DepthTest.DISABLED:
-        out_d = d0
-    else:
-        out_d = jnp.where(written, all_d, d0)
+        all_c = all_c.at[tiles].set(out_c)
+        all_d = all_d.at[tiles].set(out_d)
+        return all_c, all_d
+
+    all_c, all_d = jax.lax.fori_loop(0, ngroups, group_body, (c0, d0))
 
     def untile(a):
         a = a[:ntiles].reshape((nty, ntx, tile_h, tile_w) + a.shape[2:])
         a = jnp.moveaxis(a, 1, 2).reshape((Hp, Wp) + a.shape[4:])
         return a[:H, :W]
 
-    return untile(out_c), untile(out_d)
+    return untile(all_c), untile(all_d)
 
 
 def _fused_blend(src, dst, mode):
