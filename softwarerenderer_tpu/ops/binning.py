@@ -389,11 +389,10 @@ def render_binned_fused(tris: Dict, fragment_shader, uniforms: Dict,
     order = bins["order"]
     n_global = bins["n_global"]
     c_off = jnp.arange(chunk, dtype=jnp.int32)
-    # Occupancy bucketing: process tiles in descending bin-count order so a
-    # group's chunk-loop bound (its max count) matches its members — this is
-    # what lets tile_group be large (few sequential steps) without padding
-    # every group to the busiest tile on screen.
-    tile_ids_all = jnp.argsort(-counts, stable=True).astype(jnp.int32)
+    # (Occupancy-bucketed tile ordering was tried and reverted: scatter
+    # overhead ate the waste savings, and the (G, C, tpx) VMEM working set —
+    # not per-group waste — is what limits tile_group. See BENCHMARKS.md.)
+    tile_ids_all = jnp.arange(ntiles_pad, dtype=jnp.int32)
     px_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
                   .reshape(tpx))
     py_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -454,15 +453,15 @@ def render_binned_fused(tris: Dict, fragment_shader, uniforms: Dict,
         all_c, all_d = carry
         base = g * tile_group
         tiles = jax.lax.dynamic_slice_in_dim(tile_ids_all, base, tile_group)
-        g_starts = jnp.take(starts, tiles)
-        g_counts = jnp.take(counts, tiles)
+        g_starts = jax.lax.dynamic_slice_in_dim(starts, base, tile_group)
+        g_counts = jax.lax.dynamic_slice_in_dim(counts, base, tile_group)
         ty = tiles // ntx
         tx = tiles % ntx
         px = tx[:, None] * tile_w + px_in_tile[None, :]
         py = ty[:, None] * tile_h + py_in_tile[None, :] \
             + jnp.asarray(row_offset, jnp.int32)
 
-        best_d = jnp.take(d0, tiles, axis=0)
+        best_d = jax.lax.dynamic_slice_in_dim(d0, base, tile_group)
         best_i = jnp.full((tile_group, tpx), NO_TRI, jnp.int32)
 
         n_glob_chunks = _cdiv(n_global, chunk)
@@ -514,8 +513,8 @@ def render_binned_fused(tris: Dict, fragment_shader, uniforms: Dict,
         av = acc.reshape(tile_group, tpx, 3, kp)
 
         covered = best_i != NO_TRI
-        fb_c = jnp.take(c0, tiles, axis=0)
-        fb_d = jnp.take(d0, tiles, axis=0)
+        fb_c = jax.lax.dynamic_slice_in_dim(c0, base, tile_group)
+        fb_d = jax.lax.dynamic_slice_in_dim(d0, base, tile_group)
 
         # ---- interpolate (Rasterizer.Interpolate, Rasterizer.cs:566-640),
         # in-loop so `acc` never round-trips through HBM ----
@@ -569,8 +568,8 @@ def render_binned_fused(tris: Dict, fragment_shader, uniforms: Dict,
         else:
             out_d = jnp.where(written, best_d, fb_d)
 
-        all_c = all_c.at[tiles].set(out_c)
-        all_d = all_d.at[tiles].set(out_d)
+        all_c = jax.lax.dynamic_update_slice_in_dim(all_c, out_c, base, 0)
+        all_d = jax.lax.dynamic_update_slice_in_dim(all_d, out_d, base, 0)
         return all_c, all_d
 
     all_c, all_d = jax.lax.fori_loop(0, ngroups, group_body, (c0, d0))
