@@ -494,92 +494,79 @@ def render_binned_fused(tris: Dict, fragment_shader, uniforms: Dict,
         best_d, best_i = jax.lax.fori_loop(
             0, _cdiv(max_count, chunk), fold(seg_ids), (best_d, best_i))
 
+        # ---- pass B: winner payload resolve via one-hot matmul ----
+        def resolve(ids_fn):
+            def body(c, acc):
+                ids, ok = ids_fn(c)
+                t = jnp.where(ok, jnp.clip(ids, 0, n - 1), n)  # n = zero row
+                pl = jnp.take(payload, t, axis=0)        # (G, C, 3Kp)
+                onehot = ((best_i[..., None] == t[:, None, :]) & ok[:, None, :]
+                          ).astype(F32)                  # (G, tpx, C)
+                return acc + jax.lax.dot_general(
+                    onehot, pl, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+            return body
+        acc0 = jnp.zeros((tile_group, tpx, 3 * kp), F32)
+        acc = jax.lax.fori_loop(0, n_glob_chunks, resolve(glob_ids), acc0)
+        acc = jax.lax.fori_loop(0, _cdiv(max_count, chunk),
+                                resolve(seg_ids), acc)
+        av = acc.reshape(tile_group, tpx, 3, kp)
+
         covered = best_i != NO_TRI
         fb_c = jax.lax.dynamic_slice_in_dim(c0, base, tile_group)
         fb_d = jax.lax.dynamic_slice_in_dim(d0, base, tile_group)
 
-        def shade_group(_):
-            # ---- pass B: winner payload resolve via one-hot matmul ----
-            def resolve(ids_fn):
-                def body(c, acc):
-                    ids, ok = ids_fn(c)
-                    t = jnp.where(ok, jnp.clip(ids, 0, n - 1), n)  # zero row
-                    pl = jnp.take(payload, t, axis=0)    # (G, C, 3Kp)
-                    onehot = ((best_i[..., None] == t[:, None, :])
-                              & ok[:, None, :]).astype(F32)  # (G, tpx, C)
-                    return acc + jax.lax.dot_general(
-                        onehot, pl, (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)
-                return body
-            acc0 = jnp.zeros((tile_group, tpx, 3 * kp), F32)
-            acc = jax.lax.fori_loop(0, n_glob_chunks, resolve(glob_ids), acc0)
-            acc = jax.lax.fori_loop(0, _cdiv(max_count, chunk),
-                                    resolve(seg_ids), acc)
-            av = acc.reshape(tile_group, tpx, 3, kp)
+        # ---- interpolate (Rasterizer.Interpolate, Rasterizer.cs:566-640),
+        # in-loop so `acc` never round-trips through HBM ----
+        s = av[..., sl_screen[0]:sl_screen[1]]
+        ia = av[..., 0, sl_ia]
+        clip_w = av[..., chi - 1]
+        pxf = px.astype(F32)
+        pyf = py.astype(F32)
+        s0x, s0y = s[..., 0, 0], s[..., 0, 1]
+        s1x, s1y = s[..., 1, 0], s[..., 1, 1]
+        s2x, s2y = s[..., 2, 0], s[..., 2, 1]
+        w0 = ((s1y - s2y) * (pxf - s1x) + (s2x - s1x) * (pyf - s1y)) * ia
+        w1 = ((s2y - s0y) * (pxf - s2x) + (s0x - s2x) * (pyf - s2y)) * ia
+        w2 = ((s0y - s1y) * (pxf - s0x) + (s1x - s0x) * (pyf - s0y)) * ia
+        rcp_wa = w0 / jnp.where(clip_w[..., 0] == 0, F32(1), clip_w[..., 0])
+        rcp_wb = w1 / jnp.where(clip_w[..., 1] == 0, F32(1), clip_w[..., 1])
+        rcp_wc = w2 / jnp.where(clip_w[..., 2] == 0, F32(1), clip_w[..., 2])
+        wsum = rcp_wa + rcp_wb + rcp_wc
+        wgt = F32(1.0) / jnp.where(wsum == 0, F32(1), wsum)
+        wa, wb, wc = rcp_wa * wgt, rcp_wb * wgt, rcp_wc * wgt
+        a0, a1, a2 = av[..., 0, :], av[..., 1, :], av[..., 2, :]
+        pc = (a0 * rcp_wa[..., None] + a1 * rcp_wb[..., None]
+              + a2 * rcp_wc[..., None]) * wgt[..., None]
+        pw = a0 * wa[..., None] + a1 * wb[..., None] + a2 * wc[..., None]
 
-            # ---- interpolate (Rasterizer.Interpolate, Rasterizer.cs:
-            # 566-640), in-loop so `acc` never round-trips through HBM ----
-            s = av[..., sl_screen[0]:sl_screen[1]]
-            ia = av[..., 0, sl_ia]
-            clip_w = av[..., chi - 1]
-            pxf = px.astype(F32)
-            pyf = py.astype(F32)
-            s0x, s0y = s[..., 0, 0], s[..., 0, 1]
-            s1x, s1y = s[..., 1, 0], s[..., 1, 1]
-            s2x, s2y = s[..., 2, 0], s[..., 2, 1]
-            w0 = ((s1y - s2y) * (pxf - s1x) + (s2x - s1x) * (pyf - s1y)) * ia
-            w1 = ((s2y - s0y) * (pxf - s2x) + (s0x - s2x) * (pyf - s2y)) * ia
-            w2 = ((s0y - s1y) * (pxf - s0x) + (s1x - s0x) * (pyf - s0y)) * ia
-            rcp_wa = w0 / jnp.where(clip_w[..., 0] == 0, F32(1),
-                                    clip_w[..., 0])
-            rcp_wb = w1 / jnp.where(clip_w[..., 1] == 0, F32(1),
-                                    clip_w[..., 1])
-            rcp_wc = w2 / jnp.where(clip_w[..., 2] == 0, F32(1),
-                                    clip_w[..., 2])
-            wsum = rcp_wa + rcp_wb + rcp_wc
-            wgt = F32(1.0) / jnp.where(wsum == 0, F32(1), wsum)
-            wa, wb, wc = rcp_wa * wgt, rcp_wb * wgt, rcp_wc * wgt
-            a0, a1, a2 = av[..., 0, :], av[..., 1, :], av[..., 2, :]
-            pc = (a0 * rcp_wa[..., None] + a1 * rcp_wb[..., None]
-                  + a2 * rcp_wc[..., None]) * wgt[..., None]
-            pw = a0 * wa[..., None] + a1 * wb[..., None] + a2 * wc[..., None]
-
-            flat = {}
-            for k in keys:
-                lo, hi = slices[k]
-                if k.startswith("data."):
-                    val = pw[..., lo:hi]
-                    if hi - lo == 3:
-                        lsq = jnp.sum(val * val, axis=-1, keepdims=True)
-                        nrm = val / jnp.sqrt(jnp.where(lsq > 0, lsq, F32(1)))
-                        val = jnp.where(lsq > F32(1e-6), nrm, val)
-                else:
-                    val = pc[..., lo:hi]
-                flat[k] = val
-            from softwarerenderer_tpu.ops.geometry import unflatten_varyings
-            frag = unflatten_varyings(flat)
-            frag["barycentric"] = jnp.stack([wa, wb, wc], axis=-1)
-            if extra_slices:
-                frag["tri"] = {k: av[..., 0, i].astype(jnp.int32)
-                               for k, i in extra_slices.items()}
-
-            color = fragment_shader(frag, uniforms, jnp)
-            written = covered & (color[..., 3] > 0)
-            out_c = jnp.where(written[..., None],
-                              _fused_blend(color, fb_c, params.blend_mode),
-                              fb_c)
-            if params.depth_test == DepthTest.DISABLED:
-                out_d = fb_d
+        flat = {}
+        for k in keys:
+            lo, hi = slices[k]
+            if k.startswith("data."):
+                val = pw[..., lo:hi]
+                if hi - lo == 3:
+                    lsq = jnp.sum(val * val, axis=-1, keepdims=True)
+                    nrm = val / jnp.sqrt(jnp.where(lsq > 0, lsq, F32(1)))
+                    val = jnp.where(lsq > F32(1e-6), nrm, val)
             else:
-                out_d = jnp.where(written, best_d, fb_d)
-            return out_c, out_d
+                val = pc[..., lo:hi]
+            flat[k] = val
+        from softwarerenderer_tpu.ops.geometry import unflatten_varyings
+        frag = unflatten_varyings(flat)
+        frag["barycentric"] = jnp.stack([wa, wb, wc], axis=-1)
+        if extra_slices:
+            frag["tri"] = {k: av[..., 0, i].astype(jnp.int32)
+                           for k, i in extra_slices.items()}
 
-        # Sky fast path: groups with zero covered pixels (no triangles won
-        # anything — e.g. sky tiles) skip resolve + interpolation + shading
-        # at runtime.
-        out_c, out_d = jax.lax.cond(
-            jnp.any(covered), shade_group, lambda _: (fb_c, fb_d),
-            operand=None)
+        color = fragment_shader(frag, uniforms, jnp)
+        written = covered & (color[..., 3] > 0)
+        out_c = jnp.where(written[..., None],
+                          _fused_blend(color, fb_c, params.blend_mode), fb_c)
+        if params.depth_test == DepthTest.DISABLED:
+            out_d = fb_d
+        else:
+            out_d = jnp.where(written, best_d, fb_d)
 
         all_c = jax.lax.dynamic_update_slice_in_dim(all_c, out_c, base, 0)
         all_d = jax.lax.dynamic_update_slice_in_dim(all_d, out_d, base, 0)
