@@ -102,6 +102,10 @@ class RenderParams:
     span_cap: int = 16        # bbox tile-span above which a tri goes global
     tile_group: int = 16      # tiles processed per sequential step
     chunk: int = 32           # triangles folded per reduction step
+    # Run fold+resolve+interp as one Pallas kernel per tile (G-buffer) with
+    # shading as a single full-frame pass.  LESS_EQUAL depth only; other
+    # configurations fall back to the XLA fused path automatically.
+    use_pallas: bool = False
 
     def replace(self, **kw) -> "RenderParams":
         return dataclasses.replace(self, **kw)
