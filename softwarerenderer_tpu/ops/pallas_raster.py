@@ -146,7 +146,11 @@ def _fold_kernel(ntx, nty, tile_h, tile_w, chunk, row_offset,
             at = ok & (d == cand_d)
             cand_i = jnp.max(jnp.where(at, idx, F32(-1.0)), axis=0,
                              keepdims=True)
-            take = (cand_i > F32(-1.0)) & (cand_d >= best_d)
+            # Depth ties across the two streams (global list vs per-tile
+            # segment) break on submission index, matching binning.merge():
+            # later-submitted (larger idx) wins at exactly-equal depth.
+            take = (cand_i > F32(-1.0)) & (
+                (cand_d > best_d) | ((cand_d == best_d) & (cand_i > best_i)))
             return (jnp.where(take, cand_d, best_d),
                     jnp.where(take, cand_i, best_i))
 

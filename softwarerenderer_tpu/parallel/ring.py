@@ -30,10 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-try:
-    from jax.sharding import shard_map  # jax >= 0.6
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from softwarerenderer_tpu.parallel._compat import shard_map_unchecked
 
 from softwarerenderer_tpu.config import DepthTest, RenderParams
 from softwarerenderer_tpu.ops import culling, geometry
@@ -154,7 +151,8 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
         uu.update(model=model_pv, view=view, projection=proj,
                   atlas_data=scene["atlas_data"],
                   atlas_offsets=scene["atlas_offsets"],
-                  atlas_sizes=scene["atlas_sizes"])
+                  atlas_sizes=scene["atlas_sizes"],
+                  base_color=scene["base_color"])
         vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
         tris = geometry.build_triangles(
             vertex_shader, vin, scene["indices"], uu,
@@ -284,6 +282,6 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
             if params.depth_test != DepthTest.DISABLED else fb_depth
         return out_c, out_d
 
-    fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                   out_specs=(P(AXIS), P(AXIS)), check_rep=False)
+    fn = shard_map_unchecked(shard_fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=(P(AXIS), P(AXIS)))
     return fn(scene, uniforms)

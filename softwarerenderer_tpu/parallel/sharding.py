@@ -30,10 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-try:
-    from jax.sharding import shard_map  # jax >= 0.6
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from softwarerenderer_tpu.parallel._compat import shard_map_unchecked
 
 from softwarerenderer_tpu.config import DepthTest, RenderParams
 from softwarerenderer_tpu.ops import culling, geometry, raster
@@ -210,6 +207,6 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         out_d = jnp.where(any_written, sum_d, fb_depth)
         return out_c, out_d
 
-    fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                   out_specs=out_specs, check_rep=False)
+    fn = shard_map_unchecked(shard_fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs)
     return fn(scene, uniforms)
