@@ -55,30 +55,36 @@ def camera_uniforms(uniforms, frame_idx=0):
     return u
 
 
-def bench_tpu(width, height, frames):
-    import jax
+def bench_tpu(width, height, frames, use_pallas=False):
     from softwarerenderer_tpu import RenderParams
     from softwarerenderer_tpu.engine import Engine
+    from softwarerenderer_tpu.utils.profiling import timed_frames
 
     scene = build_scene()
-    params = RenderParams(width=width, height=height)
+    params = RenderParams(width=width, height=height,
+                          use_pallas=use_pallas)
     eng = Engine(scene, params)
-    u = camera_uniforms(eng.uniforms)
 
-    color, depth = eng.render(u)   # compile + warm up
-    jax.block_until_ready((color, depth))
-    t0 = time.perf_counter()
-    for i in range(frames):
-        color, depth = eng.render(camera_uniforms(eng.uniforms, i))
-    jax.block_until_ready((color, depth))
-    dt = time.perf_counter() - t0
-    mpix = width * height * frames / dt / 1e6
-    return mpix, frames / dt
+    # Mosaic-safe methodology (BENCHMARKS.md): pipeline N frames with
+    # varied uniforms, sync ONCE via a data-dependent scalar readback —
+    # block_until_ready under-reports Pallas custom-calls over the tunnel.
+    spf = timed_frames(
+        lambda i: eng.render(camera_uniforms(eng.uniforms, i)), frames)
+    return width * height / spf / 1e6, 1.0 / spf
 
 
-def bench_cpu_reference(width, height, frames=1):
-    """The golden NumPy implementation on a scaled-down frame; Mpixels/s is
-    resolution-stable enough to serve as the 1080p baseline denominator."""
+def bench_cpu_reference(width, height, frames=1, repeats=3):
+    """Median of `repeats` runs of the golden NumPy implementation on the
+    PINNED baseline workload (320×240, dust2, fixed camera, 1 frame/run) —
+    single runs wobble ±25% (VERDICT r1 weak #3); the median is stable ±5%.
+    Mpixels/s is resolution-stable enough to serve as the 1080p baseline
+    denominator."""
+    runs = sorted(_cpu_reference_once(width, height, frames)
+                  for _ in range(repeats))
+    return runs[len(runs) // 2]
+
+
+def _cpu_reference_once(width, height, frames=1):
     from softwarerenderer_tpu import shaders
     from softwarerenderer_tpu.engine import camera_matrices, \
         default_frame_uniforms
@@ -109,30 +115,33 @@ def bench_cpu_reference(width, height, frames=1):
     return width * height * frames / dt / 1e6
 
 
-def _bench_engine(insts, width, height, frames, uniforms_fn=None, **ekw):
-    import jax
+def _bench_engine(insts, width, height, frames, uniforms_fn=None,
+                  use_pallas=False, **ekw):
     from softwarerenderer_tpu import RenderParams
     from softwarerenderer_tpu.engine import Engine
     from softwarerenderer_tpu.models import scene as scene_mod
+    from softwarerenderer_tpu.utils.profiling import timed_frames
 
     scene = scene_mod.build_scene_buffers(insts)
-    eng = Engine(scene, RenderParams(width=width, height=height), **ekw)
+    eng = Engine(scene, RenderParams(width=width, height=height,
+                                     use_pallas=use_pallas), **ekw)
     u = dict(eng.uniforms)
     if uniforms_fn:
         uniforms_fn(u, scene)
-    out = eng.render(u)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(frames):
+
+    def step(i):
         u["fov_degrees"] = np.float32(90.0 + 0.01 * i)  # defeat caching
-        out = eng.render(u)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return width * height * frames / dt / 1e6, frames / dt
+        return eng.render(u)
+
+    spf = timed_frames(step, frames)
+    return width * height / spf / 1e6, 1.0 / spf
 
 
-def bench_config(n: int, frames: int = 20):
-    """The 5 BASELINE.json benchmark configs."""
+def config_workload(n: int):
+    """Scene + camera for BASELINE config n (1,2,3,5) — shared between the
+    benchmark and the golden-image generator (tests/goldens).  Returns
+    (instances, width, height, uniforms_fn, engine_kwargs); config 4 (the
+    physics-coupled step) stays inline in bench_config."""
     from softwarerenderer_tpu.models import primitives, scene as scene_mod
     from softwarerenderer_tpu.ops import texture as tex_ops
     from softwarerenderer_tpu.utils import mathlib as ml
@@ -142,7 +151,7 @@ def bench_config(n: int, frames: int = 20):
         insts = [scene_mod.MeshInstance(
             primitives.cube(1.5), ml.matrix_from_yaw_pitch_roll(0.5, 0.3, 0)
             @ ml.translation([0, 0, -3]), texture=checker)]
-        return _bench_engine(insts, 640, 480, frames)
+        return insts, 640, 480, None, {}
     if n == 2:    # OBJ mesh + texture sampling + z-buffer, 1280x720
         import tempfile
         from softwarerenderer_tpu.io_host import model_loader
@@ -162,7 +171,7 @@ def bench_config(n: int, frames: int = 20):
         insts = model_loader.model_instances(
             model, ml.translation([0.0, 0.0, -3.0]),
             texture_override=checker)
-        return _bench_engine(insts, 1280, 720, frames)
+        return insts, 1280, 720, None, {}
     if n == 3:    # multi-object frustum-culled multi-light, 1080p
         from softwarerenderer_tpu.models.scene import Light, LightType
         from softwarerenderer_tpu.ops.lighting import (
@@ -190,10 +199,36 @@ def bench_config(n: int, frames: int = 20):
         def add_lights(u, scene):
             u.update(pack_lights(lights))
             u["camera_position"] = np.float32([0, 2, 10])
-        return _bench_engine(insts, 1920, 1080, frames,
-                             uniforms_fn=add_lights,
-                             vertex_shader=lit_scene_vertex_shader,
-                             fragment_shader=multi_light_fragment_shader)
+        return insts, 1920, 1080, add_lights, dict(
+            vertex_shader=lit_scene_vertex_shader,
+            fragment_shader=multi_light_fragment_shader)
+    if n == 5:    # 1000+ instanced meshes, binned raster, 4K
+        rng = np.random.default_rng(1)
+        insts = []
+        for i in range(1100):
+            pos = rng.uniform(-40, 40, 3).astype(np.float32)
+            pos[1] = rng.uniform(-2, 6)
+            insts.append(scene_mod.MeshInstance(
+                primitives.cube(1.2),
+                (ml.matrix_from_yaw_pitch_roll(
+                    float(rng.uniform(0, 3)), 0.0, 0.0)
+                 @ ml.translation(pos)).astype(np.float32),
+                texture=checker))
+
+        def cam(u, scene):
+            u["camera_position"] = np.float32([0, 2, 55])
+            u["far_clip"] = np.float32(300.0)
+        return insts, 3840, 2160, cam, {}
+    raise ValueError(f"unknown workload config {n}")
+
+
+def bench_config(n: int, frames: int = 20):
+    """The 5 BASELINE.json benchmark configs."""
+    if n in (1, 2, 3, 5):
+        insts, w, h, ufn, ekw = config_workload(n)
+        if n == 5:
+            frames = max(frames // 2, 5)
+        return _bench_engine(insts, w, h, frames, uniforms_fn=ufn, **ekw)
     if n == 4:    # physics-coupled character+render in ONE jitted step
         import functools
         import jax
@@ -220,36 +255,18 @@ def bench_config(n: int, frames: int = 20):
             return state, color, depth
 
         from softwarerenderer_tpu.engine import default_frame_uniforms
+        from softwarerenderer_tpu.utils.profiling import timed_frames
         u = camera_uniforms(default_frame_uniforms(width, height))
         state = initial_character_state([0.0, 3.0, 6.0])
         scene = jax.device_put(scene)
-        out = step(state, scene, u)
-        jax.block_until_ready(out)
-        state = out[0]
-        t0 = time.perf_counter()
-        for _ in range(frames):
-            out = step(out[0], scene, u)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        return width * height * frames / dt / 1e6, frames / dt
-    if n == 5:    # 1000+ instanced meshes, binned raster, 4K
-        rng = np.random.default_rng(1)
-        insts = []
-        for i in range(1100):
-            pos = rng.uniform(-40, 40, 3).astype(np.float32)
-            pos[1] = rng.uniform(-2, 6)
-            insts.append(scene_mod.MeshInstance(
-                primitives.cube(1.2),
-                (ml.matrix_from_yaw_pitch_roll(
-                    float(rng.uniform(0, 3)), 0.0, 0.0)
-                 @ ml.translation(pos)).astype(np.float32),
-                texture=checker))
+        out_box = [step(state, scene, u)]
 
-        def cam(u, scene):
-            u["camera_position"] = np.float32([0, 2, 55])
-            u["far_clip"] = np.float32(300.0)
-        return _bench_engine(insts, 3840, 2160, max(frames // 2, 5),
-                             uniforms_fn=cam)
+        def one(i):
+            out_box[0] = step(out_box[0][0], scene, u)
+            return out_box[0]
+
+        spf = timed_frames(one, frames)
+        return width * height / spf / 1e6, 1.0 / spf
     raise ValueError(f"unknown config {n}")
 
 
@@ -262,6 +279,8 @@ def main():
     ap.add_argument("--config", type=int, default=None,
                     help="run one BASELINE config (1-5) instead of the "
                          "headline dust2 1080p metric")
+    ap.add_argument("--use-pallas", action="store_true",
+                    help="route the frame through the Pallas tile kernel")
     args = ap.parse_args()
 
     if args.config is not None:
@@ -281,7 +300,8 @@ def main():
         width, height, frames = 1920, 1080, 30
         ref_w, ref_h = 320, 240
 
-    mpix, fps = bench_tpu(width, height, args.frames or frames)
+    mpix, fps = bench_tpu(width, height, args.frames or frames,
+                          use_pallas=args.use_pallas)
     if args.no_baseline:
         cpu_mpix = None
         vs = None

@@ -103,3 +103,46 @@ def annotate(name: str):
     """Named span inside a trace (shows up in the profiler timeline)."""
     import jax
     return jax.profiler.TraceAnnotation(name)
+
+
+def hard_sync(out) -> float:
+    """Force completion of ALL device work `out` depends on; return a probe.
+
+    `jax.block_until_ready` can return before Mosaic (Pallas custom-call)
+    programs finish when the device sits behind a remote tunnel — pipelined
+    timings then read as fantasy sub-ms numbers (BENCHMARKS.md).  A
+    DATA-DEPENDENT scalar readback cannot lie: the device reduces the last
+    output to one scalar and the host blocks on that transfer, which (by
+    in-order program execution) awaits every previously enqueued frame.
+
+    Use as the one sync point of a pipelined timing loop:
+
+        t0 = perf_counter()
+        for i in range(n): out = step(i)
+        hard_sync(out)
+        dt = perf_counter() - t0
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "dtype")]
+    probe = sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+    return float(np.asarray(probe))
+
+
+def timed_frames(step_fn, n_frames: int, *, warmup: int = 2):
+    """Pipelined-N-frames timing with one hard_sync — the Mosaic-safe
+    methodology (BENCHMARKS.md).  step_fn(i) must vary its inputs with i
+    (defeat program/result caching) and return device arrays.
+
+    Returns seconds per frame."""
+    out = None
+    for i in range(warmup):
+        out = step_fn(i)
+    hard_sync(out)
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        out = step_fn(warmup + i)
+    hard_sync(out)
+    return (time.perf_counter() - t0) / n_frames

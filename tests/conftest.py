@@ -28,6 +28,10 @@ def _cpu_env() -> dict:
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " " + _FLAG).strip()
     env["JAX_ENABLE_X64"] = "0"
+    # Persistent compilation cache: the suite is compile-bound (full-frame
+    # programs take 5-15 s each to build on CPU); repeat runs load from disk.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     env["SRT_TESTS_REEXECED"] = "1"
     return env
 
@@ -42,6 +46,10 @@ def pytest_configure(config):
                 "XLA_FLAGS", ""):
             os.environ["XLA_FLAGS"] = (
                 os.environ.get("XLA_FLAGS", "") + " " + _FLAG).strip()
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              "/root/.jax_cache_cpu")
+        os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                              "1")
         return
     capman = config.pluginmanager.getplugin("capturemanager")
     if capman is not None:

@@ -9,6 +9,10 @@ import pytest
 
 from softwarerenderer_tpu.apps.dust2 import Dust2Game
 
+# App-level tests compile the full dust2 frame program (+ character step):
+# ~90-110 s each on the CPU backend — the slow tier (pytest -m "not slow").
+pytestmark = pytest.mark.slow
+
 
 def free_port():
     with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
