@@ -209,12 +209,12 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                               fb_color, fb_depth, per_tri_extra=per_tri)
     if params.binned:
         if params.use_pallas and params.depth_test == DepthTest.LESS_EQUAL:
-            from softwarerenderer_tpu.ops.pallas_gbuffer import (
-                render_binned_gbuffer,
+            from softwarerenderer_tpu.ops.pallas_tile import (
+                render_tile_pallas,
             )
-            return render_binned_gbuffer(tris, fragment_shader, u, params,
-                                         fb_color, fb_depth,
-                                         per_tri_extra=per_tri)
+            return render_tile_pallas(tris, fragment_shader, u, params,
+                                      fb_color, fb_depth,
+                                      per_tri_extra=per_tri)
         # Fully fused tile renderer: visibility + one-hot-matmul attribute
         # resolve + shading inside one per-tile loop (no full-screen
         # per-pixel gathers).

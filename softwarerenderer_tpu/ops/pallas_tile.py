@@ -1,0 +1,421 @@
+"""Single-pass Pallas tile renderer: fold + resolve + interpolate in-kernel.
+
+Second-generation Pallas path (replaces ops/pallas_gbuffer.py as the
+`RenderParams.use_pallas` route).  The G-buffer kernel lost to the XLA fused
+path for three measured reasons (scripts/profile_kernels.py, BENCHMARKS.md):
+two streaming passes over the same bins, a raw 3-vertex payload G-buffer
+(~128 f32/pixel → ~1 GB/frame of HBM round-trip at 1080p), and 128-lane
+chunks that pad sparse bins ~10× (dust2 @1080p: mean segment 9.7 triangles,
+65 % of tiles empty, 49 global triangles).  This kernel fixes all three:
+
+  * ONE pass per stream: the per-chunk winner is resolved immediately with
+    a one-hot (S, kp3)×(S, tpx) MXU matmul and merged into scratch refs
+    (best depth / index / winner payload) — stream data is DMA'd once.
+  * Sub-chunk predication: chunks stay 128-lane (DMA alignment) but are
+    evaluated in 32-lane sub-chunks, each skipped with @pl.when unless it
+    overlaps the tile's live [offset, offset+count) range — a mean-9.7
+    segment costs one 32-wide evaluation instead of 128.
+  * The GLOBAL list (bbox span > span_cap: the near walls / floor) rides in
+    VMEM as a normal pallas input (constant index map → loaded once, not
+    per tile); a DMA tail loop keeps exactness if it ever exceeds the
+    resident cap.
+  * Perspective-correct interpolation (Rasterizer.cs:566-640 semantics,
+    matching binning.render_binned_fused) runs IN-kernel on the winner
+    payload, so the G-buffer shrinks to the interpolated varyings the
+    fragment shader declared (~16-24 f32/pixel): ~6× less HBM traffic.
+
+Fragment shading stays one full-frame XLA pass over the compact G-buffer
+(texture-atlas gathers don't lower inside Mosaic), followed by the same
+blend/depth merge as the fused path.  LESS_EQUAL depth only (the game's
+mode; everything else falls back to the XLA paths in the engine).
+
+Reference parity: the per-pixel depth-test/interpolate loop this replaces
+is /root/reference/Rasterizer.cs:462-538 (tile loop) + :566-640
+(Interpolate); the lexicographic (depth, submission index) fold reproduces
+its sequential new >= old semantics exactly (PARITY.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from softwarerenderer_tpu.config import DepthTest, RenderParams
+from softwarerenderer_tpu.ops.binning import _cdiv, bin_triangles
+from softwarerenderer_tpu.ops.geometry import unflatten_varyings
+from softwarerenderer_tpu.ops.pallas_gbuffer import _build_streams
+from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR, _blend
+
+F32 = jnp.float32
+N_FIELDS = 16     # setup-stream rows: s0x s0y s1x s1y s2x s2y d0 d1 d2 ia idx
+SUB = 32          # sub-chunk width (predicated evaluation granularity)
+GLOB_RESIDENT = 256   # global triangles kept in VMEM (dust2 @1080p: 49)
+
+
+def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kpi,
+            interp_plan, sl_screen, sl_ia, clip_w_off, interpret,
+            # scalar prefetch
+            starts_ref, counts_ref, nglob_ref,
+            # inputs
+            fbd_ref, globres_ref, globres_pl_ref,
+            glob_ref, seg_ref, glob_pl_ref, seg_pl_ref,
+            # outputs
+            gbuf_ref, outd_ref, outi_ref,
+            # scratch
+            bd_ref, bi_ref, bpl_ref, buf_ref, plbuf_ref, sem_ref, plsem_ref):
+    i = pl.program_id(0)
+    ty = i // ntx
+    tx = i % ntx
+    tpx = tile_h * tile_w
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
+    px = (lane % tile_w + tx * tile_w).astype(F32)
+    py = (lane // tile_w + ty * tile_h + row_offset).astype(F32)
+
+    n_global = nglob_ref[0]
+    start = starts_ref[i]
+    count = counts_ref[i]
+
+    bd_ref[...] = fbd_ref[...].reshape(1, tpx)
+    bi_ref[...] = jnp.full((1, tpx), -1.0, dtype=F32)
+    bpl_ref[...] = jnp.zeros((kp3, tpx), F32)
+
+    def eval_merge(cols, pl_rows, base_pos, lo, hi):
+        """Fold + resolve one (N_FIELDS, SUB) sub-chunk into the scratch
+        refs.  Stream positions base_pos..base_pos+SUB-1; only positions in
+        [lo, hi) are live."""
+        col = lambda k: cols[k, :][:, None]                    # (SUB, 1)
+        s0x, s0y, s1x, s1y = col(0), col(1), col(2), col(3)
+        s2x, s2y = col(4), col(5)
+        d0, d1, d2, ia, idx = col(6), col(7), col(8), col(9), col(10)
+        w0 = (s1y - s2y) * (px - s1x) + (s2x - s1x) * (py - s1y)
+        w1 = (s2y - s0y) * (px - s2x) + (s0x - s2x) * (py - s2y)
+        w2 = (s0y - s1y) * (px - s0x) + (s1x - s0x) * (py - s0y)
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
+                 ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+        pos = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0) + base_pos
+        ok = inside & (pos >= lo) & (pos < hi)
+        d = d0 * (w0 * ia) + d1 * (w1 * ia) + d2 * (w2 * ia)
+
+        # LESS_EQUAL fold: lexicographic (depth, submission index) max;
+        # ties across sub-chunks/streams break on index (later wins),
+        # matching binning.merge() (Rasterizer.cs:546 "new >= old").
+        #
+        # EVERYTHING below derives from the single barriered `dm` array.
+        # Without the barrier the compiler may rematerialize the edge
+        # functions into each consumer with different FMA contraction, and
+        # a borderline `inside` predicate then flips between the fold and
+        # the one-hot resolve — the fold records a winner whose payload
+        # the resolve never selects (measured in interpret mode).
+        dm = jnp.where(ok, d, F32(-jnp.inf))
+        if interpret:
+            # Mosaic computes each SSA value once (no barrier needed, and
+            # it has no lowering for one); the XLA interpret path does
+            # rematerialize, so pin the value there.
+            dm = jax.lax.optimization_barrier(dm)
+        cand_d = jnp.max(dm, axis=0, keepdims=True)            # (1, tpx)
+        has = cand_d > F32(-jnp.inf)
+        at = (dm == cand_d) & has
+        cand_i = jnp.max(jnp.where(at, idx, F32(-1.0)), axis=0,
+                         keepdims=True)
+        best_d = bd_ref[...]
+        best_i = bi_ref[...]
+        take = has & (cand_i > F32(-1.0)) & (
+            (cand_d > best_d) | ((cand_d == best_d) & (cand_i > best_i)))
+
+        # Winner payload for this sub-chunk via one-hot matmul, laid out
+        # (fields, pixels) so later field reads are cheap sublane slices.
+        onehot = (at & (idx == cand_i)).astype(F32)            # (SUB, tpx)
+        cand_pl = jax.lax.dot_general(
+            pl_rows, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (kp3, tpx)
+        bpl_ref[...] = jnp.where(take, cand_pl, bpl_ref[...])
+        bd_ref[...] = jnp.where(take, cand_d, best_d)
+        bi_ref[...] = jnp.where(take, cand_i, best_i)
+
+    # ---- resident globals: VMEM inputs, no DMA ---------------------------
+    n_res = jnp.minimum(n_global, GLOB_RESIDENT)
+    for k in range(GLOB_RESIDENT // SUB):
+        @pl.when(k * SUB < n_res)
+        def _(k=k):
+            eval_merge(globres_ref[:, k * SUB:(k + 1) * SUB],
+                       globres_pl_ref[k * SUB:(k + 1) * SUB, :],
+                       k * SUB, 0, n_res)
+
+    # ---- streamed folds: double-buffered 128-lane DMA, 32-lane eval ------
+    def fold_stream(stream_ref, pl_ref, offset, length):
+        abase = (offset // chunk) * chunk
+        lead = offset - abase
+        total = lead + length
+        n_chunks = (total + chunk - 1) // chunk
+
+        def get_dmas(slot, c):
+            s0 = pl.multiple_of(abase + c * chunk, chunk)
+            return (pltpu.make_async_copy(
+                        stream_ref.at[:, pl.ds(s0, chunk)],
+                        buf_ref.at[slot], sem_ref.at[slot]),
+                    pltpu.make_async_copy(
+                        pl_ref.at[pl.ds(s0, chunk), :],
+                        plbuf_ref.at[slot], plsem_ref.at[slot]))
+
+        @pl.when(n_chunks > 0)
+        def _():
+            for dma in get_dmas(0, 0):
+                dma.start()
+
+        def body(c, carry):
+            slot = c % 2
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in get_dmas((c + 1) % 2, c + 1):
+                    dma.start()
+            d1, d2 = get_dmas(slot, c)
+            d1.wait()
+            d2.wait()
+            for s in range(chunk // SUB):
+                base_pos = c * chunk + s * SUB
+                live = (base_pos < total) & (base_pos + SUB > lead)
+
+                @pl.when(live)
+                def _(s=s, base_pos=base_pos, slot=slot):
+                    eval_merge(buf_ref[slot][:, s * SUB:(s + 1) * SUB],
+                               plbuf_ref[slot][s * SUB:(s + 1) * SUB, :],
+                               base_pos, lead, total)
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    # Global tail past the resident cap (rare; keeps exactness).
+    @pl.when(n_global > GLOB_RESIDENT)
+    def _():
+        fold_stream(glob_ref, glob_pl_ref, GLOB_RESIDENT,
+                    n_global - GLOB_RESIDENT)
+
+    @pl.when(count > 0)
+    def _():
+        fold_stream(seg_ref, seg_pl_ref, start, count)
+
+    # ---- in-kernel perspective-correct interpolation ---------------------
+    # (Rasterizer.cs:566-640; identical math to binning.render_binned_fused)
+    def row(v, f):
+        return bpl_ref[v * kp + f:v * kp + f + 1, :]           # (1, tpx)
+
+    ia = row(0, sl_ia)
+    s0x, s0y = row(0, sl_screen), row(0, sl_screen + 1)
+    s1x, s1y = row(1, sl_screen), row(1, sl_screen + 1)
+    s2x, s2y = row(2, sl_screen), row(2, sl_screen + 1)
+    w0 = ((s1y - s2y) * (px - s1x) + (s2x - s1x) * (py - s1y)) * ia
+    w1 = ((s2y - s0y) * (px - s2x) + (s0x - s2x) * (py - s2y)) * ia
+    w2 = ((s0y - s1y) * (px - s0x) + (s1x - s0x) * (py - s0y)) * ia
+    cw0, cw1, cw2 = (row(0, clip_w_off), row(1, clip_w_off),
+                     row(2, clip_w_off))
+    rcp_a = w0 / jnp.where(cw0 == 0, F32(1), cw0)
+    rcp_b = w1 / jnp.where(cw1 == 0, F32(1), cw1)
+    rcp_c = w2 / jnp.where(cw2 == 0, F32(1), cw2)
+    wsum = rcp_a + rcp_b + rcp_c
+    wgt = F32(1.0) / jnp.where(wsum == 0, F32(1), wsum)
+    wa, wb, wc = rcp_a * wgt, rcp_b * wgt, rcp_c * wgt
+
+    def pc(f):    # perspective-correct
+        return (row(0, f) * rcp_a + row(1, f) * rcp_b
+                + row(2, f) * rcp_c) * wgt
+
+    def pw(f):    # screen-space (Data dict channel semantics)
+        return row(0, f) * wa + row(1, f) * wb + row(2, f) * wc
+
+    j = 0
+    for kind, lo, hi in interp_plan:
+        width = hi - lo
+        if kind == "pw3":     # 3-vector Data channel: renormalize
+            # val / sqrt(lsq) exactly (NOT rsqrt: approximate on TPU and
+            # would diverge from the XLA fused path's interpolation).
+            v0, v1, v2 = pw(lo), pw(lo + 1), pw(lo + 2)
+            lsq = v0 * v0 + v1 * v1 + v2 * v2
+            den = jnp.sqrt(jnp.where(lsq > 0, lsq, F32(1)))
+            keep = lsq > F32(1e-6)
+            gbuf_ref[j:j + 1, :] = jnp.where(keep, v0 / den, v0)
+            gbuf_ref[j + 1:j + 2, :] = jnp.where(keep, v1 / den, v1)
+            gbuf_ref[j + 2:j + 3, :] = jnp.where(keep, v2 / den, v2)
+        elif kind == "pw":
+            for f in range(lo, hi):
+                gbuf_ref[j + f - lo:j + f - lo + 1, :] = pw(f)
+        elif kind == "pc":
+            for f in range(lo, hi):
+                gbuf_ref[j + f - lo:j + f - lo + 1, :] = pc(f)
+        elif kind == "bary":
+            gbuf_ref[j:j + 1, :] = wa
+            gbuf_ref[j + 1:j + 2, :] = wb
+            gbuf_ref[j + 2:j + 3, :] = wc
+            width = 3
+        elif kind == "v0":    # per-triangle scalar (tex id, mesh id)
+            gbuf_ref[j:j + 1, :] = row(0, lo)
+            width = 1
+        j += width
+    if j < kpi:
+        gbuf_ref[j:kpi, :] = jnp.zeros((kpi - j, tpx), F32)
+
+    outd_ref[...] = bd_ref[...].reshape(tile_h, tile_w)
+    outi_ref[...] = bi_ref[...].reshape(tile_h, tile_w).astype(jnp.int32)
+
+
+def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
+                       params: RenderParams, fb_color, fb_depth,
+                       per_tri_extra: Optional[Dict] = None,
+                       row_offset=0, *, interpret: bool = False):
+    """Full frame: single-pass tile kernel + one XLA shading pass.
+
+    Same contract as binning.render_binned_fused; LESS_EQUAL depth only.
+    """
+    if params.depth_test != DepthTest.LESS_EQUAL:
+        raise NotImplementedError("pallas tile kernel supports LESS_EQUAL "
+                                  "only")
+    tile_w = params.tile_w
+    tile_h = min(params.tile_h, 16)
+    chunk = 128                       # DMA granularity (lane alignment)
+    H, W = params.height, params.width
+    nty, ntx = _cdiv(H, tile_h), _cdiv(W, tile_w)
+    ntiles = nty * ntx
+    Hp, Wp = nty * tile_h, ntx * tile_w
+    tpx = tile_h * tile_w
+
+    bins = bin_triangles(tris, params, tile_h, tile_w, params.span_cap,
+                         row_offset)
+
+    # ---- packed per-triangle payload (fused-path layout) -----------------
+    keys = sorted(tris["attrs"].keys())
+    parts, slices, off = [], {}, 0
+    for k in keys:
+        arr = tris["attrs"][k]
+        parts.append(arr)
+        slices[k] = (off, off + arr.shape[-1])
+        off += arr.shape[-1]
+    n = tris["screen"].shape[0]
+    parts.append(tris["screen"])
+    sl_screen = off; off += 2
+    parts.append(jnp.broadcast_to(tris["inv_area"][:, None, None], (n, 3, 1)))
+    sl_ia = off; off += 1
+    extra_keys = sorted(per_tri_extra.keys()) if per_tri_extra else []
+    extra_slices = {}
+    for k in extra_keys:
+        v = jnp.asarray(per_tri_extra[k], F32)[:, None, None]
+        parts.append(jnp.broadcast_to(v, (n, 3, 1)))
+        extra_slices[k] = off
+        off += 1
+    kp = off
+    kp3 = _cdiv(3 * kp, 128) * 128
+    payload = jnp.concatenate(parts, axis=-1).reshape(n, 3 * kp)
+    payload = jnp.where(tris["valid"][:, None], payload, 0.0)
+    payload = jnp.pad(payload, ((0, 0), (0, kp3 - 3 * kp)))
+    clip_w_off = slices["clip_position"][1] - 1
+
+    # ---- interpolation plan → G-buffer channel map -----------------------
+    interp_plan = []          # (kind, payload_lo, payload_hi)
+    gb_slices = {}            # gbuf channel ranges per output
+    j = 0
+    for k in keys:
+        lo, hi = slices[k]
+        if k.startswith("data.") and hi - lo == 3:
+            interp_plan.append(("pw3", lo, hi))
+        elif k.startswith("data."):
+            interp_plan.append(("pw", lo, hi))
+        else:
+            interp_plan.append(("pc", lo, hi))
+        gb_slices[k] = (j, j + hi - lo)
+        j += hi - lo
+    interp_plan.append(("bary", 0, 0))
+    gb_slices["barycentric"] = (j, j + 3)
+    j += 3
+    for k in extra_keys:
+        interp_plan.append(("v0", extra_slices[k], 0))
+        gb_slices["tri." + k] = (j, j + 1)
+        j += 1
+    kpi = _cdiv(j, 8) * 8
+
+    # ---- streams ----------------------------------------------------------
+    glob_s, seg_s, glob_p, seg_p = _build_streams(tris, bins, payload)
+
+    def pad_streams(s, p, min_len):
+        ln = s.shape[1]
+        ln_pad = max(_cdiv(max(ln, 1), chunk) * chunk + chunk, min_len)
+        return (jnp.pad(s, ((0, 0), (0, ln_pad - ln))),
+                jnp.pad(p, ((0, ln_pad - ln), (0, 0))))
+    glob_s, glob_p = pad_streams(glob_s, glob_p, GLOB_RESIDENT)
+    seg_s, seg_p = pad_streams(seg_s, seg_p, 0)
+    globres = glob_s[:, :GLOB_RESIDENT]
+    globres_pl = glob_p[:GLOB_RESIDENT]
+
+    fbd = jnp.pad(fb_depth, ((0, Hp - H), (0, Wp - W)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((tile_h, tile_w),
+                         lambda i, *_: (i // ntx, i % ntx)),
+            pl.BlockSpec((N_FIELDS, GLOB_RESIDENT), lambda i, *_: (0, 0)),
+            pl.BlockSpec((GLOB_RESIDENT, kp3), lambda i, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((kpi, tpx), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tile_h, tile_w),
+                         lambda i, *_: (i // ntx, i % ntx)),
+            pl.BlockSpec((tile_h, tile_w),
+                         lambda i, *_: (i // ntx, i % ntx)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tpx), jnp.float32),        # best depth
+            pltpu.VMEM((1, tpx), jnp.float32),        # best index
+            pltpu.VMEM((kp3, tpx), jnp.float32),      # winner payload
+            pltpu.VMEM((2, N_FIELDS, chunk), jnp.float32),
+            pltpu.VMEM((2, chunk, kp3), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kpi,
+        tuple(interp_plan), sl_screen, sl_ia, clip_w_off, interpret)
+    gbuf, best_d, best_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ntiles * kpi, tpx), jnp.float32),
+                   jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+                   jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)],
+        interpret=interpret,
+    )(bins["starts"], bins["counts"],
+      jnp.asarray([bins["n_global"]], jnp.int32),
+      fbd, globres, globres_pl, glob_s, seg_s, glob_p, seg_p)
+
+    # ---- full-frame shading over the compact G-buffer (one XLA pass) ----
+    def untile(a):           # (ntiles*kpi, tpx) → (kpi, H, W)
+        a = a.reshape(nty, ntx, kpi, tile_h, tile_w)
+        a = a.transpose(2, 0, 3, 1, 4).reshape(kpi, Hp, Wp)
+        return a[:, :H, :W]
+
+    planes = untile(gbuf)
+    flat = {k: jnp.moveaxis(planes[lo:hi], 0, -1)
+            for k, (lo, hi) in gb_slices.items() if not k.startswith("tri.")}
+    frag = unflatten_varyings(
+        {k: v for k, v in flat.items() if k != "barycentric"})
+    frag["barycentric"] = flat["barycentric"]
+    if extra_keys:
+        frag["tri"] = {k: planes[gb_slices["tri." + k][0]].astype(jnp.int32)
+                       for k in extra_keys}
+
+    covered = best_i[:H, :W] >= 0
+    color = fragment_shader(frag, uniforms, jnp)
+    written = covered & (color[..., 3] > 0)
+    out_c = jnp.where(written[..., None],
+                      _blend(color, fb_color, params.blend_mode), fb_color)
+    out_d = jnp.where(written, best_d[:H, :W], fb_depth)
+    return out_c, out_d
