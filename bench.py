@@ -55,14 +55,15 @@ def camera_uniforms(uniforms, frame_idx=0):
     return u
 
 
-def bench_tpu(width, height, frames, use_pallas=False):
+def bench_tpu(width, height, frames, use_pallas=None):
     from softwarerenderer_tpu import RenderParams
     from softwarerenderer_tpu.engine import Engine
     from softwarerenderer_tpu.utils.profiling import timed_frames
 
     scene = build_scene()
-    params = RenderParams(width=width, height=height,
-                          use_pallas=use_pallas)
+    params = RenderParams(width=width, height=height)
+    if use_pallas is not None:
+        params = params.replace(use_pallas=use_pallas)
     eng = Engine(scene, params)
 
     # Mosaic-safe methodology (BENCHMARKS.md): pipeline N frames with
@@ -116,15 +117,17 @@ def _cpu_reference_once(width, height, frames=1):
 
 
 def _bench_engine(insts, width, height, frames, uniforms_fn=None,
-                  use_pallas=False, **ekw):
+                  use_pallas=None, **ekw):
     from softwarerenderer_tpu import RenderParams
     from softwarerenderer_tpu.engine import Engine
     from softwarerenderer_tpu.models import scene as scene_mod
     from softwarerenderer_tpu.utils.profiling import timed_frames
 
     scene = scene_mod.build_scene_buffers(insts)
-    eng = Engine(scene, RenderParams(width=width, height=height,
-                                     use_pallas=use_pallas), **ekw)
+    params = RenderParams(width=width, height=height)
+    if use_pallas is not None:
+        params = params.replace(use_pallas=use_pallas)
+    eng = Engine(scene, params, **ekw)
     u = dict(eng.uniforms)
     if uniforms_fn:
         uniforms_fn(u, scene)
@@ -279,8 +282,11 @@ def main():
     ap.add_argument("--config", type=int, default=None,
                     help="run one BASELINE config (1-5) instead of the "
                          "headline dust2 1080p metric")
-    ap.add_argument("--use-pallas", action="store_true",
-                    help="route the frame through the Pallas tile kernel")
+    ap.add_argument("--use-pallas", action="store_true", default=None,
+                    help="force the Pallas tile kernel (default: on for "
+                         "TPU+LESS_EQUAL via RenderParams)")
+    ap.add_argument("--no-pallas", dest="use_pallas", action="store_false",
+                    help="force the XLA fused path")
     args = ap.parse_args()
 
     if args.config is not None:

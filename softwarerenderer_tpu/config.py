@@ -95,17 +95,20 @@ class RenderParams:
     # Visibility strategy: tile-binned (work ∝ triangle-tile overlap) vs
     # brute force (every triangle × every pixel; the correctness slice).
     binned: bool = True
-    # Tile/chunk defaults from the round-1 sweep on TPU v5e @1080p dust2
-    # (BENCHMARKS.md): 32x128 tiles, 16-tile groups, 32-triangle chunks.
+    # Tile/chunk defaults from the round-2 sweep on TPU v5e @1080p dust2
+    # (BENCHMARKS.md): 32x128 tiles, 16-tile groups, 32-triangle chunks,
+    # span_cap 8 (smaller pair table; the Pallas kernel keeps globals
+    # resident in VMEM so the bigger global list is free).
     tile_h: int = 32          # screen tile size for binning
     tile_w: int = 128         # last dim 128 = TPU lane width
-    span_cap: int = 16        # bbox tile-span above which a tri goes global
+    span_cap: int = 8         # bbox tile-span above which a tri goes global
     tile_group: int = 16      # tiles processed per sequential step
     chunk: int = 32           # triangles folded per reduction step
-    # Run fold+resolve+interp as one Pallas kernel per tile (G-buffer) with
-    # shading as a single full-frame pass.  LESS_EQUAL depth only; other
-    # configurations fall back to the XLA fused path automatically.
-    use_pallas: bool = False
+    # Run fold+resolve+interp as one Pallas tile kernel (ops/pallas_tile)
+    # with shading as a single full-frame pass — the fastest path, default
+    # ON.  Engages only on the TPU backend with LESS_EQUAL depth; every
+    # other configuration falls back to the XLA fused path automatically.
+    use_pallas: bool = True
 
     def replace(self, **kw) -> "RenderParams":
         return dataclasses.replace(self, **kw)

@@ -57,15 +57,29 @@ def scene_vertex_shader(vin, uniforms, xp=jnp):
     }
 
 
+def _frag_atlas_sample(frag, uniforms, xp, bilinear=False):
+    """Atlas fetch for scene shaders: uses per-triangle pre-resolved region
+    channels when the raster path provides them (the only per-pixel memory
+    access is then the texel row-gather — a per-pixel table `take` costs
+    ~6.8 ms/frame at 1080p), falling back to tex_id table lookup."""
+    tri = frag.get("tri", {})
+    if not bilinear and "tex_oy" in tri:
+        return tex_ops.sample_atlas_region(
+            uniforms["atlas_data"], tri["tex_oy"], tri["tex_ox"],
+            tri["tex_h"], tri["tex_w"], frag["uv"], xp=xp)
+    fn = (tex_ops.sample_atlas_bilinear if bilinear
+          else tex_ops.sample_atlas_nearest)
+    return fn(uniforms["atlas_data"], uniforms["atlas_offsets"],
+              uniforms["atlas_sizes"], tri["tex_id"], frag["uv"], xp=xp)
+
+
 def scene_fragment_shader(frag, uniforms, xp=jnp):
     """Texture(atlas) × vertex color, half-Lambert max(0.25, N·-L),
     smoothstep fog on clip-space Z, alpha unfogged (Renderer.cs:848-860)."""
     world_normal = frag["data"]["world_normal"]
     light_dir = uniforms["light_direction"]
     diffuse = xp.maximum(F32(0.25), ml.dot(world_normal, -light_dir, xp=xp))
-    tex_color = tex_ops.sample_atlas_nearest(
-        uniforms["atlas_data"], uniforms["atlas_offsets"],
-        uniforms["atlas_sizes"], frag["tri"]["tex_id"], frag["uv"], xp=xp)
+    tex_color = _frag_atlas_sample(frag, uniforms, xp)
     base = frag["color"] * tex_color
     depth = frag["clip_position"][..., 2]
     fog = xp.clip((uniforms["fog_end"] - depth)
@@ -90,9 +104,7 @@ def scene_fragment_shader_bilinear(frag, uniforms, xp=jnp):
     world_normal = frag["data"]["world_normal"]
     light_dir = uniforms["light_direction"]
     diffuse = xp.maximum(F32(0.25), ml.dot(world_normal, -light_dir, xp=xp))
-    tex_color = tex_ops.sample_atlas_bilinear(
-        uniforms["atlas_data"], uniforms["atlas_offsets"],
-        uniforms["atlas_sizes"], frag["tri"]["tex_id"], frag["uv"], xp=xp)
+    tex_color = _frag_atlas_sample(frag, uniforms, xp, bilinear=True)
     base = frag["color"] * tex_color
     depth = frag["clip_position"][..., 2]
     fog = xp.clip((uniforms["fog_end"] - depth)
@@ -183,8 +195,17 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         keep_varyings=getattr(fragment_shader, "varyings", None))
 
     # Per-triangle material plumbing; ×2 to match the clipper's fan slots.
-    per_tri = {"tex_id": jnp.repeat(scene["tri_texture_id"], 2),
-               "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2)}
+    # Atlas regions resolve here (T-level takes ≈ free) so the fragment
+    # stage's only per-pixel memory access is the texel gather itself.
+    tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+    aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
+    asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
+    per_tri = {"tex_id": tid2,
+               "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
+               "tex_oy": jnp.take(aoff[:, 0], tid2),
+               "tex_ox": jnp.take(aoff[:, 1], tid2),
+               "tex_h": jnp.take(asiz[:, 0], tid2),
+               "tex_w": jnp.take(asiz[:, 1], tid2)}
 
     if fb is None:
         clear = jnp.asarray(uniforms["clear_color"], dtype=F32)
@@ -208,7 +229,11 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         return render_forward(tris, fragment_shader, u, params,
                               fb_color, fb_depth, per_tri_extra=per_tri)
     if params.binned:
-        if params.use_pallas and params.depth_test == DepthTest.LESS_EQUAL:
+        if params.use_pallas and params.depth_test == DepthTest.LESS_EQUAL \
+                and jax.default_backend() == "tpu":
+            # Mosaic kernels need real TPU hardware; every other backend
+            # (CPU tests, virtual meshes) takes the XLA fused path, which
+            # is pixel-exact with the kernel (tests/test_pallas_raster.py).
             from softwarerenderer_tpu.ops.pallas_tile import (
                 render_tile_pallas,
             )

@@ -146,7 +146,7 @@ class TextureAtlas:
     Renderer.cs:852 `texture?.Sample(...) ?? Vector4.One`).
     """
 
-    data: np.ndarray            # (H, W, 4) float32
+    data: np.ndarray            # (H, W, 4) uint8 RGBA (texture.pack_rgba8)
     offsets: np.ndarray         # (N, 2) int32 (y, x)
     sizes: np.ndarray           # (N, 2) int32 (h, w)
 
@@ -188,8 +188,11 @@ def pack_atlas(textures: List[np.ndarray], pad_to_multiple: int = 128
     data = np.zeros((atlas_h, atlas_w, 4), dtype=F32)
     for im, (oy, ox), (h, w) in zip(images, offsets, sizes):
         data[oy:oy + h, ox:ox + w] = im
+    # Pack as RGBA u8 rows: the reference's byte-image value space
+    # (Texture.cs) and 4× narrower gather rows (texture.pack_rgba8).
+    from softwarerenderer_tpu.ops.texture import pack_rgba8
     return TextureAtlas(
-        data=data,
+        data=pack_rgba8(data),
         offsets=np.asarray(offsets, dtype=np.int32),
         sizes=np.asarray(sizes, dtype=np.int32),
     )

@@ -108,9 +108,8 @@ def multi_light_fragment_shader(frag, uniforms, xp):
 
     world_normal = frag["data"]["world_normal"]
     world_pos = frag["data"]["world_position"][..., :3]
-    tex_color = tex_ops.sample_atlas_nearest(
-        uniforms["atlas_data"], uniforms["atlas_offsets"],
-        uniforms["atlas_sizes"], frag["tri"]["tex_id"], frag["uv"], xp=xp)
+    from softwarerenderer_tpu.engine.renderer import _frag_atlas_sample
+    tex_color = _frag_atlas_sample(frag, uniforms, xp)
     base = frag["color"] * tex_color
     light = accumulate_lights(world_pos, world_normal, uniforms, xp)
     ambient = uniforms.get("ambient", F32(0.1))

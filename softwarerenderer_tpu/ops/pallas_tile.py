@@ -276,7 +276,9 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
         raise NotImplementedError("pallas tile kernel supports LESS_EQUAL "
                                   "only")
     tile_w = params.tile_w
-    tile_h = min(params.tile_h, 16)
+    # VMEM budget: bpl (kp3, tpx) + eval intermediates (SUB, tpx)×~8 +
+    # payload buffers; tpx = 32·128 keeps the total ≈ 10 MB.
+    tile_h = min(params.tile_h, 32)
     chunk = 128                       # DMA granularity (lane alignment)
     H, W = params.height, params.width
     nty, ntx = _cdiv(H, tile_h), _cdiv(W, tile_w)

@@ -17,8 +17,44 @@ import numpy as np
 F32 = np.float32
 
 
+def quantize_u8_grid(data: np.ndarray) -> np.ndarray:
+    """Snap float colors to the u8/255 grid (still float32).
+
+    The reference stores textures as BYTE images (Texture.cs via ImageSharp;
+    `Sample` returns bytes/255f), so the u8 grid IS the texture value space.
+    Quantizing at load time keeps the CPU oracle and the device's packed
+    RGBA8 atlas (see `pack_rgba8`) bit-identical.
+    """
+    q = np.clip(np.round(np.asarray(data, np.float32) * F32(255.0)),
+                0.0, 255.0).astype(np.float32)
+    return q / F32(255.0)
+
+
+def pack_rgba8(data: np.ndarray) -> np.ndarray:
+    """(H, W, 4) float32 in [0,1] → (H, W, 4) uint8 RGBA.
+
+    The device atlas format: 4-byte texel ROWS instead of 16-byte f32 rows.
+    TPU gather throughput is set by whether the table stays VMEM-resident —
+    measured at 1080p (2M texel fetches): u8×4 rows ≈ 6 ms for tables up to
+    millions of texels, f32×4 rows 24 ms once the table spills to HBM, and
+    any SCALAR gather (e.g. packed-u32-per-texel) hits a slow lowering at
+    ~16 ms regardless of size.  Row gathers of the narrowest dtype win."""
+    return np.clip(np.round(np.asarray(data, np.float32) * 255.0),
+                   0, 255).astype(np.uint8)
+
+
+def unpack_rgba8(q, xp=np):
+    """uint8 RGBA rows → (..., 4) float32; bytes/255 exactly like the
+    reference's Sample (Texture.cs:59-62)."""
+    return xp.asarray(q).astype(xp.float32) / F32(255.0)
+
+
 def make_texture(data, xp=np):
-    """Wrap an (H, W, 4) float32/uint8 array as a texture pytree."""
+    """Wrap an (H, W, 4) float32/uint8 array as a texture pytree.
+
+    Colors snap to the u8/255 grid (the reference's byte-image value space,
+    Texture.cs) so the CPU oracle and the device's packed-RGBA8 atlas agree
+    exactly."""
     data = xp.asarray(data)
     if data.dtype == np.uint8 or str(data.dtype) == "uint8":
         data = data.astype(xp.float32) / F32(255.0)
@@ -28,6 +64,8 @@ def make_texture(data, xp=np):
     if data.shape[-1] == 3:
         data = xp.concatenate(
             [data, xp.ones(data.shape[:-1] + (1,), dtype=xp.float32)], axis=-1)
+    if xp is np:
+        data = quantize_u8_grid(data)
     return {"data": data}
 
 
@@ -59,35 +97,75 @@ def sample_atlas_nearest(atlas_data, offsets, sizes, tex_id, uv, xp=np):
     within the texture's (h, w) region: one big gather from the atlas, so a
     whole frame's texturing is a single `take` on device.
 
-    atlas_data: (AH, AW, 4); offsets/sizes: (N, 2) int32 (y, x)/(h, w);
-    tex_id: (...,) int32; uv: (..., 2).
+    atlas_data: (AH, AW, 4) uint8 RGBA (pack_rgba8) or (AH, AW, 4) f32;
+    offsets/sizes: (N, 2) int32 (y, x)/(h, w); tex_id: (...,) int32;
+    uv: (..., 2).
     """
-    data = xp.asarray(atlas_data, dtype=xp.float32)
+    data = xp.asarray(atlas_data)
+    oy, ox, h, w = _atlas_region(offsets, sizes, tex_id, xp)
+    return sample_atlas_region(data, oy, ox, h, w, uv, xp=xp)
+
+
+def _atlas_fetch(data, idx, ah, aw, xp):
+    """One row-gather per texel: u8 rows (packed atlas) or f32 rows."""
+    rows = xp.take(data.reshape(ah * aw, data.shape[-1]), idx, axis=0)
+    if str(data.dtype) == "uint8":
+        return unpack_rgba8(rows, xp)
+    return xp.asarray(rows, dtype=xp.float32)
+
+
+def _atlas_region(offsets, sizes, tex_id, xp):
+    """Per-element (oy, ox, h, w) from the atlas tables.
+
+    A per-PIXEL `take` from even a 12-entry table costs ~6.8 ms at 1080p on
+    TPU (gather lowering is element-count-bound); a one-hot matmul does the
+    same lookup in ~2.6 ms.  Used only on the custom-shader path — the
+    engine's own shaders pre-resolve regions per TRIANGLE (18k lookups) and
+    carry them as flat varyings (sample_atlas_region), costing nothing per
+    pixel."""
+    offsets = xp.asarray(offsets, dtype=xp.int32)
+    sizes = xp.asarray(sizes, dtype=xp.int32)
+    n = offsets.shape[0]
+    if xp is not np and n <= 64:
+        table = xp.concatenate([offsets, sizes], axis=-1).astype(xp.float32)
+        onehot = (tex_id[..., None]
+                  == xp.arange(n, dtype=xp.int32)).astype(xp.float32)
+        vals = onehot @ table                      # (..., 4)
+        vals = vals.astype(xp.int32)
+        return vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3]
+    off = xp.take(offsets, tex_id, axis=0)
+    size = xp.take(sizes, tex_id, axis=0)
+    return off[..., 0], off[..., 1], size[..., 0], size[..., 1]
+
+
+def sample_atlas_region(atlas_data, oy, ox, h, w, uv, xp=np):
+    """Nearest/repeat sampling with the texture's atlas region supplied
+    per-element (pre-resolved per triangle and interpolated flat) — the
+    fast path: the only per-pixel memory access is the texel row-gather.
+
+    Same integer semantics as sample_atlas_nearest (Texture.cs:42-63)."""
+    data = xp.asarray(atlas_data)
     ah, aw = data.shape[0], data.shape[1]
-    size = xp.take(xp.asarray(sizes, dtype=xp.int32), tex_id, axis=0)
-    off = xp.take(xp.asarray(offsets, dtype=xp.int32), tex_id, axis=0)
-    h = size[..., 0]
-    w = size[..., 1]
+    oy = xp.asarray(oy, dtype=xp.int32)
+    ox = xp.asarray(ox, dtype=xp.int32)
+    h = xp.asarray(h, dtype=xp.int32)
+    w = xp.asarray(w, dtype=xp.int32)
     st = _wrap_uv(uv, xp)
     x = xp.asarray(st[..., 0] * w.astype(xp.float32), dtype=xp.int32) % w
     y = xp.asarray(st[..., 1] * h.astype(xp.float32), dtype=xp.int32) % h
     x = xp.where(x < 0, x + w, x)
     y = xp.where(y < 0, y + h, y)
-    flat = data.reshape(ah * aw, data.shape[-1])
-    idx = (off[..., 0] + y) * aw + (off[..., 1] + x)
-    return xp.take(flat, idx, axis=0)
+    return _atlas_fetch(data, (oy + y) * aw + (ox + x), ah, aw, xp)
 
 
 def sample_atlas_bilinear(atlas_data, offsets, sizes, tex_id, uv, xp=np):
     """Bilinear filtering with repeat wrap inside an atlas sub-rectangle
     (texel centers at half-integers).  The non-parity quality mode — the
     reference only ships nearest (SURVEY.md §6 note 4)."""
-    data = xp.asarray(atlas_data, dtype=xp.float32)
+    data = xp.asarray(atlas_data)
     ah, aw = data.shape[0], data.shape[1]
-    size = xp.take(xp.asarray(sizes, dtype=xp.int32), tex_id, axis=0)
-    off = xp.take(xp.asarray(offsets, dtype=xp.int32), tex_id, axis=0)
-    h = size[..., 0]
-    w = size[..., 1]
+    oy, ox, h, w = _atlas_region(offsets, sizes, tex_id, xp)
+    off = xp.stack([oy, ox], axis=-1)
     st = _wrap_uv(uv, xp)
     fx = st[..., 0] * w.astype(xp.float32) - F32(0.5)
     fy = st[..., 1] * h.astype(xp.float32) - F32(0.5)
@@ -101,11 +179,10 @@ def sample_atlas_bilinear(atlas_data, offsets, sizes, tex_id, uv, xp=np):
     y0i = xp.where(y0i < 0, y0i + h, y0i)
     x1i = (x0i + 1) % w
     y1i = (y0i + 1) % h
-    flat = data.reshape(ah * aw, data.shape[-1])
 
     def fetch(yi, xi):
-        return xp.take(flat, (off[..., 0] + yi) * aw + (off[..., 1] + xi),
-                       axis=0)
+        return _atlas_fetch(data, (off[..., 0] + yi) * aw
+                            + (off[..., 1] + xi), ah, aw, xp)
 
     c00 = fetch(y0i, x0i)
     c10 = fetch(y0i, x1i)

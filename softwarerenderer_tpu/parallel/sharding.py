@@ -185,8 +185,15 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         mine = covered & (istar >= tri_offset) \
             & (istar < tri_offset + 2 * t_local)
         local_best = jnp.where(mine, istar - tri_offset, NO_TRI)
-        per_tri = {"tex_id": jnp.repeat(scene["tri_texture_id"], 2),
-                   "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2)}
+        tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+        aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
+        asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
+        per_tri = {"tex_id": tid2,
+                   "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
+                   "tex_oy": jnp.take(aoff[:, 0], tid2),
+                   "tex_ox": jnp.take(aoff[:, 1], tid2),
+                   "tex_h": jnp.take(asiz[:, 0], tid2),
+                   "tex_w": jnp.take(asiz[:, 1], tid2)}
         color_s, depth_s = raster.shade_deferred(
             tris, dstar, local_best, fragment_shader, u, shard_params,
             fb_color, fb_depth, per_tri_extra=per_tri,

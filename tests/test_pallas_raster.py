@@ -131,3 +131,107 @@ def test_gbuffer_kernel_matches_fused(tmp_path=None):
     cg, dg, cf, df = map(np.asarray, (cg, dg, cf, df))
     assert (np.abs(cg - cf).max(axis=-1) > 1e-5).mean() == 0
     assert (np.abs(dg - df) > 1e-5).mean() == 0
+
+
+def _tile_kernel_scene():
+    from softwarerenderer_tpu.models import scene as scene_mod
+    from softwarerenderer_tpu.ops import texture as tex_ops
+
+    checker = np.asarray(tex_ops.checkerboard(16, 4)["data"])
+    insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                    ml.translation([0, -1, 0]),
+                                    texture=checker),
+             scene_mod.MeshInstance(primitives.cube(0.8),
+                                    ml.translation([0, 0, -3]),
+                                    texture=checker)]
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        pos = rng.uniform(-4, 4, 3).astype(np.float32)
+        pos[1] = rng.uniform(-0.5, 1.5)
+        insts.append(scene_mod.MeshInstance(primitives.cube(0.5),
+                                            ml.translation(pos),
+                                            texture=checker))
+    return scene_mod.build_scene_buffers(insts)
+
+
+def _render_tile_vs_fused(params, glob_resident=None, monkeypatch=None):
+    """Render via the single-pass tile kernel (interpret) and the XLA fused
+    path on the same scene; return both frames."""
+    import functools
+    import jax.numpy as jnp
+    from softwarerenderer_tpu.engine import (camera_matrices,
+                                             default_frame_uniforms,
+                                             render_frame,
+                                             scene_fragment_shader,
+                                             scene_vertex_shader)
+    from softwarerenderer_tpu.ops import (culling, pallas_tile, raster)
+
+    if glob_resident is not None:
+        monkeypatch.setattr(pallas_tile, "GLOB_RESIDENT", glob_resident)
+    sc = _tile_kernel_scene()
+    w, h = params.width, params.height
+    u0 = default_frame_uniforms(w, h)
+    u0["camera_position"] = np.float32([0, 0.5, 3.0])
+
+    def pt(scene, u):
+        view, proj = camera_matrices(u, w, h)
+        vp = ml.transform(view, proj, xp=jnp)
+        visible = culling.spheres_in_frustum(
+            scene["bounds_center"], scene["bounds_radius"],
+            scene["mesh_matrices"], vp, xp=jnp)
+        tri_mask = jnp.take(visible, scene["tri_mesh_id"])
+        model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
+                            axis=0)
+        uu = dict(u)
+        uu.update(model=model_pv, view=view, projection=proj,
+                  atlas_data=scene["atlas_data"],
+                  atlas_offsets=scene["atlas_offsets"],
+                  atlas_sizes=scene["atlas_sizes"],
+                  base_color=scene["base_color"])
+        vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
+        tris = geometry.build_triangles(
+            scene_vertex_shader, vin, scene["indices"], uu, width=w,
+            height=h, near_clip=uu["near_clip"], tri_mask=tri_mask,
+            keep_varyings=scene_fragment_shader.varyings)
+        tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+        aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
+        asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
+        per_tri = {"tex_id": tid2,
+                   "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
+                   "tex_oy": jnp.take(aoff[:, 0], tid2),
+                   "tex_ox": jnp.take(aoff[:, 1], tid2),
+                   "tex_h": jnp.take(asiz[:, 0], tid2),
+                   "tex_w": jnp.take(asiz[:, 1], tid2)}
+        clear = jnp.asarray(u["clear_color"], jnp.float32)
+        fbc = jnp.broadcast_to(clear, (h, w, 4))
+        fbd = jnp.full((h, w), raster.DEPTH_CLEAR, jnp.float32)
+        return pallas_tile.render_tile_pallas(
+            tris, scene_fragment_shader, uu, params, fbc, fbd,
+            per_tri_extra=per_tri, interpret=True)
+
+    cg, dg = jax.jit(pt)(sc, u0)
+    xla_params = params.replace(use_pallas=False)
+    cf, df = jax.jit(functools.partial(render_frame, params=xla_params))(
+        sc, u0)
+    return map(np.asarray, (cg, dg, cf, df))
+
+
+def test_tile_kernel_matches_fused():
+    """Single-pass tile kernel (interpret) must be pixel-exact vs the XLA
+    fused path: same winners, same interpolation, same shading."""
+    params = RenderParams(width=136, height=92, tile_h=16, tile_w=128,
+                          tile_group=4, chunk=16, span_cap=6)
+    cg, dg, cf, df = _render_tile_vs_fused(params)
+    assert (np.abs(cg - cf).max(axis=-1) > 1e-5).mean() == 0
+    assert (np.abs(dg - df) > 1e-5).mean() == 0
+
+
+def test_tile_kernel_global_tail(monkeypatch):
+    """Globals beyond the VMEM-resident cap stream through the DMA tail
+    loop; force a tiny cap so the tail path is exercised."""
+    params = RenderParams(width=136, height=92, tile_h=16, tile_w=128,
+                          tile_group=4, chunk=16, span_cap=1)  # many globals
+    cg, dg, cf, df = _render_tile_vs_fused(params, glob_resident=32,
+                                           monkeypatch=monkeypatch)
+    assert (np.abs(cg - cf).max(axis=-1) > 1e-5).mean() == 0
+    assert (np.abs(dg - df) > 1e-5).mean() == 0
