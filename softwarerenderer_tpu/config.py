@@ -104,6 +104,12 @@ class RenderParams:
     span_cap: int = 8         # bbox tile-span above which a tri goes global
     tile_group: int = 16      # tiles processed per sequential step
     chunk: int = 32           # triangles folded per reduction step
+    # K-buffer depth (ops/kbuffer): keep the K best fragments per pixel
+    # and replay the reference's sequential shade/blend over them in
+    # submission order — order-correct translucency and discard-reveal at
+    # binned cost (exact while each pixel's contributing fragments fit in
+    # K).  0/1 = winner-only deferred shading (the opaque fast path).
+    kbuffer: int = 0
     # Run fold+resolve+interp as one Pallas tile kernel (ops/pallas_tile)
     # with shading as a single full-frame pass — the fastest path, default
     # ON.  Engages only on the TPU backend with LESS_EQUAL depth; every

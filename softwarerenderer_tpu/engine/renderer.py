@@ -229,6 +229,16 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         return render_forward(tris, fragment_shader, u, params,
                               fb_color, fb_depth, per_tri_extra=per_tri)
     if params.binned:
+        if params.kbuffer > 1:
+            # Order-correct translucency / discard-reveal: K-layer replay
+            # of the reference's sequential shade-blend (Rasterizer.cs:
+            # 509-523) at binned cost.
+            from softwarerenderer_tpu.ops.kbuffer import (
+                render_binned_kbuffer,
+            )
+            return render_binned_kbuffer(tris, fragment_shader, u, params,
+                                         fb_color, fb_depth,
+                                         per_tri_extra=per_tri)
         if params.use_pallas and params.depth_test == DepthTest.LESS_EQUAL \
                 and jax.default_backend() == "tpu":
             # Mosaic kernels need real TPU hardware; every other backend

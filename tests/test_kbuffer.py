@@ -1,0 +1,193 @@
+"""K-buffer path: order-correct translucency + discard-reveal vs the CPU
+golden (scenes where winner-only deferred shading diverges, VERDICT r1
+missing #3 / Rasterizer.cs:509-523)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softwarerenderer_tpu import (
+    BlendMode,
+    CullMode,
+    DepthTest,
+    RenderParams,
+)
+from softwarerenderer_tpu import shaders
+from softwarerenderer_tpu.ops import forward, geometry, raster
+from softwarerenderer_tpu.ops.kbuffer import render_binned_kbuffer
+from softwarerenderer_tpu.ref_cpu import rasterizer as ref
+from softwarerenderer_tpu.utils import mathlib as ml
+
+W, H = 96, 80
+CLEAR = np.asarray([0.1, 0.1, 0.15, 1.0], dtype=np.float32)
+PARAMS = RenderParams(width=W, height=H, cull_mode=CullMode.NONE,
+                      tile_h=16, tile_w=128, tile_group=4, chunk=8,
+                      span_cap=4, kbuffer=4)
+
+
+def uniforms():
+    return {
+        "model": np.eye(4, dtype=np.float32),
+        "view": ml.look_at(np.float32([0, 0, 3]), [0, 0, 0], [0, 1, 0]),
+        "projection": ml.perspective_fov(np.deg2rad(60.0), W / H, 0.1,
+                                         100.0),
+        "near_clip": np.float32(0.1),
+    }
+
+
+def facing_quad(z, color, x0=-1.0, x1=1.0, y0=-1.0, y1=1.0):
+    """Camera-facing quad at view-space depth z with a constant color."""
+    pos = np.asarray([[x0, y0, z], [x1, y0, z], [x1, y1, z], [x0, y1, z]],
+                     np.float32)
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    nrm = np.tile(np.float32([0, 0, 1]), (4, 1))
+    col = np.tile(np.asarray(color, np.float32), (4, 1))
+    idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    return {"position": pos, "uv": uv, "normal": nrm, "color": col,
+            "indices": idx}
+
+
+def merge_meshes(meshes):
+    """Concatenate in submission order (indices offset per mesh)."""
+    out = {k: [] for k in ("position", "uv", "normal", "color")}
+    idx, base = [], 0
+    for m in meshes:
+        for k in out:
+            out[k].append(m[k])
+        idx.append(m["indices"] + base)
+        base += m["position"].shape[0]
+    return ({k: np.concatenate(v) for k, v in out.items()},
+            np.concatenate(idx).astype(np.int32))
+
+
+def cutout_fragment_shader(frag, uniforms, xp=np):
+    """Discards (alpha 0) inside a centered UV disc — alpha-cutout.  Only
+    green-dominant surfaces cut out, so the red quad behind stays solid."""
+    du = frag["uv"][..., 0] - 0.5
+    dv = frag["uv"][..., 1] - 0.5
+    color = frag["color"]
+    hole = ((du * du + dv * dv) < 0.09) & (color[..., 1] > 0.9)
+    alpha = xp.where(hole, xp.float32(0.0), color[..., 3])
+    return xp.concatenate([color[..., :3], alpha[..., None]], axis=-1)
+
+
+cutout_fragment_shader.varyings = ("color", "uv")
+
+
+def assert_close_to_golden(got, golden, max_frac=1e-3):
+    """Golden comparison with a sliver of slack: boundary predicates (the
+    cutout disc edge, triangle edges) can flip under XLA-vs-numpy rounding;
+    both device paths always agree with each other exactly."""
+    bad = (np.abs(got - golden).max(axis=-1) > 2e-5).mean()
+    assert bad <= max_frac, f"{bad:.4%} pixels differ from golden"
+
+
+def run_all(attrs, indices, params, frag):
+    """Golden CPU, device forward, and device K-buffer renders."""
+    u = uniforms()
+    vin = shaders.make_vertex_input(attrs["position"], attrs["uv"],
+                                    attrs["normal"], attrs["color"])
+    fb = ref.Framebuffer(W, H)
+    fb.clear_color(CLEAR)
+    ref.render_mesh(fb, vin, indices, u, shaders.default_vertex_shader,
+                    frag, cull_mode=params.cull_mode,
+                    depth_test=params.depth_test,
+                    blend_mode=params.blend_mode)
+
+    def build(vin, idx, u):
+        return geometry.build_triangles(
+            shaders.default_vertex_shader, vin, idx, u,
+            width=W, height=H, cull_mode=params.cull_mode)
+
+    def kbuf(vin, idx, u):
+        tris = build(vin, idx, u)
+        c0 = jnp.broadcast_to(jnp.asarray(CLEAR), (H, W, 4))
+        d0 = jnp.full((H, W), raster.DEPTH_CLEAR, jnp.float32)
+        return render_binned_kbuffer(tris, frag, u, params, c0, d0)
+
+    def fwd(vin, idx, u):
+        tris = build(vin, idx, u)
+        c0 = jnp.broadcast_to(jnp.asarray(CLEAR), (H, W, 4))
+        d0 = jnp.full((H, W), raster.DEPTH_CLEAR, jnp.float32)
+        return forward.render_forward(tris, frag, u, params, c0, d0)
+
+    kc, kd = map(np.asarray, jax.jit(kbuf)(vin, indices, u))
+    fc, fd = map(np.asarray, jax.jit(fwd)(vin, indices, u))
+    return fb, kc, kd, fc, fd
+
+
+def test_discard_reveals_geometry_behind():
+    """An alpha-cutout quad in front must reveal the opaque quad behind it
+    through the hole — winner-only deferred shows the clear color there."""
+    behind = facing_quad(-4.0, (1.0, 0.2, 0.2, 1.0))
+    front = facing_quad(-2.0, (0.2, 1.0, 0.2, 1.0))
+    attrs, idx = merge_meshes([behind, front])
+    fb, kc, kd, fc, fd = run_all(attrs, idx, PARAMS,
+                                 cutout_fragment_shader)
+    assert_close_to_golden(kc, fb.color)
+    np.testing.assert_allclose(kc, fc, atol=1e-6, rtol=0)
+    np.testing.assert_allclose(kd, fd, atol=1e-6, rtol=0)
+    # the hole actually shows the behind quad, not the clear color
+    center = kc[H // 2, W // 2]
+    assert center[0] > 0.8 and center[1] < 0.5
+
+
+def test_two_layer_alpha_over_opaque():
+    """Opaque floor + two translucent layers, submission back-to-front:
+    blend must composite through all layers (deferred shades only the
+    nearest)."""
+    floor = facing_quad(-5.0, (1.0, 1.0, 1.0, 1.0))
+    mid = facing_quad(-3.5, (1.0, 0.0, 0.0, 0.5))
+    top = facing_quad(-2.0, (0.0, 0.0, 1.0, 0.5), x0=-0.5, x1=0.5,
+                      y0=-0.5, y1=0.5)
+    attrs, idx = merge_meshes([floor, mid, top])
+    fb, kc, kd, fc, fd = run_all(attrs, idx, PARAMS,
+                                 shaders.flat_color_fragment_shader)
+    assert_close_to_golden(kc, fb.color)
+    np.testing.assert_allclose(kc, fc, atol=1e-6, rtol=0)
+    np.testing.assert_allclose(kd, fd, atol=1e-6, rtol=0)
+
+
+def test_front_to_back_submission():
+    """Nearer quad submitted FIRST: the farther one fails the depth test —
+    the replay's running depth buffer must enforce it."""
+    front = facing_quad(-2.0, (0.0, 0.0, 1.0, 0.5))
+    behind = facing_quad(-4.0, (1.0, 0.0, 0.0, 1.0))
+    attrs, idx = merge_meshes([front, behind])
+    fb, kc, kd, fc, fd = run_all(attrs, idx, PARAMS,
+                                 shaders.flat_color_fragment_shader)
+    assert_close_to_golden(kc, fb.color)
+    np.testing.assert_allclose(kc, fc, atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize("blend", [BlendMode.ADDITIVE, BlendMode.MULTIPLY])
+def test_blend_modes_layered(blend):
+    params = PARAMS.replace(blend_mode=blend)
+    floor = facing_quad(-5.0, (0.9, 0.9, 0.9, 1.0))
+    mid = facing_quad(-3.5, (0.3, 0.1, 0.1, 1.0))
+    attrs, idx = merge_meshes([floor, mid])
+    fb, kc, kd, fc, fd = run_all(attrs, idx, params,
+                                 shaders.flat_color_fragment_shader)
+    assert_close_to_golden(kc, fb.color)
+
+
+def test_engine_routes_kbuffer():
+    """RenderParams(kbuffer=K) routes render_frame through the K-buffer."""
+    from softwarerenderer_tpu.engine import render_frame
+    from softwarerenderer_tpu.models import primitives, scene as scene_mod
+
+    insts = [scene_mod.MeshInstance(primitives.cube(1.0),
+                                    ml.translation([0, 0, -3]))]
+    sc = scene_mod.build_scene_buffers(insts)
+    from softwarerenderer_tpu.engine import default_frame_uniforms
+    u = default_frame_uniforms(W, H)
+    import functools
+    c, d = jax.jit(functools.partial(
+        render_frame, params=PARAMS.replace(cull_mode=CullMode.BACK)))(sc, u)
+    c2, d2 = jax.jit(functools.partial(
+        render_frame,
+        params=PARAMS.replace(cull_mode=CullMode.BACK, kbuffer=0)))(sc, u)
+    # opaque scene: K-buffer must agree with winner-only deferred
+    assert (np.abs(np.asarray(c) - np.asarray(c2)) < 1e-5).all()
