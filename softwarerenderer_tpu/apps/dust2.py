@@ -192,6 +192,15 @@ class Dust2Game:
             self.player_slices.append((len(insts), len(insts) + len(pinsts)))
             insts += pinsts
 
+        # Flip-book animation sources: one entry per ANIMATED mesh instance
+        # (in scene order), pointing at the host Model whose PlayAnimation
+        # clock drives its device-side frame index (ModelLoader.cs:331-348).
+        srcs = ([map_model] * self.n_map
+                + [gun_model] * (self.gun_slice[1] - self.gun_slice[0])
+                + [player_model] * (len(insts) - self.gun_slice[1]))
+        self._anim_sources = [src for inst, src in zip(insts, srcs)
+                              if inst.animation_positions is not None]
+
         self.scene = scene_mod.build_scene_buffers(insts)
         self.n_meshes = self.scene["mesh_matrices"].shape[0]
 
@@ -630,6 +639,13 @@ class Dust2Game:
         u["camera_position"] = self.cam_position.astype(F32)
         u["camera_rotation"] = self.cam_rotation.astype(F32)
         u["mesh_visible"] = visible
+        if self._anim_sources:
+            # Advance each distinct model's flip-book clock once, then feed
+            # the per-animated-mesh frame indices as a traced uniform.
+            for m in {id(m): m for m in self._anim_sources}.values():
+                m.advance_animation(dt)
+            u["anim_frame"] = np.asarray(
+                [m._frame_index for m in self._anim_sources], np.int32)
         self.engine.scene["mesh_matrices"] = jnp.asarray(mm)
 
         if self.wireframe:

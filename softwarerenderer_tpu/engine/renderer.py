@@ -188,6 +188,22 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
 
     vin = {"position": scene["position"], "uv": scene["uv"],
            "normal": scene["normal"], "color": scene["color"]}
+    if "anim_positions" in scene:
+        # Flip-book animation on device (ModelLoader.cs:331-348): select
+        # each animated mesh's current frame from the traced
+        # uniforms["anim_frame"] vector — scene buffers never re-upload
+        # and frame changes never recompile.
+        n_anim = scene["anim_n_frames"].shape[0]
+        af = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(uniforms.get("anim_frame", 0),
+                                       jnp.int32)), (n_anim,))
+        f_mesh = af % scene["anim_n_frames"]
+        fv = jnp.take(f_mesh, scene["anim_slot"])
+        va = jnp.arange(fv.shape[0], dtype=jnp.int32)
+        vin["position"] = vin["position"].at[scene["anim_vert_index"]].set(
+            scene["anim_positions"][fv, va])
+        vin["normal"] = vin["normal"].at[scene["anim_vert_index"]].set(
+            scene["anim_normals"][fv, va])
     tris = geometry.build_triangles(
         vertex_shader, vin, scene["indices"], u,
         width=W, height=H, cull_mode=params.cull_mode,

@@ -59,6 +59,14 @@ class Model:
                 % len(self.animation_frames)
         on_frame(self.animation_frames[self._frame_index])
 
+    def advance_animation(self, delta_time: float, fps: int = 30) -> int:
+        """PlayAnimation's fixed-FPS timing, returning the current frame
+        index — feed it to the device as uniforms["anim_frame"] (the
+        TPU-native path: frame stacks live on device, the index is a
+        traced scalar, so stepping never re-uploads or recompiles)."""
+        self.play_animation(lambda _m: None, delta_time, fps)
+        return self._frame_index
+
 
 def clear_caches() -> None:
     _MODEL_CACHE.clear()
@@ -169,7 +177,7 @@ def model_instances(model: Model, model_matrix: Optional[np.ndarray] = None,
     mm = (np.eye(4, dtype=F32) if model_matrix is None
           else np.asarray(model_matrix, dtype=F32))
     out = []
-    for mesh in model.meshes:
+    for i, mesh in enumerate(model.meshes):
         material: Material = mesh.get("material", Material())
         tex = texture_override
         if tex is None:
@@ -178,6 +186,20 @@ def model_instances(model: Model, model_matrix: Optional[np.ndarray] = None,
                 tex = load_texture(tex_path)
             if tex is None:
                 tex = fallback_texture
+        anim_pos = anim_nrm = None
+        frames = model.animation_frames
+        if len(frames) > 1 and all(
+                i < len(f.meshes)
+                and f.meshes[i]["position"].shape
+                == mesh["position"].shape for f in frames):
+            # Flip-book stacks (same topology per frame,
+            # ModelLoader.cs:345-347) → device-side animation buffers.
+            anim_pos = np.stack([np.asarray(f.meshes[i]["position"], F32)
+                                 for f in frames])
+            anim_nrm = np.stack([np.asarray(f.meshes[i]["normal"], F32)
+                                 for f in frames])
         out.append(MeshInstance(mesh=mesh, model_matrix=mm, texture=tex,
-                                material=material))
+                                material=material,
+                                animation_positions=anim_pos,
+                                animation_normals=anim_nrm))
     return out

@@ -204,13 +204,23 @@ def pack_atlas(textures: List[np.ndarray], pad_to_multiple: int = 128
 
 @dataclasses.dataclass
 class MeshInstance:
-    """One draw: a mesh dict (primitives.py layout) + transform + texture."""
+    """One draw: a mesh dict (primitives.py layout) + transform + texture.
+
+    Flip-book animation (ModelLoader.cs:331-348 PlayAnimation): supply
+    `animation_positions` (F, V, 3) — and optionally `animation_normals`
+    (F, V, 3) — stacked per-frame vertex data with the SAME topology as
+    `mesh`.  The packed scene then carries the stack on device and the
+    jitted frame selects each mesh's frame from the traced
+    uniforms["anim_frame"] vector — no re-upload, no recompile per frame.
+    """
 
     mesh: Dict[str, np.ndarray]
     model_matrix: np.ndarray = dataclasses.field(
         default_factory=lambda: np.eye(4, dtype=F32))
     texture: Optional[np.ndarray] = None   # (H, W, 4) float32, or None
     material: Material = Material()
+    animation_positions: Optional[np.ndarray] = None   # (F, V, 3)
+    animation_normals: Optional[np.ndarray] = None     # (F, V, 3)
 
 
 def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
@@ -232,12 +242,29 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     matrices, centers, radii, base_colors = [], [], [], []
     textures = []
     tex_id_of = {}
+    anim = {"pos": [], "nrm": [], "vidx": [], "slot": [], "nf": []}
 
     v_off = 0
     for mi, inst in enumerate(instances):
         mesh = inst.mesh
         pos = np.asarray(mesh["position"], dtype=F32)
         v = pos.shape[0]
+        if inst.animation_positions is not None:
+            ap = np.asarray(inst.animation_positions, dtype=F32)
+            if ap.shape[1:] != (v, 3):
+                raise ValueError(
+                    f"animation_positions {ap.shape} does not match mesh "
+                    f"vertex count {v} (flip-book frames must share "
+                    f"topology, ModelLoader.cs:345-347)")
+            an = inst.animation_normals
+            an = (np.asarray(an, dtype=F32) if an is not None
+                  else np.broadcast_to(
+                      np.asarray(mesh["normal"], F32)[None], ap.shape))
+            anim["pos"].append(ap)
+            anim["nrm"].append(np.asarray(an, F32))
+            anim["vidx"].append(v_off + np.arange(v, dtype=np.int32))
+            anim["slot"].append(np.full(v, len(anim["nf"]), np.int32))
+            anim["nf"].append(ap.shape[0])
         positions.append(pos)
         uvs.append(np.asarray(mesh["uv"], dtype=F32))
         normals.append(np.asarray(mesh["normal"], dtype=F32))
@@ -257,14 +284,17 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
             tex = 0
         tri_tex_id.append(np.full(t, tex, dtype=np.int32))
         matrices.append(np.asarray(inst.model_matrix, dtype=F32))
-        c, r = bounding_sphere(pos)
+        # Animated meshes: bound every frame so culling stays conservative.
+        c, r = bounding_sphere(
+            pos if inst.animation_positions is None
+            else np.asarray(inst.animation_positions, F32).reshape(-1, 3))
         centers.append(c)
         radii.append(r)
         base_colors.append(np.asarray(inst.material.base_color, dtype=F32))
         v_off += v
 
     atlas = pack_atlas(textures)
-    return {
+    out = {
         "position": np.concatenate(positions, axis=0),
         "uv": np.concatenate(uvs, axis=0),
         "normal": np.concatenate(normals, axis=0),
@@ -281,3 +311,18 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         "atlas_offsets": atlas.offsets,
         "atlas_sizes": atlas.sizes,
     }
+    if anim["nf"]:
+        # Frame stacks concatenated on the vertex axis, frame axis padded to
+        # the longest animation (selection is per-mesh modulo n_frames, so
+        # the padding rows are never read).
+        f_max = max(anim["nf"])
+        out["anim_positions"] = np.concatenate(
+            [np.pad(a, ((0, f_max - a.shape[0]), (0, 0), (0, 0)))
+             for a in anim["pos"]], axis=1)
+        out["anim_normals"] = np.concatenate(
+            [np.pad(a, ((0, f_max - a.shape[0]), (0, 0), (0, 0)))
+             for a in anim["nrm"]], axis=1)
+        out["anim_vert_index"] = np.concatenate(anim["vidx"])
+        out["anim_slot"] = np.concatenate(anim["slot"])
+        out["anim_n_frames"] = np.asarray(anim["nf"], np.int32)
+    return out

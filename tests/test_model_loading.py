@@ -155,3 +155,54 @@ def test_obj_parser(tmp_path):
     np.testing.assert_allclose(m["normal"][0], [0, 0, 1])
     # OBJ vt V-flip
     np.testing.assert_allclose(m["uv"][0], [0, 1])
+
+
+def test_flipbook_animation_on_device():
+    """Frame-indexed vertex stacks animate inside the jitted frame
+    (ModelLoader.cs:331-348 → anim_frame uniform): frame f must render
+    frame-f geometry, with no recompile between frames."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from softwarerenderer_tpu import RenderParams
+    from softwarerenderer_tpu.engine import default_frame_uniforms, \
+        render_frame
+    from softwarerenderer_tpu.models import primitives, scene as scene_mod
+    from softwarerenderer_tpu.utils import mathlib as ml
+
+    base = primitives.cube(0.5)
+    # 3 frames: the cube at x = -1, 0, +1
+    stacks = np.stack([base["position"] + np.float32([dx, 0, 0])
+                       for dx in (-1.0, 0.0, 1.0)])
+    inst = scene_mod.MeshInstance(base, ml.translation([0, 0, -5]),
+                                  animation_positions=stacks)
+    sc = scene_mod.build_scene_buffers([inst])
+    assert sc["anim_positions"].shape == (3, base["position"].shape[0], 3)
+
+    params = RenderParams(width=96, height=64)
+    frame = jax.jit(functools.partial(render_frame, params=params))
+    u = default_frame_uniforms(96, 64)
+
+    from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR
+    covered = []
+    for f in range(4):
+        u["anim_frame"] = np.int32(f)
+        c, d = frame(sc, u)
+        cov = np.asarray(d) != np.float32(DEPTH_CLEAR)
+        xs = np.nonzero(cov.any(axis=0))[0]
+        covered.append((xs.min(), xs.max()))
+    # frame 0 leftmost, frame 1 centered, frame 2 rightmost; frame 3 wraps
+    assert covered[0][0] < covered[1][0] < covered[2][0]
+    assert covered[3] == covered[0]          # modulo n_frames wrap
+    # no recompile between frames: the jitted fn was traced once
+    assert frame._cache_size() == 1
+
+
+def test_flipbook_clock_matches_reference_timing():
+    """advance_animation accumulates at fixed FPS exactly like
+    PlayAnimation (ModelLoader.cs:331-348)."""
+    from softwarerenderer_tpu.io_host.model_loader import Model
+    m = Model(animation_frames=[Model(), Model(), Model()])
+    assert m.advance_animation(1.0 / 60.0, fps=30) == 0   # half a frame
+    assert m.advance_animation(1.0 / 60.0, fps=30) == 1   # full frame
+    assert m.advance_animation(2.0 / 30.0, fps=30) == 0   # +2 wraps (3 total)
