@@ -116,13 +116,20 @@ def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
 def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
                       init_depth=None, row_offset=0, *, tile_h: int = 32,
                       tile_w: int = 128, span_cap: int = 16,
-                      tile_group: int = 8):
+                      tile_group: int = 8, tile_row_map=None,
+                      full_height=None):
     """Binned per-pixel (depth, triangle-id) reduction.
 
     Drop-in replacement for raster.visibility_brute_force (same contract)
     with work proportional to triangle-tile overlap instead of T × H × W.
     tile_group adjacent tiles are processed per sequential step so the
     (group, chunk, tile_h·tile_w) working set stays VMEM-sized.
+
+    tile_row_map (traced (params.height // tile_h,) i32, with full_height):
+    this call owns an ARBITRARY set of GLOBAL tile rows instead of the
+    contiguous band at row_offset — the load-balanced fb-sharding mode
+    (parallel.sharding): binning runs over the full frame and only the
+    owned tiles' segments fold.  Output rows follow tile_row_map order.
     """
     mode = params.depth_test
     if mode not in _REDUCE_RULES:
@@ -131,8 +138,17 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
     use_max, later_wins = _REDUCE_RULES[mode]
 
     H, W = params.height, params.width
-    bins = bin_triangles(tris, params, tile_h, tile_w, span_cap, row_offset)
-    ntx, nty = bins["ntx"], bins["nty"]
+    if tile_row_map is not None:
+        if H % tile_h:
+            raise ValueError("height must be a tile_h multiple for "
+                             "tile_row_map mode")
+        bins = bin_triangles(tris, params.replace(height=full_height),
+                             tile_h, tile_w, span_cap, 0)
+    else:
+        bins = bin_triangles(tris, params, tile_h, tile_w, span_cap,
+                             row_offset)
+    ntx = bins["ntx"]
+    nty = _cdiv(H, tile_h)
     ntiles = ntx * nty
     ngroups = _cdiv(ntiles, tile_group)
     ntiles_pad = ngroups * tile_group
@@ -153,11 +169,26 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
     d0 = jnp.pad(d0, ((0, ntiles_pad - ntiles), (0, 0)))
     i0 = jnp.full((ntiles_pad, tpx), NO_TRI, dtype=jnp.int32)
 
-    starts = jnp.pad(bins["starts"], (0, ntiles_pad - ntiles))
-    counts = jnp.pad(bins["counts"], (0, ntiles_pad - ntiles))
     sorted_tri = bins["sorted_tri"]
     order = bins["order"]
     n_global = bins["n_global"]
+
+    if tile_row_map is not None:
+        # Gather the owned tiles' segments + global pixel-row bases.
+        trm = jnp.asarray(tile_row_map, jnp.int32)
+        gids = (trm[:, None] * ntx
+                + jnp.arange(ntx, dtype=jnp.int32)[None, :]).reshape(-1)
+        starts = jnp.pad(jnp.take(bins["starts"], gids),
+                         (0, ntiles_pad - ntiles))
+        counts = jnp.pad(jnp.take(bins["counts"], gids),
+                         (0, ntiles_pad - ntiles))
+        ty_base = jnp.pad(jnp.repeat(trm, ntx) * tile_h,
+                          (0, ntiles_pad - ntiles))
+    else:
+        starts = jnp.pad(bins["starts"], (0, ntiles_pad - ntiles))
+        counts = jnp.pad(bins["counts"], (0, ntiles_pad - ntiles))
+        ty_base = (jnp.arange(ntiles_pad, dtype=jnp.int32) // ntx) * tile_h \
+            + jnp.asarray(row_offset, jnp.int32)
 
     tile_ids_all = jnp.arange(ntiles_pad, dtype=jnp.int32)
     px_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
@@ -238,11 +269,10 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
         tiles = jax.lax.dynamic_slice_in_dim(tile_ids_all, base, tile_group)
         g_starts = jax.lax.dynamic_slice_in_dim(starts, base, tile_group)
         g_counts = jax.lax.dynamic_slice_in_dim(counts, base, tile_group)
-        ty = tiles // ntx
+        g_ty_base = jax.lax.dynamic_slice_in_dim(ty_base, base, tile_group)
         tx = tiles % ntx
         px = tx[:, None] * tile_w + px_in_tile[None, :]   # (G, tpx)
-        py = ty[:, None] * tile_h + py_in_tile[None, :] \
-            + jnp.asarray(row_offset, jnp.int32)          # global rows
+        py = g_ty_base[:, None] + py_in_tile[None, :]     # global rows
 
         best_d = jax.lax.dynamic_slice_in_dim(all_d, base, tile_group)
         best_i = jax.lax.dynamic_slice_in_dim(all_i, base, tile_group)
@@ -590,8 +620,11 @@ def _fused_blend(src, dst, mode):
 def make_binned_visibility(tile_h: int = 32, tile_w: int = 128,
                            span_cap: int = 16, tile_group: int = 8):
     """Factory producing a visibility_fn for raster.render_deferred."""
-    def fn(tris, params, chunk=32, init_depth=None, row_offset=0):
+    def fn(tris, params, chunk=32, init_depth=None, row_offset=0,
+           tile_row_map=None, full_height=None):
         return visibility_binned(tris, params, chunk, init_depth, row_offset,
                                  tile_h=tile_h, tile_w=tile_w,
-                                 span_cap=span_cap, tile_group=tile_group)
+                                 span_cap=span_cap, tile_group=tile_group,
+                                 tile_row_map=tile_row_map,
+                                 full_height=full_height)
     return fn

@@ -94,13 +94,22 @@ def _lex_allreduce(depth, idx, covered, mode: DepthTest, n_total: int):
 def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
                          mesh: Mesh,
                          vertex_shader: Optional[Callable] = None,
-                         fragment_shader: Optional[Callable] = None):
+                         fragment_shader: Optional[Callable] = None,
+                         balanced: bool = False):
     """Jit-compatible sharded frame: call under jax.jit with static params.
 
     scene must come through shard_scene_triangles(scene, mesh.shape["tri"])
     (a no-op-ish pad for n_tri == 1).  params.height must divide evenly by
     mesh.shape["fb"].  Returns (color (H, W, 4), depth (H, W)) laid out
     row-sharded over "fb".
+
+    balanced=True (binned only): instead of contiguous row bands, each fb
+    device owns an equal-size set of TILE ROWS chosen by triangle-bbox
+    occupancy (serpentine assignment over the occupancy-sorted rows) — a
+    camera that concentrates geometry in one band (the dust2 floor) no
+    longer idles the other devices.  The occupancy ranking is a traced,
+    replicated computation, so camera motion rebalances every frame with
+    no recompile, and the final gather restores global row order.
     """
     from softwarerenderer_tpu.engine.renderer import (
         camera_matrices,
@@ -119,6 +128,15 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         raise ValueError(f"height {H} not divisible by fb axis {n_fb}")
     shard_h = H // n_fb
     shard_params = params.replace(height=shard_h)
+    if balanced:
+        if not params.binned:
+            raise ValueError("balanced fb sharding requires binned=True")
+        n_tile_rows = -(-H // params.tile_h)
+        if H % params.tile_h or n_tile_rows % n_fb:
+            raise ValueError(
+                f"balanced mode needs height ({H}) a multiple of "
+                f"tile_h*n_fb ({params.tile_h}*{n_fb})")
+        rows_per_dev = n_tile_rows // n_fb
     t_pad = scene["indices"].shape[0]
     if t_pad % n_tri:
         raise ValueError("run scene through shard_scene_triangles first")
@@ -173,8 +191,54 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
                 span_cap=params.span_cap, tile_group=params.tile_group)
         else:
             vis = raster.visibility_brute_force
-        depth_l, tri_l = vis(tris, shard_params, params.chunk,
-                             init_depth=fb_depth, row_offset=row_offset)
+        if balanced:
+            # Equal-count tile-row ownership balanced by occupancy: rank
+            # GLOBAL tile rows by triangle-bbox overlap (psum over the tri
+            # axis keeps every shard's ranking identical), then assign rows
+            # in descending load to the least-loaded device that still has
+            # capacity (greedy LPT under the equal-rows-per-device
+            # constraint — static shapes, recomputed every frame).
+            th = params.tile_h
+            n_rows = H // th
+            bbox = tris["bbox"]
+            ty0 = jnp.clip(bbox[:, 1], 0, H - 1) // th
+            ty1 = jnp.clip(bbox[:, 3], 0, H - 1) // th
+            rows = jnp.arange(n_rows, dtype=jnp.int32)
+            overlap = (ty0[:, None] <= rows[None, :]) \
+                & (ty1[:, None] >= rows[None, :]) \
+                & tris["valid"][:, None]
+            occ = jax.lax.psum(jnp.sum(overlap, axis=0), "tri")
+            order_rows = jnp.argsort(-occ).astype(jnp.int32)
+            occ_sorted = jnp.take(occ, order_rows).astype(F32)
+
+            def assign_step(i, carry):
+                loads, cnt, assign = carry
+                avail = jnp.where(cnt < rows_per_dev, loads, jnp.inf)
+                k = jnp.argmin(avail).astype(jnp.int32)
+                return (loads.at[k].add(occ_sorted[i]),
+                        cnt.at[k].add(1), assign.at[i].set(k))
+
+            _, _, assign = jax.lax.fori_loop(
+                0, n_rows, assign_step,
+                (jnp.zeros(n_fb, F32), jnp.zeros(n_fb, jnp.int32),
+                 jnp.zeros(n_rows, jnp.int32)))
+            mine_pos = jnp.argsort(
+                jnp.where(assign == fb_idx, 0, 1), stable=True
+            )[:rows_per_dev]
+            my_rows = jnp.sort(jnp.take(order_rows, mine_pos))
+            row_map_px = (my_rows[:, None] * th
+                          + jnp.arange(th, dtype=jnp.int32)[None, :]
+                          ).reshape(-1)
+            row_offset_arr = (row_map_px
+                              - jnp.arange(shard_h, dtype=jnp.int32))[:, None]
+            depth_l, tri_l = vis(tris, shard_params, params.chunk,
+                                 init_depth=fb_depth, tile_row_map=my_rows,
+                                 full_height=H)
+        else:
+            row_map_px = row_offset + jnp.arange(shard_h, dtype=jnp.int32)
+            row_offset_arr = row_offset
+            depth_l, tri_l = vis(tris, shard_params, params.chunk,
+                                 init_depth=fb_depth, row_offset=row_offset)
 
         covered_l = tri_l != NO_TRI
         gidx = jnp.where(covered_l, tri_l + tri_offset, NO_TRI)
@@ -197,7 +261,7 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         color_s, depth_s = raster.shade_deferred(
             tris, dstar, local_best, fragment_shader, u, shard_params,
             fb_color, fb_depth, per_tri_extra=per_tri,
-            row_offset=row_offset)
+            row_offset=row_offset_arr)
         # shade_deferred composited the owner's fragments onto the clear
         # background; exactly one shard owns each covered pixel, so masked
         # contributions sum exclusively across the 'tri' axis.  (A shader
@@ -212,8 +276,16 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         sum_d = jax.lax.psum(contrib_d, "tri")
         out_c = jnp.where(any_written[..., None], sum_c, fb_color)
         out_d = jnp.where(any_written, sum_d, fb_depth)
+        if balanced:
+            return out_c, out_d, row_map_px
         return out_c, out_d
 
+    if balanced:
+        fn = shard_map_unchecked(shard_fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=(P("fb"), P("fb"), P("fb")))
+        c, d, perm = fn(scene, uniforms)
+        inv = jnp.argsort(perm)          # restore global row order
+        return jnp.take(c, inv, axis=0), jnp.take(d, inv, axis=0)
     fn = shard_map_unchecked(shard_fn, mesh=mesh, in_specs=in_specs,
                              out_specs=out_specs)
     return fn(scene, uniforms)
