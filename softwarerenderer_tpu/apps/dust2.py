@@ -253,6 +253,7 @@ class Dust2Game:
         self.noclip = False
         self._prev_keys = set()
         self._tune_idx = 0
+        self.mouse_sensitivity = MOUSE_SENSITIVITY  # Camera.cs:10, tunable
         self.wireframe = False
         self._wire_engine = None
         self._pending_rgb = None
@@ -300,8 +301,9 @@ class Dust2Game:
         if dx == 0 and dy == 0:
             return
         euler = np.asarray(ml.quat_to_euler_degrees(self.cam_rotation))
-        yaw = euler[1] - dx * MOUSE_SENSITIVITY
-        pitch = float(np.clip(euler[0] - dy * MOUSE_SENSITIVITY, -89, 89))
+        yaw = euler[1] - dx * self.mouse_sensitivity
+        pitch = float(np.clip(euler[0] - dy * self.mouse_sensitivity,
+                              -89, 89))
         self.cam_rotation = np.asarray(ml.quat_from_yaw_pitch_roll(
             yaw * math.pi / 180, pitch * math.pi / 180,
             euler[2] * math.pi / 180), F32)
@@ -422,23 +424,64 @@ class Dust2Game:
         self.cam_position = np.asarray(self.char["position"]) \
             + np.asarray(self.char_params["cam_offset"])
 
-    # Live-tunable parameters (the reference's ImGui sliders,
-    # Renderer.cs:690-817): all TRACED uniforms/params, so adjusting them
-    # never recompiles.  name -> (container, key, step, lo, hi)
+    # Live-tunable parameters — the FULL debug-panel surface of the
+    # reference (Renderer.cs:690-817): clipping, camera rotation/position/
+    # offset/sensitivity, FOV, every character-controller parameter incl.
+    # gravity, render scale, fog start/end/color, light rotation/color and
+    # the clear color.  All TRACED uniforms/params, so adjusting them never
+    # recompiles (render scale is the one exception: it changes the
+    # framebuffer shape, exactly as UpdateRenderScale reallocates,
+    # MainWindow.cs:268-274).
+    #
+    # kind grammar: "u"=scalar uniform, "u:key:i"=uniform vector component,
+    # "c"=character scalar, "c:key:i"=character vector component,
+    # "l"=light euler, "rot:i"=camera euler (pitch/yaw/roll),
+    # "pos:i"=player position component, "s:attr"=app attribute,
+    # "w"=render scale.   name -> (kind, step, lo, hi)
     TUNABLES = [
-        ("fov_degrees", "u", 1.0, 30.0, 120.0),
-        ("fog_start", "u", 0.5, 0.0, 100.0),
-        ("fog_end", "u", 0.5, 1.0, 200.0),
-        ("near_clip", "u", 0.01, 0.01, 1.0),
-        ("far_clip", "u", 10.0, 10.0, 5000.0),
-        ("light_yaw", "l", 5.0, -180.0, 180.0),
-        ("light_pitch", "l", 5.0, -89.0, 89.0),
-        ("render_scale", "w", 0.05, 0.1, 1.0),
-        ("move_speed", "c", 0.25, 0.5, 20.0),
+        ("near_clip", "u", 0.01, 0.001, 1.0),            # Renderer.cs:690
+        ("far_clip", "u", 10.0, 0.001, 5000.0),
+        ("cam_pitch", "rot:0", 1.0, -89.0, 89.0),        # :700-707
+        ("cam_yaw", "rot:1", 1.0, -360.0, 360.0),
+        ("cam_roll", "rot:2", 1.0, -180.0, 180.0),
+        ("mouse_sensitivity", "s:mouse_sensitivity", 0.01, 0.01, 1.0),
+        ("fov_degrees", "u", 1.0, 1.0, 179.0),
+        ("pos_x", "pos:0", 0.5, -500.0, 500.0),          # :712
+        ("pos_y", "pos:1", 0.5, -500.0, 500.0),
+        ("pos_z", "pos:2", 0.5, -500.0, 500.0),
+        ("cam_offset_x", "c:cam_offset:0", 0.05, -2.0, 2.0),
+        ("cam_offset_y", "c:cam_offset:1", 0.05, -2.0, 2.0),
+        ("cam_offset_z", "c:cam_offset:2", 0.05, -2.0, 2.0),
+        ("move_speed", "c", 0.25, 0.5, 20.0),            # :724-744
+        ("max_air_speed", "c", 0.25, 0.5, 30.0),
         ("jump_force", "c", 0.25, 0.5, 20.0),
+        ("radius", "c", 0.01, 0.05, 1.0),
+        ("height", "c", 0.05, 0.2, 3.0),
+        ("ground_acceleration", "c", 0.25, 0.1, 20.0),
+        ("air_acceleration", "c", 0.05, 0.0, 20.0),
         ("ground_friction", "c", 0.25, 0.0, 20.0),
         ("air_control", "c", 0.05, 0.0, 2.0),
-        ("max_air_speed", "c", 0.25, 0.5, 30.0),
+        ("step_size", "c", 0.05, 0.05, 3.0),
+        ("gravity_x", "c:gravity:0", 0.5, -20.0, 20.0),
+        ("gravity_y", "c:gravity:1", 0.5, -20.0, 20.0),
+        ("gravity_z", "c:gravity:2", 0.5, -20.0, 20.0),
+        ("render_scale", "w", 0.05, 0.1, 1.0),           # :795
+        ("fog_start", "u", 0.5, 0.0, 100.0),             # :800-802
+        ("fog_end", "u", 0.5, 1.0, 500.0),
+        ("fog_r", "u:fog_color:0", 0.05, 0.0, 1.0),
+        ("fog_g", "u:fog_color:1", 0.05, 0.0, 1.0),
+        ("fog_b", "u:fog_color:2", 0.05, 0.0, 1.0),
+        ("fog_a", "u:fog_color:3", 0.05, 0.0, 1.0),
+        ("light_yaw", "l", 5.0, -180.0, 180.0),          # :803-804
+        ("light_pitch", "l", 5.0, -89.0, 89.0),
+        ("light_r", "u:light_color:0", 0.05, 0.0, 4.0),
+        ("light_g", "u:light_color:1", 0.05, 0.0, 4.0),
+        ("light_b", "u:light_color:2", 0.05, 0.0, 4.0),
+        ("light_a", "u:light_color:3", 0.05, 0.0, 4.0),
+        ("clear_r", "u:clear_color:0", 0.05, 0.0, 1.0),
+        ("clear_g", "u:clear_color:1", 0.05, 0.0, 1.0),
+        ("clear_b", "u:clear_color:2", 0.05, 0.0, 1.0),
+        ("clear_a", "u:clear_color:3", 0.05, 0.0, 1.0),
     ]
 
     def _update_toggles(self, inp):
@@ -469,25 +512,7 @@ class Dust2Game:
             elif ch in "-=":
                 name, kind, step, lo, hi = self.TUNABLES[self._tune_idx]
                 delta = step if ch == "=" else -step
-                if kind == "u":
-                    tgt = self.engine.uniforms
-                elif kind == "c":
-                    tgt = self.char_params
-                elif kind == "l":
-                    tgt = self.light_euler
-                else:  # "w": window-level, re-derives the engine size
-                    self.window.render_scale = min(
-                        hi, max(lo, self.window.render_scale + delta))
-                    self._rebuild_engine_for_scale()
-                    continue
-                tgt[name] = np.float32(
-                    min(hi, max(lo, float(tgt[name]) + delta)))
-                if kind == "l":
-                    self.engine.uniforms["light_direction"] = np.asarray(
-                        ml.euler_degrees_to_direction(
-                            [self.light_euler["light_pitch"],
-                             self.light_euler["light_yaw"], 0.0]),
-                        F32)
+                self._tunable_adjust(name, kind, delta, lo, hi)
         # chat input (T to open, Renderer.cs:587-656 simplified)
         hs = self.hud.state
         if hs.chat_active:
@@ -526,13 +551,70 @@ class Dust2Game:
         self._wire_engine = None
 
     def _tunable_value(self, name: str, kind: str) -> float:
-        if kind == "u":
-            return float(self.engine.uniforms[name])
-        if kind == "c":
-            return float(self.char_params[name])
-        if kind == "l":
+        parts = kind.split(":")
+        if parts[0] == "u":
+            return float(self.engine.uniforms[name] if len(parts) == 1
+                         else self.engine.uniforms[parts[1]][int(parts[2])])
+        if parts[0] == "c":
+            return float(self.char_params[name] if len(parts) == 1
+                         else self.char_params[parts[1]][int(parts[2])])
+        if parts[0] == "l":
             return float(self.light_euler[name])
+        if parts[0] == "rot":
+            return float(np.asarray(
+                ml.quat_to_euler_degrees(self.cam_rotation))[int(parts[1])])
+        if parts[0] == "pos":
+            return float(np.asarray(self.char["position"])[int(parts[1])])
+        if parts[0] == "s":
+            return float(getattr(self, parts[1]))
         return float(self.window.render_scale)
+
+    def _tunable_adjust(self, name: str, kind: str, delta: float,
+                        lo: float, hi: float) -> None:
+        """Apply one debug-panel adjustment (Renderer.cs:690-817); every
+        target is a traced value, so no path here recompiles except the
+        framebuffer-reshaping render scale."""
+        clamp = lambda v: min(hi, max(lo, v))
+        parts = kind.split(":")
+        if parts[0] == "w":
+            self.window.render_scale = clamp(
+                self.window.render_scale + delta)
+            self._rebuild_engine_for_scale()
+            return
+        if parts[0] == "s":
+            setattr(self, parts[1], np.float32(
+                clamp(float(getattr(self, parts[1])) + delta)))
+            return
+        if parts[0] == "rot":
+            euler = np.asarray(ml.quat_to_euler_degrees(self.cam_rotation))
+            i = int(parts[1])
+            euler[i] = clamp(float(euler[i]) + delta)
+            self.cam_rotation = np.asarray(ml.quat_from_yaw_pitch_roll(
+                euler[1] * math.pi / 180, euler[0] * math.pi / 180,
+                euler[2] * math.pi / 180), F32)
+            return
+        if parts[0] == "pos":
+            i = int(parts[1])
+            pos = np.asarray(self.char["position"]).copy()
+            pos[i] = clamp(float(pos[i]) + delta)
+            self.char["position"] = jnp.asarray(pos, jnp.float32)
+            return
+        if parts[0] == "l":
+            tgt = self.light_euler
+            tgt[name] = np.float32(clamp(float(tgt[name]) + delta))
+            self.engine.uniforms["light_direction"] = np.asarray(
+                ml.euler_degrees_to_direction(
+                    [self.light_euler["light_pitch"],
+                     self.light_euler["light_yaw"], 0.0]), F32)
+            return
+        tgt = self.engine.uniforms if parts[0] == "u" else self.char_params
+        if len(parts) == 1:
+            tgt[name] = np.float32(clamp(float(tgt[name]) + delta))
+        else:
+            key, i = parts[1], int(parts[2])
+            vec = np.asarray(tgt[key], F32).copy()
+            vec[i] = clamp(float(vec[i]) + delta)
+            tgt[key] = vec
 
     def _player_matrix(self, p: ConnectedPlayer) -> np.ndarray:
         """CreatePlayerMatrix (Renderer.cs:251-256)."""

@@ -44,6 +44,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from softwarerenderer_tpu.config import (
     BlendMode,
@@ -54,7 +55,10 @@ from softwarerenderer_tpu.ops.geometry import unflatten_varyings
 
 F32 = jnp.float32
 DEPTH_CLEAR = jnp.finfo(jnp.float32).min  # float.MinValue (MainWindow.cs:434)
-NO_TRI = jnp.int32(-1)
+NO_TRI = np.int32(-1)   # plain host scalar: a module-level jnp
+                        # constant would initialize the backend at
+                        # import (breaking jax.distributed) and
+                        # can't be captured by Mosaic kernels
 
 # Depth-test reduction rules: mode -> (use_max, later_wins_ties).
 # Derived from the reference's inverted comparison table

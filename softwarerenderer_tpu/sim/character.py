@@ -41,7 +41,7 @@ from softwarerenderer_tpu.sim.raycast import raycast_batch
 from softwarerenderer_tpu.utils import mathlib as ml
 
 F32 = jnp.float32
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = np.float32(-np.inf)  # host scalar (no import-time backend init)
 
 # CheckPlane's 3×3 ring of probe offsets (CharacterController.cs:238-249).
 _PROBE_OFFSETS = np.array(

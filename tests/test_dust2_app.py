@@ -122,3 +122,32 @@ def test_player_hit_respawns_self():
         assert any("was killed" in m for m in g.hud.state.chat_messages)
     finally:
         g.close()
+
+
+def test_full_tuning_panel_surface():
+    """Every slider in the reference's debug panel (Renderer.cs:690-817)
+    has a live tunable: adjusting each one changes its readback and renders
+    without recompile-crash."""
+    game = make_game(offline=True)
+    names = {n for n, *_ in game.TUNABLES}
+    # the reference panel's surface (VERDICT r1 next #9)
+    for required in ["near_clip", "far_clip", "cam_pitch", "cam_yaw",
+                     "cam_roll", "mouse_sensitivity", "fov_degrees",
+                     "pos_x", "pos_y", "pos_z",
+                     "cam_offset_x", "cam_offset_y", "cam_offset_z",
+                     "move_speed", "max_air_speed", "jump_force", "radius",
+                     "height", "ground_acceleration", "air_acceleration",
+                     "ground_friction", "air_control", "step_size",
+                     "gravity_x", "gravity_y", "gravity_z", "render_scale",
+                     "fog_start", "fog_end", "fog_r", "fog_g", "fog_b",
+                     "light_yaw", "light_pitch", "light_r", "light_g",
+                     "light_b", "clear_r", "clear_g", "clear_b"]:
+        assert required in names, f"missing tunable {required}"
+    for name, kind, step, lo, hi in game.TUNABLES:
+        before = game._tunable_value(name, kind)
+        game._tunable_adjust(name, kind, step, lo, hi)
+        after = game._tunable_value(name, kind)
+        if before < hi - 1e-6:   # not already clamped at the top
+            assert after != before or abs(before - hi) < step + 1e-6, name
+    game.step(1 / 60.0)          # frame still renders after all adjustments
+    game.close()
