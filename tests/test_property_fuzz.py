@@ -1,0 +1,101 @@
+"""Property-based fuzzing (hypothesis) over math/texture/binning invariants
+(ROADMAP #13).  All properties run through fixed-shape functions so jitted
+paths compile once across examples."""
+
+import functools
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra import numpy as hnp
+
+import jax
+import jax.numpy as jnp
+
+from softwarerenderer_tpu import RenderParams
+from softwarerenderer_tpu.ops import binning, texture as tex_ops
+from softwarerenderer_tpu.utils import mathlib as ml
+
+finite_f32 = functools.partial(st.floats, allow_nan=False,
+                               allow_infinity=False, width=32)
+
+
+@settings(max_examples=60, deadline=None)
+@given(hnp.arrays(np.float32, (7, 2),
+                  elements=finite_f32(min_value=-1e5, max_value=1e5)))
+def test_wrap_uv_in_unit_interval(uv):
+    """Texture.cs:45-48 wrap: result is always in [0, 1) for finite uv."""
+    w = tex_ops._wrap_uv(uv, np)
+    assert (w >= 0).all() and (w < 1.0 + 1e-6).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(hnp.arrays(np.float32, (5, 3, 4),
+                  elements=finite_f32(min_value=-2.0, max_value=3.0)))
+def test_rgba8_roundtrip_matches_quantize(data):
+    """unpack(pack(x)) must equal quantize_u8_grid(clip(x)) bit-exactly —
+    the CPU-oracle / device-atlas agreement contract."""
+    clipped = np.clip(data, 0.0, 1.0)
+    packed = tex_ops.pack_rgba8(clipped)
+    assert packed.dtype == np.uint8
+    got = tex_ops.unpack_rgba8(packed, np)
+    want = tex_ops.quantize_u8_grid(clipped)
+    np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.tuples(finite_f32(min_value=-3.140625, max_value=3.140625),
+                 finite_f32(min_value=-1.375, max_value=1.375),
+                 finite_f32(min_value=-3.140625, max_value=3.140625)),
+       hnp.arrays(np.float32, (3,),
+                  elements=finite_f32(min_value=-10, max_value=10)))
+def test_quat_rotation_preserves_length(ypr, v):
+    q = ml.quat_from_yaw_pitch_roll(*np.float32(ypr))
+    out = ml.quat_rotate(v, np.asarray(q, np.float32))
+    np.testing.assert_allclose(np.linalg.norm(out), np.linalg.norm(v),
+                               rtol=1e-4, atol=1e-4)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_binning_covers_every_overlap(seed):
+    """Every (tile, triangle) whose clamped bbox overlaps the tile is
+    either in that tile's segment or on the global list — the no-dropped-
+    coverage invariant behind the sort-middle design (SURVEY.md §7)."""
+    rng = np.random.default_rng(seed)
+    n = 24
+    W, H, th, tw, cap = 256, 128, 16, 64, 3
+    params = RenderParams(width=W, height=H, tile_h=th, tile_w=tw,
+                          span_cap=cap)
+    x = rng.integers(0, W, (n, 2)).astype(np.int32)
+    y = rng.integers(0, H, (n, 2)).astype(np.int32)
+    bbox = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+    valid = rng.random(n) > 0.2
+    tris = {"bbox": jnp.asarray(bbox), "valid": jnp.asarray(valid)}
+    bins = _run_bins(tris, params)
+    starts = np.asarray(bins["starts"])
+    counts = np.asarray(bins["counts"])
+    sorted_tri = np.asarray(bins["sorted_tri"])
+    order = np.asarray(bins["order"])
+    n_global = int(np.asarray(bins["n_global"]))
+    globals_set = set(order[:n_global].tolist())
+    ntx = bins["ntx"]
+
+    for t in range(n):
+        if not valid[t]:
+            continue
+        if t in globals_set:
+            continue
+        tx0, ty0 = bbox[t, 0] // tw, bbox[t, 1] // th
+        tx1, ty1 = bbox[t, 2] // tw, bbox[t, 3] // th
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                tid = ty * ntx + tx
+                seg = sorted_tri[starts[tid]:starts[tid] + counts[tid]]
+                assert t in seg.tolist(), (t, tid)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _run_bins(tris, params):
+    return binning.bin_triangles(tris, params, params.tile_h,
+                                 params.tile_w, params.span_cap)
