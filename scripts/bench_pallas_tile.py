@@ -56,7 +56,8 @@ def main():
     engp = run("pallas_tile", RenderParams(width=W, height=H,
                                            use_pallas=True))
     if not args.skip_xla:
-        engx = run("xla_fused", RenderParams(width=W, height=H))
+        engx = run("xla_fused", RenderParams(width=W, height=H,
+                                               use_pallas=False))
         if args.parity:
             u = bench.camera_uniforms(engp.uniforms, 7)
             cp, dp = map(np.asarray, engp.render(u))

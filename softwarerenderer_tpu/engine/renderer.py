@@ -96,6 +96,9 @@ def scene_fragment_shader(frag, uniforms, xp=jnp):
 # Varying registry: the flat attribute names this shader reads — unused
 # varyings are pruned from the raster payload (SURVEY.md §7 hard-part (c)).
 scene_fragment_shader.varyings = ("color", "uv", "data.world_normal")
+# Per-triangle channel registry: this shader samples via pre-resolved
+# atlas regions only (no tex_id/mesh_id lookups).
+scene_fragment_shader.tri_extras = ("tex_oy", "tex_ox", "tex_h", "tex_w")
 
 
 def scene_fragment_shader_bilinear(frag, uniforms, xp=jnp):
@@ -119,6 +122,9 @@ def scene_fragment_shader_bilinear(frag, uniforms, xp=jnp):
 
 
 scene_fragment_shader_bilinear.varyings = scene_fragment_shader.varyings
+# bilinear still resolves through tex_id tables
+scene_fragment_shader_bilinear.tri_extras = (
+    "tex_id", "tex_oy", "tex_ox", "tex_h", "tex_w")
 
 
 def default_frame_uniforms(width: int, height: int) -> Dict:
@@ -213,6 +219,9 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     # Per-triangle material plumbing; ×2 to match the clipper's fan slots.
     # Atlas regions resolve here (T-level takes ≈ free) so the fragment
     # stage's only per-pixel memory access is the texel gather itself.
+    # Shaders can declare `tri_extras` (like `varyings`) to prune unused
+    # channels from the resolve payload — fewer payload rows = less VMEM
+    # traffic in the tile kernel's winner merge.
     tid2 = jnp.repeat(scene["tri_texture_id"], 2)
     aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
     asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
@@ -222,6 +231,9 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                "tex_ox": jnp.take(aoff[:, 1], tid2),
                "tex_h": jnp.take(asiz[:, 0], tid2),
                "tex_w": jnp.take(asiz[:, 1], tid2)}
+    tri_extras = getattr(fragment_shader, "tri_extras", None)
+    if tri_extras is not None:
+        per_tri = {k: v for k, v in per_tri.items() if k in tri_extras}
 
     if fb is None:
         clear = jnp.asarray(uniforms["clear_color"], dtype=F32)

@@ -57,8 +57,8 @@ SUB = 32          # sub-chunk width (predicated evaluation granularity)
 GLOB_RESIDENT = 256   # global triangles kept in VMEM (dust2 @1080p: 49)
 
 
-def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kpi,
-            interp_plan, sl_screen, sl_ia, clip_w_off, interpret,
+def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kp3_dma,
+            kpi, interp_plan, sl_screen, sl_ia, clip_w_off, interpret,
             # scalar prefetch
             starts_ref, counts_ref, nglob_ref,
             # inputs
@@ -130,9 +130,12 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kpi,
 
         # Winner payload for this sub-chunk via one-hot matmul, laid out
         # (fields, pixels) so later field reads are cheap sublane slices.
+        # pl_rows arrives at the 128-lane DMA width; the matmul and the
+        # (kp3, tpx) merge below use only the real payload columns — the
+        # full-width merge is the kernel's dominant VMEM traffic.
         onehot = (at & (idx == cand_i)).astype(F32)            # (SUB, tpx)
         cand_pl = jax.lax.dot_general(
-            pl_rows, onehot, (((0,), (0,)), ((), ())),
+            pl_rows[:, :kp3], onehot, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (kp3, tpx)
         bpl_ref[...] = jnp.where(take, cand_pl, bpl_ref[...])
         bd_ref[...] = jnp.where(take, cand_d, best_d)
@@ -310,10 +313,16 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
         extra_slices[k] = off
         off += 1
     kp = off
-    kp3 = _cdiv(3 * kp, 128) * 128
+    # Two widths: the HBM stream / DMA buffers must keep a 128-aligned
+    # lane dim (Mosaic DMA tiling), but the winner-payload SCRATCH has
+    # lanes = tpx with kp3 as its sublane dim, so it only needs
+    # 8-alignment — and the full-width (kp3, tpx) where-merge per
+    # sub-chunk is the kernel's dominant VMEM traffic.
+    kp3 = _cdiv(3 * kp, 8) * 8
+    kp3_dma = _cdiv(3 * kp, 128) * 128
     payload = jnp.concatenate(parts, axis=-1).reshape(n, 3 * kp)
     payload = jnp.where(tris["valid"][:, None], payload, 0.0)
-    payload = jnp.pad(payload, ((0, 0), (0, kp3 - 3 * kp)))
+    payload = jnp.pad(payload, ((0, 0), (0, kp3_dma - 3 * kp)))
     clip_w_off = slices["clip_position"][1] - 1
 
     # ---- interpolation plan → G-buffer channel map -----------------------
@@ -361,7 +370,7 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
             pl.BlockSpec((tile_h, tile_w),
                          lambda i, *_: (i // ntx, i % ntx)),
             pl.BlockSpec((N_FIELDS, GLOB_RESIDENT), lambda i, *_: (0, 0)),
-            pl.BlockSpec((GLOB_RESIDENT, kp3), lambda i, *_: (0, 0)),
+            pl.BlockSpec((GLOB_RESIDENT, kp3_dma), lambda i, *_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -379,14 +388,15 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
             pltpu.VMEM((1, tpx), jnp.float32),        # best index
             pltpu.VMEM((kp3, tpx), jnp.float32),      # winner payload
             pltpu.VMEM((2, N_FIELDS, chunk), jnp.float32),
-            pltpu.VMEM((2, chunk, kp3), jnp.float32),
+            pltpu.VMEM((2, chunk, kp3_dma), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _kernel, ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kpi,
-        tuple(interp_plan), sl_screen, sl_ia, clip_w_off, interpret)
+        _kernel, ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3,
+        kp3_dma, kpi, tuple(interp_plan), sl_screen, sl_ia, clip_w_off,
+        interpret)
     gbuf, best_d, best_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
