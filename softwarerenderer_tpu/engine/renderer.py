@@ -290,6 +290,49 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                                   chunk=chunk)
 
 
+def render_frame_with_shadows(scene: Dict, uniforms: Dict,
+                              params: RenderParams,
+                              shadow_size: int = 512,
+                              vertex_shader: Optional[Callable] = None,
+                              fragment_shader: Optional[Callable] = None,
+                              chunk: int = 128):
+    """Frame with a directional shadow map — one extra depth-only pass
+    from the light inside the SAME jitted program (ops/shadows.py; a
+    capability beyond the reference, ROADMAP #5).
+
+    The light camera auto-fits the scene's world bounds; pass a custom
+    fragment shader that calls shadows.shadow_factor to restyle the
+    shadow response (the default is the game shader with shadowed pixels
+    falling to the ambient floor)."""
+    from softwarerenderer_tpu.ops.lighting import lit_scene_vertex_shader
+    from softwarerenderer_tpu.ops.shadows import (
+        directional_light_camera,
+        render_shadow_depth,
+        shadowed_scene_fragment_shader,
+    )
+
+    vertex_shader = vertex_shader or lit_scene_vertex_shader
+    fragment_shader = fragment_shader or shadowed_scene_fragment_shader
+
+    # World-space scene bounds (same conservative max-scale as culling).
+    mm = jnp.asarray(scene["mesh_matrices"], F32)
+    wc = ml.transform_point(jnp.asarray(scene["bounds_center"], F32), mm,
+                            xp=jnp)
+    row_norms = jnp.sqrt(jnp.sum(mm[:, :3, :3] ** 2, axis=-1))
+    wr = jnp.asarray(scene["bounds_radius"], F32) * jnp.max(row_norms, -1)
+    center = jnp.mean(wc, axis=0)
+    radius = jnp.max(jnp.linalg.norm(wc - center, axis=-1) + wr)
+
+    view, proj, _ = directional_light_camera(
+        uniforms["light_direction"], center, radius)
+    smap = render_shadow_depth(scene, uniforms, view, proj, shadow_size,
+                               params)
+    u = dict(uniforms)
+    u.update(shadow_map=smap, shadow_view=view, shadow_proj=proj)
+    return render_frame(scene, u, params, vertex_shader=vertex_shader,
+                        fragment_shader=fragment_shader, chunk=chunk)
+
+
 def to_rgb8(color: jnp.ndarray) -> jnp.ndarray:
     """Device-side RGBA f32 → RGB u8 (the present conversion the reference
     does on CPU threads, MainWindow.cs:236-240)."""

@@ -61,6 +61,24 @@ def perspective_fov(fov_radians, aspect, near, far, xp=np):
     return m
 
 
+def orthographic(width, height, near, far, xp=np):
+    """Matrix4x4.CreateOrthographic: row-vector RH ortho projection.
+
+    ndcZ runs 0 at `near` to 1 at `far` for view-space z = -d (same depth
+    convention as perspective_fov, so the raster depth semantics match).
+    Used by the shadow-map light camera (ops/shadows.py)."""
+    zero = xp.zeros((), dtype=xp.float32)
+    one = xp.ones((), dtype=xp.float32)
+    inv_nf = F32(1.0) / (_f32(near, xp) - _f32(far, xp))
+    m = xp.stack([
+        xp.stack([F32(2.0) / _f32(width, xp), zero, zero, zero]),
+        xp.stack([zero, F32(2.0) / _f32(height, xp), zero, zero]),
+        xp.stack([zero, zero, inv_nf, zero]),
+        xp.stack([zero, zero, _f32(near, xp) * inv_nf, one]),
+    ])
+    return m
+
+
 def look_at(eye, target, up, xp=np):
     """Matrix4x4.CreateLookAt (right-handed): zaxis = normalize(eye-target)."""
     eye = _f32(eye, xp)
