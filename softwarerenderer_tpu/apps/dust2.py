@@ -79,6 +79,8 @@ class ConnectedPlayer:
         self.local_position = np.zeros(3, F32)
         self.rotation = ml.QUAT_IDENTITY.copy()
         self.health = 100.0
+        self.kills = 0
+        self.deaths = 0
 
 
 def load_player_name(path: str = "./Playername.txt") -> str:
@@ -285,6 +287,14 @@ class Dust2Game:
         self._update_network()
         self._update_character(dt, inp)
         self._update_toggles(inp)
+        # Scoreboard (hold Tab) — beyond-reference ergonomics (ROADMAP #6).
+        self.hud.state.show_scoreboard = "tab" in inp["keys"] \
+            and not self.hud.state.chat_active
+        if self.hud.state.show_scoreboard:
+            self.hud.state.scoreboard = [
+                (q.name, q.kills, q.deaths, q.health)
+                for q in sorted(self.players,
+                                key=lambda q: (-q.kills, q.deaths))]
         if inp["mouse_down"] and self.mouse_locked \
                 and self.time - self.last_shot >= SHOT_COOLDOWN:
             self.shoot()
@@ -350,7 +360,8 @@ class Dust2Game:
             elif method == "ChatMessage" and len(params) >= 2:
                 self.hud.add_chat(f"{params[0]}: {params[1]}")
             elif method == "PlayerHit" and len(params) >= 3:
-                self._handle_player_hit(int(params[0]), float(params[2]))
+                self._handle_player_hit(int(params[0]), float(params[2]),
+                                        attacker_id=int(params[1]))
             elif method == "Shoot" and len(params) >= 3:
                 shot_pos = np.asarray([float(params[0]), float(params[1]),
                                        float(params[2])], F32)
@@ -360,9 +371,10 @@ class Dust2Game:
         except (ValueError, IndexError):
             pass
 
-    def _handle_player_hit(self, pid: int, damage: float):
+    def _handle_player_hit(self, pid: int, damage: float,
+                           attacker_id: int = -1):
         """PlayerHit: damage, kill message, respawn, heal (Renderer.cs:
-        911-950)."""
+        911-950) + kill feed / scoreboard counters (beyond-reference)."""
         p = next((x for x in self.players if x.id == pid), None)
         if p is None:
             return
@@ -371,6 +383,12 @@ class Dust2Game:
             self.hud.state.health = p.health
         if p.health <= 0:
             self.hud.add_chat(f"{p.name} was killed!")
+            attacker = next((x for x in self.players
+                             if x.id == attacker_id), None)
+            self.hud.add_kill(attacker.name if attacker else "?", p.name)
+            if attacker is not None and attacker is not p:
+                attacker.kills += 1
+            p.deaths += 1
             if pid == self.net.client_id:
                 spawn_first = self.rng.random() > 0.5
                 spawn = SPAWN_1 if spawn_first else SPAWN_2

@@ -36,6 +36,14 @@ class HudState:
     debug_lines: List[str] = dataclasses.field(default_factory=list)
     show_debug: bool = False
     max_chat_lines: int = 8
+    # Kill feed: (age-decayed) "attacker killed victim" entries, newest last
+    kill_feed: List[Tuple[float, str]] = \
+        dataclasses.field(default_factory=list)   # (expires_at, line)
+    # Scoreboard overlay rows (name, kills, deaths, health); shown while
+    # the scoreboard key (Tab) is held
+    scoreboard: List[Tuple[str, int, int, float]] = \
+        dataclasses.field(default_factory=list)
+    show_scoreboard: bool = False
 
 
 def project_nametag(world_pos, view, projection, width: int, height: int
@@ -68,6 +76,13 @@ class Hud:
     def add_chat(self, line: str) -> None:
         self.state.chat_messages.append(line)
         del self.state.chat_messages[:-100]
+
+    def add_kill(self, attacker: str, victim: str,
+                 ttl: float = 6.0) -> None:
+        """Kill-feed entry (top-right, expires after ttl seconds)."""
+        self.state.kill_feed.append(
+            (time.monotonic() + ttl, f"{attacker} \u2620 {victim}"))
+        del self.state.kill_feed[:-6]
 
     def __call__(self, screen, pg) -> None:
         """Overlay callback for window.present."""
@@ -104,6 +119,37 @@ class Hud:
         for x, ny, name in s.nametags:
             t = self._font.render(name, True, white)
             screen.blit(t, (int(x) - t.get_width() // 2, int(ny) - 18))
+
+        # Kill feed (top-right, below perf) — expired entries drop out.
+        now = time.monotonic()
+        s.kill_feed[:] = [(t, line) for t, line in s.kill_feed if t > now]
+        ky = 28
+        for _, line in s.kill_feed:
+            t = self._font.render(line, True, (255, 120, 120))
+            screen.blit(t, (w - t.get_width() - 12, ky))
+            ky += 16
+
+        # Scoreboard overlay (hold Tab).
+        if s.show_scoreboard and s.scoreboard:
+            rows = [("player", "K", "D", "HP")] + [
+                (n, str(k), str(d), f"{hp:.0f}")
+                for n, k, d, hp in s.scoreboard]
+            bw, rh = 320, 18
+            bh = rh * (len(rows) + 1)
+            bx, by = (w - bw) // 2, h // 4
+            box = pg.Surface((bw, bh))
+            box.set_alpha(200)
+            box.fill((20, 20, 28))
+            screen.blit(box, (bx, by))
+            for i, (n, k, d, hp) in enumerate(rows):
+                col = (255, 255, 160) if i == 0 else white
+                yy = by + 8 + i * rh
+                screen.blit(self._font.render(n[:22], True, col),
+                            (bx + 10, yy))
+                screen.blit(self._font.render(k, True, col), (bx + 210, yy))
+                screen.blit(self._font.render(d, True, col), (bx + 250, yy))
+                screen.blit(self._font.render(hp, True, col),
+                            (bx + 282, yy))
 
         # Performance + debug panel (Renderer.cs:662-668, 658-820).
         perf = f"{s.fps:5.1f} fps  {s.frame_ms:6.2f} ms  " \

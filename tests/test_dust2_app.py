@@ -151,3 +151,30 @@ def test_full_tuning_panel_surface():
             assert after != before or abs(before - hi) < step + 1e-6, name
     game.step(1 / 60.0)          # frame still renders after all adjustments
     game.close()
+
+
+def test_kill_feed_and_scoreboard():
+    """PlayerHit kills feed the top-right kill feed and the Tab scoreboard
+    counters (attacker kill, victim death)."""
+    from softwarerenderer_tpu.apps.dust2 import ConnectedPlayer
+    g = make_game(offline=True)
+    try:
+        me = ConnectedPlayer(0, "me")
+        foe = ConnectedPlayer(1, "foe")
+        g.players += [me, foe]
+        g.net.client_id = 0
+        for _ in range(10):
+            g._handle_rpc("PlayerHit", ["1", "0", "10"])   # me kills foe
+        assert me.kills == 1 and foe.deaths == 1
+        assert g.hud.state.kill_feed, "kill feed empty"
+        assert "me" in g.hud.state.kill_feed[-1][1]
+        assert "foe" in g.hud.state.kill_feed[-1][1]
+        # hold Tab → scoreboard rows sorted by kills
+        g.step(1 / 60.0, inputs={"quit": False, "keys": {"tab"},
+                                 "chars": "", "mouse_delta": (0, 0),
+                                 "mouse_down": False})
+        assert g.hud.state.show_scoreboard
+        assert g.hud.state.scoreboard[0][0] == "me"
+        assert g.hud.state.scoreboard[0][1] == 1
+    finally:
+        g.close()
