@@ -30,12 +30,14 @@ Sequential-semantics notes:
     a fragment the shader *discards* (alpha ≤ 0, Rasterizer.cs:511) leaves
     background rather than revealing the next-nearest triangle, and writes
     no depth.  The reference would reveal the next triangle.  Scenes using
-    discard for cutouts should use ``render_forward`` for exactness.
+    discard for cutouts should use the K-buffer
+    (``RenderParams(kbuffer=K)``, ops/kbuffer.py — binned cost) or
+    ``render_forward`` (O(T·H·W), always exact).
   * ALPHA/ADDITIVE/MULTIPLY blending of *overlapping* translucent geometry
-    needs ordered composition — also ``render_forward``.  The deferred path
-    blends the single winner against the background, which is exact for
-    opaque scenes (the reference's own cross-mesh order is racy anyway —
-    SURVEY.md §5).
+    needs ordered composition — also K-buffer or ``render_forward``.  The
+    deferred path blends the single winner against the background, which
+    is exact for opaque scenes (the reference's own cross-mesh order is
+    racy anyway — SURVEY.md §5).
 """
 
 from __future__ import annotations
