@@ -71,7 +71,7 @@ def main():
     report("frame_xla_fused", lambda i: eng.render(vary(i)))
 
     engp = Engine(scene, params.replace(use_pallas=True))
-    report("frame_pallas_gbuffer", lambda i: engp.render(vary(i)))
+    report("frame_pallas_tile", lambda i: engp.render(vary(i)))
 
     # ---- dispatch floor: empty scene (everything culled) ---------------
     empty_u = dict(u0)

@@ -204,8 +204,8 @@ def visibility_pallas(tris: Dict, params: RenderParams,
         in_specs=[
             pl.BlockSpec((tile_h, tile_w),
                          lambda i, *_: (i // ntx, i % ntx)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((tile_h, tile_w),

@@ -1,7 +1,7 @@
 """Single-pass Pallas tile renderer: fold + resolve + interpolate in-kernel.
 
-Second-generation Pallas path (replaces ops/pallas_gbuffer.py as the
-`RenderParams.use_pallas` route).  The G-buffer kernel lost to the XLA fused
+Second-generation Pallas path (replacing the round-1 two-pass G-buffer
+kernel as the `RenderParams.use_pallas` route).  That kernel lost to the XLA fused
 path for three measured reasons (scripts/profile_kernels.py, BENCHMARKS.md):
 two streaming passes over the same bins, a raw 3-vertex payload G-buffer
 (~128 f32/pixel → ~1 GB/frame of HBM round-trip at 1080p), and 128-lane
@@ -48,11 +48,32 @@ from jax.experimental.pallas import tpu as pltpu
 from softwarerenderer_tpu.config import DepthTest, RenderParams
 from softwarerenderer_tpu.ops.binning import _cdiv, bin_triangles
 from softwarerenderer_tpu.ops.geometry import unflatten_varyings
-from softwarerenderer_tpu.ops.pallas_gbuffer import _build_streams
 from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR, _blend
 
 F32 = jnp.float32
 N_FIELDS = 16     # setup-stream rows: s0x s0y s1x s1y s2x s2y d0 d1 d2 ia idx
+
+
+def _build_streams(tris, bins, payload):
+    screen = tris["screen"]
+    depth = tris["depth"]
+    inv_area = jnp.where(tris["valid"], tris["inv_area"], 0.0)
+    n = screen.shape[0]
+    idx_f = jnp.arange(n, dtype=F32)
+    zeros = jnp.zeros_like(idx_f)
+    setup = jnp.stack([
+        screen[:, 0, 0], screen[:, 0, 1],
+        screen[:, 1, 0], screen[:, 1, 1],
+        screen[:, 2, 0], screen[:, 2, 1],
+        depth[:, 0], depth[:, 1], depth[:, 2],
+        inv_area, idx_f, zeros, zeros, zeros, zeros, zeros,
+    ])                                                    # (16, N)
+    glob_setup = jnp.take(setup, bins["order"], axis=1)
+    seg_setup = jnp.take(setup, bins["sorted_tri"], axis=1)
+    glob_payload = jnp.take(payload, bins["order"], axis=0)
+    seg_payload = jnp.take(payload, bins["sorted_tri"], axis=0)
+    return glob_setup, seg_setup, glob_payload, seg_payload
+
 SUB = 32          # sub-chunk width (predicated evaluation granularity)
 GLOB_RESIDENT = 256   # global triangles kept in VMEM (dust2 @1080p: 49)
 

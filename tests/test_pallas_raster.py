@@ -70,68 +70,6 @@ def test_pallas_rejects_unsupported_mode():
         pallas_raster.visibility_pallas(tris, bad, 32, interpret=True)
 
 
-def test_gbuffer_kernel_matches_fused(tmp_path=None):
-    """Pallas G-buffer renderer (fold+resolve+interp in-kernel) must match
-    the XLA fused path exactly (interpret mode)."""
-    import jax.numpy as jnp
-    from softwarerenderer_tpu.engine import (camera_matrices,
-                                             default_frame_uniforms,
-                                             render_frame,
-                                             scene_fragment_shader,
-                                             scene_vertex_shader)
-    from softwarerenderer_tpu.models import scene as scene_mod
-    from softwarerenderer_tpu.ops import (culling, pallas_gbuffer, raster,
-                                          texture as tex_ops)
-    import functools
-
-    checker = np.asarray(tex_ops.checkerboard(16, 4)["data"])
-    insts = [scene_mod.MeshInstance(primitives.plane(20.0),
-                                    ml.translation([0, -1, 0]),
-                                    texture=checker),
-             scene_mod.MeshInstance(primitives.cube(0.8),
-                                    ml.translation([0, 0, -3]),
-                                    texture=checker)]
-    sc = scene_mod.build_scene_buffers(insts)
-    w, h = 136, 92
-    u0 = default_frame_uniforms(w, h)
-    u0["camera_position"] = np.float32([0, 0.5, 3.0])
-    params = RenderParams(width=w, height=h, tile_h=16, tile_w=32,
-                          tile_group=4, chunk=16)
-
-    def gb(scene, u):
-        view, proj = camera_matrices(u, w, h)
-        vp = ml.transform(view, proj, xp=jnp)
-        visible = culling.spheres_in_frustum(
-            scene["bounds_center"], scene["bounds_radius"],
-            scene["mesh_matrices"], vp, xp=jnp)
-        tri_mask = jnp.take(visible, scene["tri_mesh_id"])
-        model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
-                            axis=0)
-        uu = dict(u)
-        uu.update(model=model_pv, view=view, projection=proj,
-                  atlas_data=scene["atlas_data"],
-                  atlas_offsets=scene["atlas_offsets"],
-                  atlas_sizes=scene["atlas_sizes"])
-        vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
-        tris = geometry.build_triangles(
-            scene_vertex_shader, vin, scene["indices"], uu, width=w,
-            height=h, near_clip=uu["near_clip"], tri_mask=tri_mask,
-            keep_varyings=scene_fragment_shader.varyings)
-        per_tri = {"tex_id": jnp.repeat(scene["tri_texture_id"], 2),
-                   "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2)}
-        clear = jnp.asarray(u["clear_color"], jnp.float32)
-        fbc = jnp.broadcast_to(clear, (h, w, 4))
-        fbd = jnp.full((h, w), raster.DEPTH_CLEAR, jnp.float32)
-        return pallas_gbuffer.render_binned_gbuffer(
-            tris, scene_fragment_shader, uu, params, fbc, fbd,
-            per_tri_extra=per_tri, interpret=True)
-
-    cg, dg = jax.jit(gb)(sc, u0)
-    cf, df = jax.jit(functools.partial(render_frame, params=params))(sc, u0)
-    cg, dg, cf, df = map(np.asarray, (cg, dg, cf, df))
-    assert (np.abs(cg - cf).max(axis=-1) > 1e-5).mean() == 0
-    assert (np.abs(dg - df) > 1e-5).mean() == 0
-
 
 def _tile_kernel_scene():
     from softwarerenderer_tpu.models import scene as scene_mod
