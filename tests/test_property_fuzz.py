@@ -99,3 +99,58 @@ def test_binning_covers_every_overlap(seed):
 def _run_bins(tris, params):
     return binning.bin_triangles(tris, params, params.tile_h,
                                  params.tile_w, params.span_cap)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_no_cracks_on_shared_edges(seed):
+    """Watertightness, SURVEY §4(c): a quad split into two triangles along
+    its diagonal leaves NO uncovered pixels strictly inside the quad (the
+    reference's inclusive both-winding inside test double-covers shared
+    edges rather than cracking — the fold then resolves the tie)."""
+    rng = np.random.default_rng(seed)
+    W, H = 64, 64
+    # random convex quad strictly inside the viewport
+    cx, cy = rng.uniform(20, 44, 2)
+    angs = np.sort(rng.uniform(0, 2 * np.pi, 4))
+    if np.min(np.diff(angs, append=angs[0] + 2 * np.pi)) < 0.3:
+        return  # too degenerate to say anything
+    r = rng.uniform(8, 18, 4)
+    pts = np.stack([cx + r * np.cos(angs), cy + r * np.sin(angs)],
+                   axis=1).astype(np.float32)
+
+    def covered(tris_pts):
+        px, py = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        cov = np.zeros((H, W), bool)
+        for (a, b, c) in tris_pts:
+            w0 = ((b[1] - c[1]) * (px - b[0]) + (c[0] - b[0]) * (py - b[1]))
+            w1 = ((c[1] - a[1]) * (px - c[0]) + (a[0] - c[0]) * (py - c[1]))
+            w2 = ((a[1] - b[1]) * (px - a[0]) + (b[0] - a[0]) * (py - a[1]))
+            inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) \
+                | ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+            cov |= inside
+        return cov
+
+    both = covered([(pts[0], pts[1], pts[2]), (pts[0], pts[2], pts[3])])
+
+    # strictly-interior pixels (≥0.5 px from every quad edge) — boundary
+    # pixels are legitimately float-ambiguous, interior ones never are
+    px, py = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    interior = np.ones((H, W), bool)
+    P = pts.astype(np.float64)
+    # ensure CCW orientation so inside = positive edge functions
+    area2 = 0.0
+    for i in range(4):
+        a, b = P[i], P[(i + 1) % 4]
+        area2 += a[0] * b[1] - b[0] * a[1]
+    if area2 < 0:
+        P = P[::-1]
+    for i in range(4):
+        a, b = P[i], P[(i + 1) % 4]
+        e = (b[0] - a[0]) * (py - a[1]) - (b[1] - a[1]) * (px - a[0])
+        n = np.hypot(b[0] - a[0], b[1] - a[1])
+        interior &= (e / max(n, 1e-9)) > 0.5
+    # the two-triangle split leaves no crack among interior pixels
+    assert not (interior & ~both).any()
