@@ -104,6 +104,11 @@ class RenderParams:
     span_cap: int = 8         # bbox tile-span above which a tri goes global
     tile_group: int = 16      # tiles processed per sequential step
     chunk: int = 32           # triangles folded per reduction step
+    # Mip-mapped texture sampling (beyond the reference, ROADMAP #4):
+    # per-triangle LOD from the uv-area/screen-area ratio selects a
+    # box-filtered mip from the atlas chain. Off by default (mip 0 is the
+    # exact parity mode — the reference has no mips).
+    use_mipmaps: bool = False
     # K-buffer depth (ops/kbuffer): keep the K best fragments per pixel
     # and replay the reference's sequential shade/blend over them in
     # submission order — order-correct translucency and discard-reveal at

@@ -231,6 +231,37 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                "tex_ox": jnp.take(aoff[:, 1], tid2),
                "tex_h": jnp.take(asiz[:, 0], tid2),
                "tex_w": jnp.take(asiz[:, 1], tid2)}
+    if params.use_mipmaps and "atlas_mip_offsets" in scene:
+        # Per-triangle LOD (deferred shading has no pixel quads for
+        # derivatives): texel-per-pixel ratio = |uv cross| · texels ·
+        # |inv screen cross|; each clip-fan slot uses its own screen area.
+        # Per-polygon mipping is coarse on mega-triangles spanning near to
+        # far (they keep one level) — subdivide such geometry, as classic
+        # per-polygon-mip engines did.
+        from softwarerenderer_tpu.models.scene import MAX_MIP_LEVELS
+        uvb = jnp.asarray(scene["uv"], F32)
+        idx = jnp.asarray(scene["indices"], jnp.int32)
+        e1 = jnp.take(uvb, idx[:, 1], axis=0) \
+            - jnp.take(uvb, idx[:, 0], axis=0)
+        e2 = jnp.take(uvb, idx[:, 2], axis=0) \
+            - jnp.take(uvb, idx[:, 0], axis=0)
+        uv_cross = jnp.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+        texels = jnp.take((asiz[:, 0] * asiz[:, 1]).astype(F32),
+                          scene["tri_texture_id"])
+        uv2 = jnp.repeat(uv_cross * texels, 2)
+        ratio = jnp.maximum(uv2 * jnp.abs(tris["inv_area"]), F32(1.0))
+        lod = F32(0.5) * jnp.log2(ratio)
+        nm = jnp.take(jnp.asarray(scene["atlas_n_mips"], jnp.int32), tid2)
+        mip = jnp.clip((lod + F32(0.5)).astype(jnp.int32), 0, nm - 1)
+        moff = jnp.asarray(scene["atlas_mip_offsets"],
+                           jnp.int32).reshape(-1, 2)
+        msiz = jnp.asarray(scene["atlas_mip_sizes"],
+                           jnp.int32).reshape(-1, 2)
+        flat = tid2 * MAX_MIP_LEVELS + mip
+        per_tri.update(tex_oy=jnp.take(moff[:, 0], flat),
+                       tex_ox=jnp.take(moff[:, 1], flat),
+                       tex_h=jnp.take(msiz[:, 0], flat),
+                       tex_w=jnp.take(msiz[:, 1], flat))
     tri_extras = getattr(fragment_shader, "tri_extras", None)
     if tri_extras is not None:
         per_tri = {k: v for k, v in per_tri.items() if k in tri_extras}

@@ -147,25 +147,58 @@ class TextureAtlas:
     """
 
     data: np.ndarray            # (H, W, 4) uint8 RGBA (texture.pack_rgba8)
-    offsets: np.ndarray         # (N, 2) int32 (y, x)
-    sizes: np.ndarray           # (N, 2) int32 (h, w)
+    offsets: np.ndarray         # (N, 2) int32 (y, x) — mip 0
+    sizes: np.ndarray           # (N, 2) int32 (h, w) — mip 0
+    mip_offsets: Optional[np.ndarray] = None  # (N, M, 2) int32
+    mip_sizes: Optional[np.ndarray] = None    # (N, M, 2) int32
+    n_mips: Optional[np.ndarray] = None       # (N,) int32 chain lengths
 
     @property
     def n_textures(self) -> int:
         return self.offsets.shape[0]
 
 
+MAX_MIP_LEVELS = 8
+
+
+def _box_downsample(im: np.ndarray) -> np.ndarray:
+    """2×2 box filter (odd trailing row/col duplicated) for mip building."""
+    h, w = im.shape[:2]
+    if h % 2:
+        im = np.concatenate([im, im[-1:]], axis=0)
+        h += 1
+    if w % 2:
+        im = np.concatenate([im, im[:, -1:]], axis=1)
+        w += 1
+    return im.reshape(h // 2, 2, w // 2, 2, -1).mean(axis=(1, 3))
+
+
 def pack_atlas(textures: List[np.ndarray], pad_to_multiple: int = 128
                ) -> TextureAtlas:
-    """Shelf-pack (H,W,4) float32 images; index 0 = implicit white texel."""
+    """Shelf-pack (H,W,4) float32 images; index 0 = implicit white texel.
+
+    Every texture also contributes its box-filtered mip chain (down to 1 px
+    or MAX_MIP_LEVELS) — a quality/perf mode beyond the reference
+    (ROADMAP #4): distant triangles sample coarser mips, killing both
+    aliasing and far-texture gather scatter.  Mip tables ride alongside
+    the mip-0 tables so non-mip paths keep their exact parity semantics.
+    """
     images = [np.ones((1, 1, 4), dtype=F32)]
+    mip_of = [[0]]                       # image index per (texture, level)
     for t in textures:
         t = np.asarray(t, dtype=F32)
         if t.ndim == 2:
             t = t[..., None]
         if t.shape[-1] == 3:
             t = np.concatenate([t, np.ones(t.shape[:2] + (1,), dtype=F32)], -1)
+        chain = [len(images)]
         images.append(t)
+        m = t
+        while len(chain) < MAX_MIP_LEVELS and min(m.shape[:2]) > 1:
+            m = _box_downsample(m).astype(F32)
+            chain.append(len(images))
+            images.append(m)
+        mip_of.append(chain)
 
     max_w = max(im.shape[1] for im in images)
     atlas_w = -(-max(max_w, 1) // pad_to_multiple) * pad_to_multiple
@@ -188,13 +221,32 @@ def pack_atlas(textures: List[np.ndarray], pad_to_multiple: int = 128
     data = np.zeros((atlas_h, atlas_w, 4), dtype=F32)
     for im, (oy, ox), (h, w) in zip(images, offsets, sizes):
         data[oy:oy + h, ox:ox + w] = im
+    # Mip tables: per (texture, level) region, levels past a texture's
+    # chain clamped to its last (coarsest) mip.
+    n_tex = len(mip_of)
+    offs = np.asarray(offsets, np.int32)
+    szs = np.asarray(sizes, np.int32)
+    mip_offsets = np.zeros((n_tex, MAX_MIP_LEVELS, 2), np.int32)
+    mip_sizes = np.zeros((n_tex, MAX_MIP_LEVELS, 2), np.int32)
+    n_mips = np.zeros(n_tex, np.int32)
+    for ti, chain in enumerate(mip_of):
+        n_mips[ti] = len(chain)
+        for lv in range(MAX_MIP_LEVELS):
+            src = chain[min(lv, len(chain) - 1)]
+            mip_offsets[ti, lv] = offs[src]
+            mip_sizes[ti, lv] = szs[src]
+
     # Pack as RGBA u8 rows: the reference's byte-image value space
     # (Texture.cs) and 4× narrower gather rows (texture.pack_rgba8).
     from softwarerenderer_tpu.ops.texture import pack_rgba8
+    base = np.asarray([chain[0] for chain in mip_of], np.int32)
     return TextureAtlas(
         data=pack_rgba8(data),
-        offsets=np.asarray(offsets, dtype=np.int32),
-        sizes=np.asarray(sizes, dtype=np.int32),
+        offsets=offs[base],
+        sizes=szs[base],
+        mip_offsets=mip_offsets,
+        mip_sizes=mip_sizes,
+        n_mips=n_mips,
     )
 
 
@@ -310,6 +362,9 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         "atlas_data": atlas.data,
         "atlas_offsets": atlas.offsets,
         "atlas_sizes": atlas.sizes,
+        "atlas_mip_offsets": atlas.mip_offsets,
+        "atlas_mip_sizes": atlas.mip_sizes,
+        "atlas_n_mips": atlas.n_mips,
     }
     if anim["nf"]:
         # Frame stacks concatenated on the vertex axis, frame axis padded to
