@@ -22,6 +22,9 @@ GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
 # resolutions, small enough for fast CPU renders and small PNGs.
 GOLDEN_SIZES = {1: (320, 240), 2: (320, 180), 3: (480, 270),
                 4: (320, 180), 5: (480, 270)}
+# Feature-path goldens (ROADMAP #11): wireframe, K-buffer translucency,
+# shadow maps, mip-mapped sampling.
+FEATURES = ("wireframe", "kbuffer", "shadows", "mips")
 
 
 def _sanitize_env():
@@ -65,6 +68,82 @@ def render_golden(n: int):
     return eng.present(u)
 
 
+def render_feature(name: str):
+    import functools
+    import numpy as np
+    import jax
+    from softwarerenderer_tpu import CullMode, DebugMode, RenderParams
+    from softwarerenderer_tpu.engine import (Engine, default_frame_uniforms,
+                                             render_frame_with_shadows,
+                                             to_rgb8)
+    from softwarerenderer_tpu.models import primitives, scene as scene_mod
+    from softwarerenderer_tpu.ops import texture as tex_ops
+    from softwarerenderer_tpu.utils import mathlib as ml
+
+    checker = np.asarray(tex_ops.checkerboard(32, 4)["data"])
+    if name == "wireframe":
+        insts = [scene_mod.MeshInstance(primitives.cube(1.2),
+                                        ml.translation([0, 0, -3]),
+                                        texture=checker),
+                 scene_mod.MeshInstance(
+                     primitives.uv_sphere(0.7, rings=10, sectors=16),
+                     ml.translation([1.4, 0.3, -4]))]
+        eng = Engine(scene_mod.build_scene_buffers(insts),
+                     RenderParams(width=320, height=240,
+                                  debug_mode=DebugMode.WIREFRAME))
+        return eng.present(eng.uniforms)
+    if name == "kbuffer":
+        glass = np.zeros((8, 8, 4), np.float32)
+        glass[...] = (0.3, 0.5, 1.0, 0.45)
+        insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                        ml.translation([0, -1, 0]),
+                                        texture=checker),
+                 scene_mod.MeshInstance(primitives.cube(1.0),
+                                        ml.translation([0, 0, -4]),
+                                        texture=checker),
+                 scene_mod.MeshInstance(primitives.cube(1.4),
+                                        ml.translation([0, 0, -2.2]),
+                                        texture=glass)]
+        eng = Engine(scene_mod.build_scene_buffers(insts),
+                     RenderParams(width=320, height=240, kbuffer=4,
+                                  cull_mode=CullMode.BACK))
+        u = dict(eng.uniforms)
+        u["camera_position"] = np.float32([0, 0.8, 2.0])
+        return eng.present(u)
+    if name == "shadows":
+        insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                        ml.translation([0, -1, 0]),
+                                        texture=checker),
+                 scene_mod.MeshInstance(primitives.cube(1.0),
+                                        ml.translation([0, 0.2, -4]),
+                                        texture=checker)]
+        sc = scene_mod.build_scene_buffers(insts)
+        params = RenderParams(width=320, height=240)
+        u = default_frame_uniforms(320, 240)
+        u["camera_position"] = np.float32([2.5, 2.0, 0.5])
+        u["camera_rotation"] = ml.quat_from_yaw_pitch_roll(
+            np.float32(0.55), np.float32(-0.35), np.float32(0))
+        c, _ = jax.jit(functools.partial(render_frame_with_shadows,
+                                         params=params,
+                                         shadow_size=256))(sc, u)
+        return np.asarray(jax.jit(to_rgb8)(c))
+    if name == "mips":
+        insts = []
+        for zi in range(24):
+            strip = primitives.plane(16.0)
+            strip["uv"] = strip["uv"] * np.float32(16.0)
+            insts.append(scene_mod.MeshInstance(
+                strip, ml.translation([0, -1, -8.0 - 16.0 * zi]),
+                texture=np.asarray(tex_ops.checkerboard(64, 32)["data"])))
+        eng = Engine(scene_mod.build_scene_buffers(insts),
+                     RenderParams(width=320, height=240, use_mipmaps=True))
+        u = dict(eng.uniforms)
+        u["camera_position"] = np.float32([0, 0.5, 0])
+        u["far_clip"] = np.float32(2000.0)
+        return eng.present(u)
+    raise ValueError(name)
+
+
 def save_png(path, rgb):
     from PIL import Image
     Image.fromarray(rgb).save(path)
@@ -76,6 +155,11 @@ def main():
     for n in sorted(GOLDEN_SIZES):
         rgb = render_golden(n)
         path = os.path.join(GOLDEN_DIR, f"config{n}.png")
+        save_png(path, rgb)
+        print(f"wrote {path} {rgb.shape}")
+    for name in FEATURES:
+        rgb = render_feature(name)
+        path = os.path.join(GOLDEN_DIR, f"feature_{name}.png")
         save_png(path, rgb)
         print(f"wrote {path} {rgb.shape}")
 

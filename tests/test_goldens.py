@@ -37,3 +37,20 @@ def test_golden_config(n):
     frac_off = float(np.mean(np.any(diff > 2, axis=-1)))
     assert frac_off < 2e-3, f"config{n}: {frac_off:.4%} pixels off by >2"
     assert float(np.mean(diff)) < 0.5
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["wireframe", "kbuffer", "shadows",
+                                  "mips"])
+def test_golden_feature(name):
+    """Feature-path goldens: wireframe, K-buffer, shadows, mips
+    (ROADMAP #11)."""
+    from PIL import Image
+    from scripts.make_goldens import render_feature
+    golden = np.asarray(Image.open(
+        os.path.join(GOLDEN_DIR, f"feature_{name}.png")))
+    got = np.asarray(render_feature(name))
+    assert got.shape == golden.shape
+    diff = np.abs(got.astype(np.int32) - golden.astype(np.int32))
+    frac_off = float(np.mean(np.any(diff > 2, axis=-1)))
+    assert frac_off < 2e-3, f"{name}: {frac_off:.4%} pixels off by >2"
