@@ -154,3 +154,49 @@ def test_no_cracks_on_shared_edges(seed):
         interior &= (e / max(n, 1e-9)) > 0.5
     # the two-triangle split leaves no crack among interior pixels
     assert not (interior & ~both).any()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_clipper_invariants(seed):
+    """Sutherland-Hodgman near-plane clip (ROADMAP #10):
+    * clipped output vertices lie on or in front of the plane z >= near·w
+      (when any vertex had w <= 0 — the reference's clip trigger);
+    * triangles with all w > 0 pass through bit-identically in slot 2t;
+    * all-w<=0 triangles are dropped;
+    * clipped vertices are convex combinations of the parent's (bounded
+      by its clip-space bbox)."""
+    from softwarerenderer_tpu.ops.geometry import clip_triangles
+
+    rng = np.random.default_rng(seed)
+    T = 16
+    near = np.float32(0.1)
+    clip = rng.normal(0, 3, (T, 3, 4)).astype(np.float32)
+    attrs = {"clip_position": jnp.asarray(clip)}
+    out, valid = jax.jit(
+        lambda a: clip_triangles(a, near))(attrs)
+    out = np.asarray(out["clip_position"])
+    valid = np.asarray(valid)
+
+    w_nonpos = clip[..., 3] <= 0
+    any_out = w_nonpos.any(axis=-1)
+    all_out = w_nonpos.all(axis=-1)
+    for t in range(T):
+        s0, s1 = out[2 * t], out[2 * t + 1]
+        if all_out[t]:
+            assert not valid[2 * t] and not valid[2 * t + 1]
+            continue
+        if not any_out[t]:
+            # pass-through identity, fan slot invalid
+            assert valid[2 * t] and not valid[2 * t + 1]
+            np.testing.assert_array_equal(s0, clip[t])
+            continue
+        lo = clip[t].min(axis=0) - 1e-3
+        hi = clip[t].max(axis=0) + 1e-3
+        for slot, v in ((2 * t, s0), (2 * t + 1, s1)):
+            if not valid[slot]:
+                continue
+            z, w = v[:, 2], v[:, 3]
+            assert (z >= near * w - 5e-4 * np.abs(w) - 1e-4).all(), \
+                (t, z - near * w)
+            assert (v >= lo).all() and (v <= hi).all(), (t, v)
