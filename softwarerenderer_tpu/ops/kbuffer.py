@@ -24,6 +24,13 @@ to the pixel is among its K best:
   * ADDITIVE/MULTIPLY stacks deeper than K lose the layers beyond K.
 
 Enable with RenderParams(kbuffer=K); K=4 covers the reference's content.
+
+Cost (measured, 1080p dust2 on one v5e chip): ~95 ms per layer (K=2 →
+190 ms, K=4 → 378 ms) — each layer re-streams the bins for its one-hot
+resolve and runs the full interpolate+shade. Use for translucent scenes /
+correctness work; the opaque fast path (kbuffer=0) is 25× faster. Moving
+the K-slot fold+resolve into the Pallas tile kernel is the planned
+optimization (ROADMAP #7).
 """
 
 from __future__ import annotations
@@ -162,37 +169,48 @@ def render_binned_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
         return strict | tie
 
     def insert_candidates(slots_d, slots_i, d, mask, idx):
-        """Insert each of a chunk's candidates into the per-pixel sorted
-        K-slot lists (slot 0 = highest rank).  d (G, C, tpx), mask same,
-        idx (G, C)."""
-        def one(c, carry):
-            sd, si = carry          # (K, G, tpx) each
-            cd = jax.lax.dynamic_index_in_dim(d, c, axis=1, keepdims=False)
-            cm = jax.lax.dynamic_index_in_dim(mask, c, axis=1,
-                                              keepdims=False)
-            ci = jnp.where(
-                cm,
-                jax.lax.dynamic_index_in_dim(idx, c, axis=1,
-                                             keepdims=False)[..., None]
-                .astype(F32) * jnp.ones_like(cd),
-                F32(NO_TRI))
-            cd = jnp.where(cm, cd, F32(-jnp.inf) if use_max else
-                           F32(jnp.inf))
-            for k in range(K):
-                occupied = si[k] != F32(NO_TRI)
-                cand_valid = ci != F32(NO_TRI)
-                goes_here = cand_valid & (~occupied
-                                          | lex_better(cd, ci, sd[k], si[k]))
-                # swap candidate with slot k; displaced value bubbles on
-                new_d = jnp.where(goes_here, cd, sd[k])
-                new_i = jnp.where(goes_here, ci, si[k])
-                cd = jnp.where(goes_here, sd[k], cd)
-                ci = jnp.where(goes_here, si[k], ci)
-                sd = sd.at[k].set(new_d)
-                si = si.at[k].set(new_i)
-            return sd, si
+        """Merge a chunk's candidates into the per-pixel sorted K-slot
+        lists (slot 0 = highest rank).  d (G, C, tpx), mask same, idx
+        (G, C).
 
-        return jax.lax.fori_loop(0, d.shape[1], one, (slots_d, slots_i))
+        Two stages, both chunk-parallel: (1) the chunk's own top-K by
+        K masked-max/min passes (a per-candidate insertion loop was ~10×
+        slower: C tiny sequential steps of full-framebuffer selects);
+        (2) the K sorted chunk winners bubble into the K sorted slots.
+        """
+        bad = F32(-jnp.inf) if use_max else F32(jnp.inf)
+        idxb = jnp.broadcast_to(idx[..., None].astype(F32), d.shape)
+        dm = jnp.where(mask, d, bad)
+        pick = jnp.max if use_max else jnp.min
+
+        for _ in range(K):
+            cd = pick(dm, axis=1)                          # (G, tpx)
+            at = mask & (dm == cd[:, None, :])
+            if later_wins:
+                ci = jnp.max(jnp.where(at, idxb, F32(NO_TRI)), axis=1)
+                has = ci != F32(NO_TRI)
+            else:
+                big = F32(n)
+                ci = jnp.min(jnp.where(at, idxb, big), axis=1)
+                has = ci < big
+                ci = jnp.where(has, ci, F32(NO_TRI))
+            # remove exactly the picked candidate and repeat
+            dm = jnp.where(at & (idxb == ci[:, None, :]), bad, dm)
+
+            # bubble this (rank-ordered) winner through the K slots
+            cd = jnp.where(has, cd, bad)
+            for k in range(K):
+                occupied = slots_i[k] != F32(NO_TRI)
+                cand_valid = ci != F32(NO_TRI)
+                goes_here = cand_valid & (
+                    ~occupied | lex_better(cd, ci, slots_d[k], slots_i[k]))
+                new_d = jnp.where(goes_here, cd, slots_d[k])
+                new_i = jnp.where(goes_here, ci, slots_i[k])
+                cd = jnp.where(goes_here, slots_d[k], cd)
+                ci = jnp.where(goes_here, slots_i[k], ci)
+                slots_d = slots_d.at[k].set(new_d)
+                slots_i = slots_i.at[k].set(new_i)
+        return slots_d, slots_i
 
     def group_body(g, carry):
         all_c, all_d = carry
