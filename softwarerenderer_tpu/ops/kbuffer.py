@@ -174,9 +174,9 @@ def render_binned_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
         (G, C).
 
         Two stages, both chunk-parallel: (1) the chunk's own top-K by
-        K masked-max/min passes (a per-candidate insertion loop was ~10×
-        slower: C tiny sequential steps of full-framebuffer selects);
-        (2) the K sorted chunk winners bubble into the K sorted slots.
+        K masked-max/min passes; (2) the K sorted chunk winners bubble
+        into the K sorted slots.  (Frame time is set by the per-slot
+        resolve+shade replay, not this fold — see the module docstring.)
         """
         bad = F32(-jnp.inf) if use_max else F32(jnp.inf)
         idxb = jnp.broadcast_to(idx[..., None].astype(F32), d.shape)
