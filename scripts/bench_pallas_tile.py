@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--parity", action="store_true",
                     help="also compare one frame pixel-by-pixel")
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--kbuffer", type=int, default=0,
+                    help="also A/B the K-buffer paths at this K")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +70,26 @@ def main():
                               "depth_mismatch_frac": float(
                                   (np.abs(dp - dx) > 1e-5).mean())}),
                   flush=True)
+
+    if args.kbuffer:
+        K = args.kbuffer
+        engkp = run(f"kbuffer{K}_pallas_peel",
+                    RenderParams(width=W, height=H, use_pallas=True,
+                                 kbuffer=K))
+        if not args.skip_xla:
+            engkx = run(f"kbuffer{K}_xla",
+                        RenderParams(width=W, height=H, use_pallas=False,
+                                     kbuffer=K))
+            if args.parity:
+                u = bench.camera_uniforms(engkp.uniforms, 7)
+                cp, dp = map(np.asarray, engkp.render(u))
+                cx, dx = map(np.asarray, engkx.render(u))
+                bad = float((np.abs(cp - cx).max(axis=-1) > 1e-5).mean())
+                print(json.dumps({"tag": f"kbuffer{K}_parity",
+                                  "color_mismatch_frac": bad,
+                                  "depth_mismatch_frac": float(
+                                      (np.abs(dp - dx) > 1e-5).mean())}),
+                      flush=True)
 
 
 if __name__ == "__main__":

@@ -110,6 +110,43 @@ def main():
 
     report("geometry_binning", lambda i: geo_only(scene, vary(i)))
 
+    # ---- pre-stage breakdown: geometry alone / + binning / + streams ----
+    def build_tris(scene, u):
+        view, proj = camera_matrices(u, W, H)
+        view_proj = ml.transform(view, proj, xp=jnp)
+        visible = culling.spheres_in_frustum(
+            scene["bounds_center"], scene["bounds_radius"],
+            scene["mesh_matrices"], view_proj, xp=jnp)
+        tri_mask = jnp.take(visible, scene["tri_mesh_id"])
+        model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
+                            axis=0)
+        uu = dict(u)
+        uu.update(model=model_pv, view=view, projection=proj)
+        vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
+        return geometry.build_triangles(
+            scene_vertex_shader, vin, scene["indices"], uu,
+            width=W, height=H, cull_mode=params.cull_mode,
+            near_clip=uu["near_clip"], tri_mask=tri_mask,
+            keep_varyings=scene_fragment_shader.varyings)
+
+    @jax.jit
+    def geom_alone(scene, u):
+        tris = build_tris(scene, u)
+        return tris["screen"], tris["depth"]
+
+    report("geometry_only", lambda i: geom_alone(scene, vary(i)))
+
+    @jax.jit
+    def through_streams(scene, u):
+        from softwarerenderer_tpu.ops import pallas_tile
+        tris = build_tris(scene, u)
+        fbd = jnp.full((H, W), -jnp.inf, jnp.float32)
+        ctx = pallas_tile._prepare_ctx(tris, params, fbd, None, 0)
+        return ctx["seg_p"], ctx["glob_s"], ctx["seg_s"]
+
+    report("geometry_binning_streams",
+           lambda i: through_streams(scene, vary(i)))
+
     # ---- visibility fold only (XLA binned) ------------------------------
     from softwarerenderer_tpu.ops.binning import visibility_binned
 

@@ -292,6 +292,17 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
             # Order-correct translucency / discard-reveal: K-layer replay
             # of the reference's sequential shade-blend (Rasterizer.cs:
             # 509-523) at binned cost.
+            if params.use_pallas \
+                    and params.depth_test == DepthTest.LESS_EQUAL \
+                    and jax.default_backend() == "tpu":
+                # Depth-peeled kernel passes: ~K× the opaque kernel cost
+                # instead of the XLA K-slot fold's ~95 ms/layer replay.
+                from softwarerenderer_tpu.ops.pallas_tile import (
+                    render_tile_pallas_kbuffer,
+                )
+                return render_tile_pallas_kbuffer(
+                    tris, fragment_shader, u, params, fb_color, fb_depth,
+                    per_tri_extra=per_tri)
             from softwarerenderer_tpu.ops.kbuffer import (
                 render_binned_kbuffer,
             )
@@ -399,3 +410,35 @@ class Engine:
     def present(self, uniforms: Optional[Dict] = None) -> np.ndarray:
         return np.asarray(self._present(self.scene,
                                         uniforms or self.uniforms))
+
+
+def render_frame_with_point_shadows(scene: Dict, uniforms: Dict,
+                                    params: RenderParams,
+                                    shadow_size: int = 256,
+                                    vertex_shader=None,
+                                    fragment_shader=None,
+                                    chunk: int = 128):
+    """Frame lit by one point light with cube shadows — six depth-only
+    passes from the light position inside the SAME jitted program
+    (ops/shadows.py point-light extension; beyond the reference, which
+    imports point lights but never consumes them, Light.cs:19-32).
+
+    uniforms must carry point_light_position / point_light_color (and
+    optionally point_light_range)."""
+    from softwarerenderer_tpu.ops.lighting import lit_scene_vertex_shader
+    from softwarerenderer_tpu.ops.shadows import (
+        point_shadowed_fragment_shader,
+        render_point_shadow_depth,
+    )
+
+    vertex_shader = vertex_shader or lit_scene_vertex_shader
+    fragment_shader = fragment_shader or point_shadowed_fragment_shader
+
+    smap, views, projs = render_point_shadow_depth(
+        scene, uniforms, uniforms["point_light_position"],
+        shadow_size=shadow_size, params=params)
+    u = dict(uniforms)
+    u.update(point_shadow_map=smap, point_shadow_views=views,
+             point_shadow_projs=projs)
+    return render_frame(scene, u, params, vertex_shader=vertex_shader,
+                        fragment_shader=fragment_shader, chunk=chunk)

@@ -79,16 +79,24 @@ GLOB_RESIDENT = 256   # global triangles kept in VMEM (dust2 @1080p: 49)
 
 
 def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kp3_dma,
-            kpi, interp_plan, sl_screen, sl_ia, clip_w_off, interpret,
+            kpi, interp_plan, sl_screen, sl_ia, clip_w_off, interpret, peel,
             # scalar prefetch
             starts_ref, counts_ref, nglob_ref,
-            # inputs
-            fbd_ref, globres_ref, globres_pl_ref,
-            glob_ref, seg_ref, glob_pl_ref, seg_pl_ref,
-            # outputs
-            gbuf_ref, outd_ref, outi_ref,
-            # scratch
-            bd_ref, bi_ref, bpl_ref, buf_ref, plbuf_ref, sem_ref, plsem_ref):
+            # inputs (prevd/previ present only when peel — depth peeling)
+            fbd_ref, *rest):
+    if peel:
+        (prevd_ref, previ_ref, globres_ref, globres_pl_ref,
+         glob_ref, seg_ref, glob_pl_ref, seg_pl_ref,
+         gbuf_ref, outd_ref, outi_ref,
+         bd_ref, bi_ref, bpl_ref, buf_ref, plbuf_ref, sem_ref,
+         plsem_ref) = rest
+    else:
+        prevd_ref = previ_ref = None
+        (globres_ref, globres_pl_ref,
+         glob_ref, seg_ref, glob_pl_ref, seg_pl_ref,
+         gbuf_ref, outd_ref, outi_ref,
+         bd_ref, bi_ref, bpl_ref, buf_ref, plbuf_ref, sem_ref,
+         plsem_ref) = rest
     i = pl.program_id(0)
     ty = i // ntx
     tx = i % ntx
@@ -105,6 +113,13 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kp3_dma,
     bd_ref[...] = fbd_ref[...].reshape(1, tpx)
     bi_ref[...] = jnp.full((1, tpx), -1.0, dtype=F32)
     bpl_ref[...] = jnp.zeros((kp3, tpx), F32)
+    if peel:
+        # Read + relayout the previous winner maps ONCE here — inside
+        # eval_merge they would be re-read and re-reshaped per sub-chunk
+        # (a full-tile sublane→lane relayout each time, measured ~8×
+        # slower end-to-end).
+        peel_d = prevd_ref[...].reshape(1, tpx)
+        peel_i = previ_ref[...].reshape(1, tpx)
 
     def eval_merge(cols, pl_rows, base_pos, lo, hi):
         """Fold + resolve one (N_FIELDS, SUB) sub-chunk into the scratch
@@ -122,6 +137,19 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kp3_dma,
         pos = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0) + base_pos
         ok = inside & (pos >= lo) & (pos < hi)
         d = d0 * (w0 * ia) + d1 * (w1 * ia) + d2 * (w2 * ia)
+        if peel:
+            # Depth peeling (K-buffer): admit only fragments strictly
+            # worse-ranked than the previous pass's per-pixel winner under
+            # the lexicographic (depth, submission index) LESS_EQUAL order.
+            # `idx != pi` additionally pins out the exact previous winner
+            # so a 1-ulp depth wobble can never re-admit it (which would
+            # double-blend that fragment in the replay).
+            if interpret:
+                # keep the d used here and the d used in the fold identical
+                # under XLA rematerialization (see the dm barrier below)
+                d = jax.lax.optimization_barrier(d)
+            ok = ok & (idx != peel_i) & (
+                (d < peel_d) | ((d == peel_d) & (idx < peel_i)))
 
         # LESS_EQUAL fold: lexicographic (depth, submission index) max;
         # ties across sub-chunks/streams break on index (later wins),
@@ -288,17 +316,12 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kp3_dma,
     outi_ref[...] = bi_ref[...].reshape(tile_h, tile_w).astype(jnp.int32)
 
 
-def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
-                       params: RenderParams, fb_color, fb_depth,
-                       per_tri_extra: Optional[Dict] = None,
-                       row_offset=0, *, interpret: bool = False):
-    """Full frame: single-pass tile kernel + one XLA shading pass.
-
-    Same contract as binning.render_binned_fused; LESS_EQUAL depth only.
-    """
-    if params.depth_test != DepthTest.LESS_EQUAL:
-        raise NotImplementedError("pallas tile kernel supports LESS_EQUAL "
-                                  "only")
+def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
+                 per_tri_extra: Optional[Dict], row_offset):
+    """Bin, pack the payload, build the streams and the interpolation plan
+    — everything a kernel pass needs that is independent of peeling state.
+    Shared by the opaque single-pass path and the K-buffer peeled passes
+    (which reuse one ctx for all K kernel invocations)."""
     tile_w = params.tile_w
     # VMEM budget: bpl (kp3, tpx) + eval intermediates (SUB, tpx)×~8 +
     # payload buffers; tpx = 32·128 keeps the total ≈ 10 MB.
@@ -335,10 +358,12 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
         off += 1
     kp = off
     # Two widths: the HBM stream / DMA buffers must keep a 128-aligned
-    # lane dim (Mosaic DMA tiling), but the winner-payload SCRATCH has
-    # lanes = tpx with kp3 as its sublane dim, so it only needs
-    # 8-alignment — and the full-width (kp3, tpx) where-merge per
-    # sub-chunk is the kernel's dominant VMEM traffic.
+    # lane dim (Mosaic rejects sub-128 lane slices: "Slice shape along
+    # dimension 1 must be aligned to tiling (128)" — re-verified on v5e),
+    # but the winner-payload SCRATCH has lanes = tpx with kp3 as its
+    # sublane dim, so it only needs 8-alignment — and the full-width
+    # (kp3, tpx) where-merge per sub-chunk is the kernel's dominant VMEM
+    # traffic.
     kp3 = _cdiv(3 * kp, 8) * 8
     kp3_dma = _cdiv(3 * kp, 128) * 128
     payload = jnp.concatenate(parts, axis=-1).reshape(n, 3 * kp)
@@ -384,40 +409,70 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
 
     fbd = jnp.pad(fb_depth, ((0, Hp - H), (0, Wp - W)))
 
+    return dict(
+        tile_h=tile_h, tile_w=tile_w, chunk=chunk, H=H, W=W, Hp=Hp, Wp=Wp,
+        ntx=ntx, nty=nty, ntiles=ntiles, tpx=tpx, kp=kp, kp3=kp3,
+        kp3_dma=kp3_dma, kpi=kpi, interp_plan=tuple(interp_plan),
+        gb_slices=gb_slices, extra_keys=extra_keys, sl_screen=sl_screen,
+        sl_ia=sl_ia, clip_w_off=clip_w_off, row_offset=row_offset,
+        starts=bins["starts"], counts=bins["counts"],
+        n_global=jnp.asarray([bins["n_global"]], jnp.int32),
+        fbd=fbd, globres=globres, globres_pl=globres_pl,
+        glob_s=glob_s, seg_s=seg_s, glob_p=glob_p, seg_p=seg_p)
+
+
+def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None):
+    """One kernel invocation over a prepared ctx.  With (prev_d, prev_i)
+    — padded (Hp, Wp) f32 maps of the previous pass's winner — the fold
+    peels: it keeps the best fragment strictly worse-ranked than that
+    winner.  Returns (frag dict for the shader, padded best_d, padded
+    best_i)."""
+    peel = prev_d is not None
+    (tile_h, tile_w, ntx, nty, ntiles, tpx, kpi, kp3_dma, Hp, Wp, H, W) = (
+        ctx["tile_h"], ctx["tile_w"], ctx["ntx"], ctx["nty"], ctx["ntiles"],
+        ctx["tpx"], ctx["kpi"], ctx["kp3_dma"], ctx["Hp"], ctx["Wp"],
+        ctx["H"], ctx["W"])
+    tile_spec = pl.BlockSpec((tile_h, tile_w),
+                             lambda i, *_: (i // ntx, i % ntx))
+    in_specs = [tile_spec]
+    if peel:
+        in_specs += [tile_spec, tile_spec]
+    in_specs += [
+        pl.BlockSpec((N_FIELDS, GLOB_RESIDENT), lambda i, *_: (0, 0)),
+        pl.BlockSpec((GLOB_RESIDENT, kp3_dma), lambda i, *_: (0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((tile_h, tile_w),
-                         lambda i, *_: (i // ntx, i % ntx)),
-            pl.BlockSpec((N_FIELDS, GLOB_RESIDENT), lambda i, *_: (0, 0)),
-            pl.BlockSpec((GLOB_RESIDENT, kp3_dma), lambda i, *_: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((kpi, tpx), lambda i, *_: (i, 0)),
-            pl.BlockSpec((tile_h, tile_w),
-                         lambda i, *_: (i // ntx, i % ntx)),
-            pl.BlockSpec((tile_h, tile_w),
-                         lambda i, *_: (i // ntx, i % ntx)),
+            tile_spec,
+            tile_spec,
         ],
         scratch_shapes=[
             pltpu.VMEM((1, tpx), jnp.float32),        # best depth
             pltpu.VMEM((1, tpx), jnp.float32),        # best index
-            pltpu.VMEM((kp3, tpx), jnp.float32),      # winner payload
-            pltpu.VMEM((2, N_FIELDS, chunk), jnp.float32),
-            pltpu.VMEM((2, chunk, kp3_dma), jnp.float32),
+            pltpu.VMEM((ctx["kp3"], tpx), jnp.float32),   # winner payload
+            pltpu.VMEM((2, N_FIELDS, ctx["chunk"]), jnp.float32),
+            pltpu.VMEM((2, ctx["chunk"], kp3_dma), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _kernel, ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3,
-        kp3_dma, kpi, tuple(interp_plan), sl_screen, sl_ia, clip_w_off,
-        interpret)
+        _kernel, ntx, nty, tile_h, tile_w, ctx["chunk"], ctx["row_offset"],
+        ctx["kp"], ctx["kp3"], kp3_dma, kpi, ctx["interp_plan"],
+        ctx["sl_screen"], ctx["sl_ia"], ctx["clip_w_off"], interpret, peel)
+    inputs = [ctx["fbd"]]
+    if peel:
+        inputs += [prev_d, prev_i]
+    inputs += [ctx["globres"], ctx["globres_pl"], ctx["glob_s"],
+               ctx["seg_s"], ctx["glob_p"], ctx["seg_p"]]
     gbuf, best_d, best_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -425,26 +480,42 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
                    jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
                    jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)],
         interpret=interpret,
-    )(bins["starts"], bins["counts"],
-      jnp.asarray([bins["n_global"]], jnp.int32),
-      fbd, globres, globres_pl, glob_s, seg_s, glob_p, seg_p)
+    )(ctx["starts"], ctx["counts"], ctx["n_global"], *inputs)
 
-    # ---- full-frame shading over the compact G-buffer (one XLA pass) ----
     def untile(a):           # (ntiles*kpi, tpx) → (kpi, H, W)
         a = a.reshape(nty, ntx, kpi, tile_h, tile_w)
         a = a.transpose(2, 0, 3, 1, 4).reshape(kpi, Hp, Wp)
         return a[:, :H, :W]
 
     planes = untile(gbuf)
+    gb_slices = ctx["gb_slices"]
     flat = {k: jnp.moveaxis(planes[lo:hi], 0, -1)
             for k, (lo, hi) in gb_slices.items() if not k.startswith("tri.")}
     frag = unflatten_varyings(
         {k: v for k, v in flat.items() if k != "barycentric"})
     frag["barycentric"] = flat["barycentric"]
-    if extra_keys:
+    if ctx["extra_keys"]:
         frag["tri"] = {k: planes[gb_slices["tri." + k][0]].astype(jnp.int32)
-                       for k in extra_keys}
+                       for k in ctx["extra_keys"]}
+    return frag, best_d, best_i
 
+
+def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
+                       params: RenderParams, fb_color, fb_depth,
+                       per_tri_extra: Optional[Dict] = None,
+                       row_offset=0, *, interpret: bool = False):
+    """Full frame: single-pass tile kernel + one XLA shading pass.
+
+    Same contract as binning.render_binned_fused; LESS_EQUAL depth only.
+    """
+    if params.depth_test != DepthTest.LESS_EQUAL:
+        raise NotImplementedError("pallas tile kernel supports LESS_EQUAL "
+                                  "only")
+    ctx = _prepare_ctx(tris, params, fb_depth, per_tri_extra, row_offset)
+    frag, best_d, best_i = _run_pass(ctx, interpret)
+    H, W = ctx["H"], ctx["W"]
+
+    # ---- full-frame shading over the compact G-buffer (one XLA pass) ----
     covered = best_i[:H, :W] >= 0
     color = fragment_shader(frag, uniforms, jnp)
     written = covered & (color[..., 3] > 0)
@@ -452,3 +523,60 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
                       _blend(color, fb_color, params.blend_mode), fb_color)
     out_d = jnp.where(written, best_d[:H, :W], fb_depth)
     return out_c, out_d
+
+
+def render_tile_pallas_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
+                               params: RenderParams, fb_color, fb_depth,
+                               per_tri_extra: Optional[Dict] = None,
+                               row_offset=0, *, interpret: bool = False):
+    """K-buffer via depth peeling: K single-winner kernel passes, each
+    folding only fragments strictly worse-ranked than the previous pass's
+    winner, then the reference's sequential shade-blend replayed over the
+    K layers in submission order (Rasterizer.cs:509-523 + Blend :57-65 —
+    same exactness contract as ops/kbuffer.render_binned_kbuffer, whose
+    module docstring states the K-coverage conditions).
+
+    Binning, stream building and payload packing run ONCE; each peel
+    reuses the prepared ctx, so the cost is K× the opaque kernel + K
+    shading passes instead of the XLA K-buffer's ~95 ms/layer
+    resolve-replay (BENCHMARKS.md).  LESS_EQUAL depth only.
+    """
+    if params.depth_test != DepthTest.LESS_EQUAL:
+        raise NotImplementedError("pallas K-buffer supports LESS_EQUAL only")
+    K = params.kbuffer
+    assert K >= 1
+    ctx = _prepare_ctx(tris, params, fb_depth, per_tri_extra, row_offset)
+    H, W, Hp, Wp = ctx["H"], ctx["W"], ctx["Hp"], ctx["Wp"]
+
+    colors, depths, indices = [], [], []
+    prev_d = prev_i = None
+    for _ in range(K):
+        frag, bd, bi = _run_pass(ctx, interpret, prev_d, prev_i)
+        colors.append(fragment_shader(frag, uniforms, jnp))
+        depths.append(bd[:H, :W])
+        indices.append(bi[:H, :W])
+        prev_d, prev_i = bd, bi.astype(F32)
+    src = jnp.stack(colors)                     # (K, H, W, 4)
+    sd = jnp.stack(depths)                      # (K, H, W)
+    si = jnp.stack(indices).astype(F32)         # (K, H, W); -1 = none
+    si = jnp.where(si >= 0, si, F32(jnp.inf))   # replay sentinel
+
+    # ---- replay in submission order (selection over the K layers) -------
+    cur_c, cur_d = fb_color, fb_depth
+    used = jnp.zeros((K, H, W), bool)
+    for _ in range(K):
+        masked_i = jnp.where(used, F32(jnp.inf), si)
+        pick = jnp.argmin(masked_i, axis=0)             # (H, W)
+        sel_i = jnp.take_along_axis(masked_i, pick[None], axis=0)[0]
+        valid = jnp.isfinite(sel_i)
+        used = used | (jax.lax.broadcasted_iota(
+            jnp.int32, used.shape, 0) == pick[None])
+        sel_d = jnp.take_along_axis(sd, pick[None], axis=0)[0]
+        sel_c = jnp.take_along_axis(
+            src, pick[None, ..., None], axis=0)[0]
+        # LESS_EQUAL: reference "new >= old" (Rasterizer.cs:545-546)
+        written = valid & (sel_d >= cur_d) & (sel_c[..., 3] > 0)
+        cur_c = jnp.where(written[..., None],
+                          _blend(sel_c, cur_c, params.blend_mode), cur_c)
+        cur_d = jnp.where(written, sel_d, cur_d)
+    return cur_c, cur_d

@@ -149,3 +149,141 @@ shadowed_scene_fragment_shader.varyings = (
     "color", "uv", "data.world_normal", "data.world_position")
 shadowed_scene_fragment_shader.tri_extras = (
     "tex_oy", "tex_ox", "tex_h", "tex_w")
+
+
+# ---------------------------------------------------------------------------
+# Point-light cube shadows (6 perspective faces around the light position).
+# The reference has no shadows at all; this extends the directional maps
+# above to the point/spot lights the asset pipeline already imports
+# (/root/reference/Light.cs:19-32 — loaded but never consumed there).
+# ---------------------------------------------------------------------------
+
+# Face order: +X -X +Y -Y +Z -Z.  Up vectors avoid the degenerate
+# look_at when the view direction is parallel to +Y.
+_CUBE_DIRS = np.asarray([
+    [1, 0, 0], [-1, 0, 0],
+    [0, 1, 0], [0, -1, 0],
+    [0, 0, 1], [0, 0, -1],
+], np.float32)
+_CUBE_UPS = np.asarray([
+    [0, 1, 0], [0, 1, 0],
+    [0, 0, 1], [0, 0, -1],
+    [0, 1, 0], [0, 1, 0],
+], np.float32)
+
+
+def point_light_cameras(light_position, near, far, xp=jnp):
+    """(view, proj) per cube face: 6 stacked (4, 4) row-vector matrices.
+
+    90° FOV, square aspect — the six frusta tile all directions."""
+    lp = xp.asarray(light_position, xp.float32)
+    views = xp.stack([
+        ml.look_at(lp, lp + xp.asarray(_CUBE_DIRS[f]),
+                   xp.asarray(_CUBE_UPS[f]), xp=xp)
+        for f in range(6)
+    ])
+    proj = ml.perspective_fov(xp.float32(np.pi / 2), xp.float32(1.0),
+                              xp.asarray(near, xp.float32),
+                              xp.asarray(far, xp.float32), xp=xp)
+    projs = xp.broadcast_to(proj, (6, 4, 4))
+    return views, projs
+
+
+def render_point_shadow_depth(scene: Dict, uniforms: Dict, light_position,
+                              shadow_size: int = 256,
+                              near: float = 0.05, far: float = 100.0,
+                              params: Optional[RenderParams] = None):
+    """Six depth-only renders from the light → (6, S, S) cube shadow map.
+
+    Reuses the binned visibility fold per face inside the same jitted
+    program (static 6-iteration loop; each face is an independent
+    sort-middle pass)."""
+    views, projs = point_light_cameras(light_position, near, far)
+    maps = [render_shadow_depth(scene, uniforms, views[f], projs[f],
+                                shadow_size=shadow_size, params=params)
+            for f in range(6)]
+    return jnp.stack(maps), views, projs
+
+
+def point_shadow_factor(world_position, uniforms, xp=jnp,
+                        bias: float = 4e-3):
+    """Per-pixel lit factor {0, 1} from a cube shadow map.
+
+    uniforms: point_shadow_map (6, S, S), point_shadow_views (6, 4, 4),
+    point_shadow_projs (6, 4, 4), point_light_position (3,).  The face is
+    the dominant axis of (wp - light); the fragment is projected with that
+    face's camera and compared against its depth map (same negated
+    (ndcZ+1)/2 buffer convention as the directional path)."""
+    smap = uniforms["point_shadow_map"]          # (6, S, S)
+    S = smap.shape[-1]
+    lp = xp.asarray(uniforms["point_light_position"], xp.float32)
+    wp = xp.asarray(world_position, xp.float32)[..., :3]
+    v = wp - lp
+    ax, ay, az = (xp.abs(v[..., 0]), xp.abs(v[..., 1]),
+                  xp.abs(v[..., 2]))
+    face = xp.where(
+        (ax >= ay) & (ax >= az),
+        xp.where(v[..., 0] >= 0, 0, 1),
+        xp.where(ay >= az,
+                 xp.where(v[..., 1] >= 0, 2, 3),
+                 xp.where(v[..., 2] >= 0, 4, 5))).astype(xp.int32)
+
+    # Project against all 6 face cameras (vectorized arithmetic), then
+    # select by face — gather-free; the only per-pixel gather is the one
+    # 4-byte shadow-map row fetch below.
+    hom = ml.homogenize(wp, xp=xp)               # (..., 4)
+    lit_any = None
+    d_f_sel = xp.zeros(face.shape, xp.float32)
+    sx_sel = xp.zeros(face.shape, xp.float32)
+    sy_sel = xp.zeros(face.shape, xp.float32)
+    for f in range(6):
+        vp = ml.transform(uniforms["point_shadow_views"][f],
+                          uniforms["point_shadow_projs"][f], xp=xp)
+        clip = ml.transform(hom, vp, xp=xp)
+        w = xp.where(clip[..., 3] == 0, F32(1.0), clip[..., 3])
+        ndc = clip[..., :3] / w[..., None]
+        sx = (ndc[..., 0] * F32(0.5) + F32(0.5)) * F32(S)
+        sy = (F32(1.0) - (ndc[..., 1] * F32(0.5) + F32(0.5))) * F32(S)
+        d_f = -(ndc[..., 2] + F32(1.0)) * F32(0.5)
+        sel = face == f
+        sx_sel = xp.where(sel, sx, sx_sel)
+        sy_sel = xp.where(sel, sy, sy_sel)
+        d_f_sel = xp.where(sel, d_f, d_f_sel)
+
+    xi = xp.clip(sx_sel.astype(xp.int32), 0, S - 1)
+    yi = xp.clip(sy_sel.astype(xp.int32), 0, S - 1)
+    flat = smap.reshape(6 * S * S, 1)
+    d_m = xp.take(flat, face * (S * S) + yi * S + xi, axis=0)[..., 0]
+    inside = (sx_sel >= 0) & (sx_sel < S) & (sy_sel >= 0) & (sy_sel < S)
+    lit = (d_f_sel >= d_m - F32(bias)) | ~inside
+    return lit.astype(xp.float32)
+
+
+def point_shadowed_fragment_shader(frag, uniforms, xp=jnp):
+    """Game-style shader lit by one point light with cube-shadow occlusion
+    and inverse-square falloff (uniforms: point_light_position,
+    point_light_color, point_light_range + the cube-map uniforms)."""
+    from softwarerenderer_tpu.engine.renderer import _frag_atlas_sample
+
+    wp = frag["data"]["world_position"][..., :3]
+    lp = xp.asarray(uniforms["point_light_position"], xp.float32)
+    to_light = lp - wp
+    dist = xp.sqrt(xp.maximum(ml.dot(to_light, to_light, xp=xp), F32(1e-12)))
+    ldir = to_light / dist[..., None]
+    world_normal = frag["data"]["world_normal"]
+    diffuse = xp.maximum(F32(0.25), ml.dot(world_normal, ldir, xp=xp))
+    shade = point_shadow_factor(wp, uniforms, xp=xp)
+    diffuse = F32(0.25) + (diffuse - F32(0.25)) * shade
+    rng = xp.asarray(uniforms.get("point_light_range", 25.0), xp.float32)
+    atten = xp.clip(F32(1.0) - dist / rng, F32(0.0), F32(1.0)) ** 2
+    tex_color = _frag_atlas_sample(frag, uniforms, xp)
+    base = frag["color"] * tex_color
+    lit = base * (F32(0.1) + F32(0.9) * (diffuse * atten)[..., None]) \
+        * xp.asarray(uniforms["point_light_color"], xp.float32)
+    return xp.concatenate([lit[..., :3], base[..., 3:4]], axis=-1)
+
+
+point_shadowed_fragment_shader.varyings = (
+    "color", "uv", "data.world_normal", "data.world_position")
+point_shadowed_fragment_shader.tri_extras = (
+    "tex_oy", "tex_ox", "tex_h", "tex_w")

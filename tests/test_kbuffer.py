@@ -84,8 +84,10 @@ def assert_close_to_golden(got, golden, max_frac=1e-3):
     assert bad <= max_frac, f"{bad:.4%} pixels differ from golden"
 
 
-def run_all(attrs, indices, params, frag):
-    """Golden CPU, device forward, and device K-buffer renders."""
+def run_all(attrs, indices, params, frag, pallas=False):
+    """Golden CPU, device forward, and device K-buffer renders.  With
+    pallas=True the K-buffer render uses the depth-peeled Pallas path
+    (interpret mode) instead of the XLA K-slot fold."""
     u = uniforms()
     vin = shaders.make_vertex_input(attrs["position"], attrs["uv"],
                                     attrs["normal"], attrs["color"])
@@ -105,6 +107,12 @@ def run_all(attrs, indices, params, frag):
         tris = build(vin, idx, u)
         c0 = jnp.broadcast_to(jnp.asarray(CLEAR), (H, W, 4))
         d0 = jnp.full((H, W), raster.DEPTH_CLEAR, jnp.float32)
+        if pallas:
+            from softwarerenderer_tpu.ops.pallas_tile import (
+                render_tile_pallas_kbuffer,
+            )
+            return render_tile_pallas_kbuffer(tris, frag, u, params, c0, d0,
+                                              interpret=True)
         return render_binned_kbuffer(tris, frag, u, params, c0, d0)
 
     def fwd(vin, idx, u):
@@ -118,14 +126,16 @@ def run_all(attrs, indices, params, frag):
     return fb, kc, kd, fc, fd
 
 
-def test_discard_reveals_geometry_behind():
+@pytest.mark.parametrize("pallas", [False, True],
+                         ids=["xla", "pallas-peel"])
+def test_discard_reveals_geometry_behind(pallas):
     """An alpha-cutout quad in front must reveal the opaque quad behind it
     through the hole — winner-only deferred shows the clear color there."""
     behind = facing_quad(-4.0, (1.0, 0.2, 0.2, 1.0))
     front = facing_quad(-2.0, (0.2, 1.0, 0.2, 1.0))
     attrs, idx = merge_meshes([behind, front])
     fb, kc, kd, fc, fd = run_all(attrs, idx, PARAMS,
-                                 cutout_fragment_shader)
+                                 cutout_fragment_shader, pallas=pallas)
     assert_close_to_golden(kc, fb.color)
     np.testing.assert_allclose(kc, fc, atol=1e-6, rtol=0)
     np.testing.assert_allclose(kd, fd, atol=1e-6, rtol=0)
@@ -134,7 +144,9 @@ def test_discard_reveals_geometry_behind():
     assert center[0] > 0.8 and center[1] < 0.5
 
 
-def test_two_layer_alpha_over_opaque():
+@pytest.mark.parametrize("pallas", [False, True],
+                         ids=["xla", "pallas-peel"])
+def test_two_layer_alpha_over_opaque(pallas):
     """Opaque floor + two translucent layers, submission back-to-front:
     blend must composite through all layers (deferred shades only the
     nearest)."""
@@ -144,20 +156,24 @@ def test_two_layer_alpha_over_opaque():
                       y0=-0.5, y1=0.5)
     attrs, idx = merge_meshes([floor, mid, top])
     fb, kc, kd, fc, fd = run_all(attrs, idx, PARAMS,
-                                 shaders.flat_color_fragment_shader)
+                                 shaders.flat_color_fragment_shader,
+                                 pallas=pallas)
     assert_close_to_golden(kc, fb.color)
     np.testing.assert_allclose(kc, fc, atol=1e-6, rtol=0)
     np.testing.assert_allclose(kd, fd, atol=1e-6, rtol=0)
 
 
-def test_front_to_back_submission():
+@pytest.mark.parametrize("pallas", [False, True],
+                         ids=["xla", "pallas-peel"])
+def test_front_to_back_submission(pallas):
     """Nearer quad submitted FIRST: the farther one fails the depth test —
     the replay's running depth buffer must enforce it."""
     front = facing_quad(-2.0, (0.0, 0.0, 1.0, 0.5))
     behind = facing_quad(-4.0, (1.0, 0.0, 0.0, 1.0))
     attrs, idx = merge_meshes([front, behind])
     fb, kc, kd, fc, fd = run_all(attrs, idx, PARAMS,
-                                 shaders.flat_color_fragment_shader)
+                                 shaders.flat_color_fragment_shader,
+                                 pallas=pallas)
     assert_close_to_golden(kc, fb.color)
     np.testing.assert_allclose(kc, fc, atol=1e-6, rtol=0)
 

@@ -84,3 +84,89 @@ def test_shadowed_frame_darkens_under_occluder():
     darker = (shaded[..., :3].sum(-1) < plain[..., :3].sum(-1) - 0.05)
     # a contiguous-ish shadow patch exists but most of the frame matches
     assert 20 < darker.sum() < 0.25 * darker.size, int(darker.sum())
+
+
+# ---------------------------------------------------------------------------
+# Point-light cube shadows
+# ---------------------------------------------------------------------------
+
+def test_point_shadow_factor_occlusion():
+    """Light at the origin, cube occluder at (0, 0, -4): a point straight
+    behind the cube is shadowed, points in other directions are lit (also
+    exercises face selection on all six faces)."""
+    checker = np.asarray(tex_ops.checkerboard(32, 4)["data"])
+    insts = [scene_mod.MeshInstance(primitives.cube(1.0),
+                                    ml.translation([0, 0, -4]),
+                                    texture=checker)]
+    sc = scene_mod.build_scene_buffers(insts)
+    u = default_frame_uniforms(64, 64)
+    lp = np.float32([0.0, 0.0, 0.0])
+
+    @jax.jit
+    def factors(scene, u):
+        smap, views, projs = shadows.render_point_shadow_depth(
+            scene, u, lp, shadow_size=256, far=50.0)
+        uu = dict(u)
+        uu.update(point_shadow_map=smap, point_shadow_views=views,
+                  point_shadow_projs=projs, point_light_position=lp)
+        pts = jnp.asarray(np.float32([
+            [0, 0, -8],      # straight behind the cube: occluded
+            [0, 0, 8],       # opposite face: lit
+            [8, 0, 0], [-8, 0, 0], [0, 8, 0], [0, -8, 0],   # lit
+        ]))
+        return shadows.point_shadow_factor(pts, uu, xp=jnp)
+
+    f = np.asarray(factors(sc, u))
+    assert f[0] == 0.0, f"occluded point reads lit: {f}"
+    assert (f[1:] == 1.0).all(), f"open directions read shadowed: {f}"
+
+
+@pytest.mark.slow
+def test_point_shadowed_frame_darkens_behind_occluder():
+    """Full frame via render_frame_with_point_shadows vs the same shader
+    with an all-lit cube map: a bounded shadow patch darkens, the rest of
+    the frame matches (pixel-wise, so the checker texture cancels)."""
+    from softwarerenderer_tpu.engine import render_frame_with_point_shadows
+
+    checker = np.asarray(tex_ops.checkerboard(32, 4)["data"])
+    insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                    ml.translation([0, -1, 0]),
+                                    texture=checker),
+             scene_mod.MeshInstance(primitives.cube(0.8),
+                                    ml.translation([0, 0.6, -4]),
+                                    texture=checker)]
+    sc = scene_mod.build_scene_buffers(insts)
+    params = RenderParams(width=160, height=120)
+    u = default_frame_uniforms(160, 120)
+    u["camera_position"] = np.float32([2.5, 2.0, -0.5])
+    u["camera_rotation"] = ml.quat_from_yaw_pitch_roll(
+        np.float32(0.55), np.float32(-0.35), np.float32(0))
+    u["point_light_position"] = np.float32([0.0, 3.0, -4.0])
+    u["point_light_color"] = np.ones(4, np.float32)
+    u["point_light_range"] = np.float32(40.0)
+
+    shaded = np.asarray(jax.jit(functools.partial(
+        render_frame_with_point_shadows, params=params,
+        shadow_size=256))(sc, u)[0])
+
+    # Same shader, empty cube map (DEPTH_CLEAR = nothing recorded ⇒ every
+    # fragment passes the shadow compare ⇒ fully lit).
+    from softwarerenderer_tpu.engine import render_frame as rf
+    from softwarerenderer_tpu.ops.lighting import lit_scene_vertex_shader
+    from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR
+    views, projs = shadows.point_light_cameras(
+        u["point_light_position"], 0.05, 100.0, xp=np)
+    ulit = dict(u)
+    ulit.update(point_shadow_map=np.full((6, 256, 256), DEPTH_CLEAR,
+                                         np.float32),
+                point_shadow_views=np.asarray(views, np.float32),
+                point_shadow_projs=np.asarray(projs, np.float32))
+    plain = np.asarray(jax.jit(functools.partial(
+        rf, params=params, vertex_shader=lit_scene_vertex_shader,
+        fragment_shader=shadows.point_shadowed_fragment_shader))(
+            sc, ulit)[0])
+
+    assert plain.shape == shaded.shape
+    darker = (shaded[..., :3].sum(-1) < plain[..., :3].sum(-1) - 0.05)
+    # a bounded shadow patch exists but most of the frame matches
+    assert 20 < darker.sum() < 0.25 * darker.size, int(darker.sum())
