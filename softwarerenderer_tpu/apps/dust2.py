@@ -253,6 +253,7 @@ class Dust2Game:
         self.mouse_locked = True
         self.window.set_mouse_capture(True)
         self.noclip = False
+        self.spectate_idx = -1          # -1 = own view; else players[] index
         self._prev_keys = set()
         self._tune_idx = 0
         self.mouse_sensitivity = MOUSE_SENSITIVITY  # Camera.cs:10, tunable
@@ -296,6 +297,7 @@ class Dust2Game:
                 for q in sorted(self.players,
                                 key=lambda q: (-q.kills, q.deaths))]
         if inp["mouse_down"] and self.mouse_locked \
+                and self.spectate_idx < 0 \
                 and self.time - self.last_shot >= SHOT_COOLDOWN:
             self.shoot()
             self.last_shot = self.time
@@ -421,7 +423,7 @@ class Dust2Game:
         right = right / n if n > 0 else right
 
         move = np.zeros(3, F32)
-        if not self.hud.state.chat_active:
+        if not self.hud.state.chat_active and self.spectate_idx < 0:
             if "w" in keys:
                 move += front
             if "s" in keys:
@@ -434,7 +436,8 @@ class Dust2Game:
                 move[1] += 1
             if "shift" in keys:
                 move[1] -= 1
-        jump = "space" in keys and not self.hud.state.chat_active
+        jump = "space" in keys and not self.hud.state.chat_active \
+            and self.spectate_idx < 0
 
         self.char["noclip"] = jnp.asarray(self.noclip)
         self.char = self._char_step(self.char, move.astype(F32), jump,
@@ -512,6 +515,17 @@ class Dust2Game:
         if "v" in keys and "v" not in self._prev_keys \
                 and not self.hud.state.chat_active:
             self.noclip = not self.noclip
+        if "b" in keys and "b" not in self._prev_keys \
+                and not self.hud.state.chat_active:
+            # Spectator mode: B cycles through the other connected players,
+            # then back to the own first-person view (beyond-reference).
+            others = self._spectate_targets()
+            if others:
+                self.spectate_idx += 1
+                if self.spectate_idx >= len(others):
+                    self.spectate_idx = -1
+            else:
+                self.spectate_idx = -1
         # debug panel + tuning via typed characters (works on any backend)
         for ch in inp["chars"]:
             if self.hud.state.chat_active:
@@ -702,10 +716,26 @@ class Dust2Game:
 
     # -- render ---------------------------------------------------------------
 
+    def _spectate_targets(self) -> List["ConnectedPlayer"]:
+        """Other connected players, in scoreboard order (stable cycling)."""
+        return [p for p in self.players if p.id != self.net.client_id]
+
     def _render(self, dt: float):
         """RenderScene (Renderer.cs:404-419): update matrices + one frame."""
         mm = self._mesh_matrices
         visible = np.ones(self.n_meshes, bool)
+
+        # Spectator camera: watch through the target's eyes; hide the gun
+        # and the target's own model.  Falls back to first person when the
+        # target disconnects.
+        spectated = None
+        if self.spectate_idx >= 0:
+            others = self._spectate_targets()
+            if self.spectate_idx < len(others):
+                spectated = others[self.spectate_idx]
+            else:
+                self.spectate_idx = -1
+        self.hud.state.spectating = spectated.name if spectated else ""
 
         # Gun matrix (Renderer.cs:476-477).
         sway_recoil = ml.quat_mul(self.weapon_sway, self.recoil)
@@ -736,8 +766,19 @@ class Dust2Game:
                 visible[lo:hi] = False
 
         u = self.engine.uniforms
-        u["camera_position"] = self.cam_position.astype(F32)
-        u["camera_rotation"] = self.cam_rotation.astype(F32)
+        cam_pos, cam_rot = self.cam_position, self.cam_rotation
+        if spectated is not None:
+            cam_pos = np.asarray(spectated.local_position, F32) \
+                + np.asarray(self.char_params["cam_offset"], F32)
+            cam_rot = np.asarray(spectated.rotation, F32)
+            for i in range(*self.gun_slice):        # no view weapon
+                visible[i] = False
+            si = self.players.index(spectated)
+            if si < self.max_players:               # not our own eyes' body
+                lo, hi = self.player_slices[si]
+                visible[lo:hi] = False
+        u["camera_position"] = np.asarray(cam_pos, F32)
+        u["camera_rotation"] = np.asarray(cam_rot, F32)
         u["mesh_visible"] = visible
         if self._anim_sources:
             # Advance each distinct model's flip-book clock once, then feed

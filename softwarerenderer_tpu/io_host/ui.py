@@ -44,6 +44,8 @@ class HudState:
     scoreboard: List[Tuple[str, int, int, float]] = \
         dataclasses.field(default_factory=list)
     show_scoreboard: bool = False
+    # Spectator banner: name of the player being watched ("" = playing)
+    spectating: str = ""
 
 
 def project_nametag(world_pos, view, projection, width: int, height: int
@@ -150,6 +152,13 @@ class Hud:
                 screen.blit(self._font.render(d, True, col), (bx + 250, yy))
                 screen.blit(self._font.render(hp, True, col),
                             (bx + 282, yy))
+
+        # Spectator banner (beyond-reference, like kill feed/scoreboard).
+        if s.spectating:
+            t = self._font.render(
+                f"Spectating {s.spectating}   (B to cycle)", True,
+                (160, 220, 255))
+            screen.blit(t, ((w - t.get_width()) // 2, h - 70))
 
         # Performance + debug panel (Renderer.cs:662-668, 658-820).
         perf = f"{s.fps:5.1f} fps  {s.frame_ms:6.2f} ms  " \

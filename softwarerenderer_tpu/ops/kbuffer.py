@@ -27,10 +27,12 @@ Enable with RenderParams(kbuffer=K); K=4 covers the reference's content.
 
 Cost (measured, 1080p dust2 on one v5e chip): ~95 ms per layer (K=2 →
 190 ms, K=4 → 378 ms) — each layer re-streams the bins for its one-hot
-resolve and runs the full interpolate+shade. Use for translucent scenes /
-correctness work; the opaque fast path (kbuffer=0) is 25× faster. Moving
-the K-slot fold+resolve into the Pallas tile kernel is the planned
-optimization (ROADMAP #7).
+resolve and runs the full interpolate+shade.  On TPU with LESS_EQUAL
+depth the engine instead routes K-buffer frames through
+ops.pallas_tile.render_tile_pallas_kbuffer — depth peeling over the
+single-winner tile kernel, 46 ms at K=4 (8.2×; BENCHMARKS.md) with
+identical results — keeping this XLA fold as the portable fallback for
+other depth modes and CPU runs.
 """
 
 from __future__ import annotations

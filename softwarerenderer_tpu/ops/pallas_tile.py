@@ -562,18 +562,21 @@ def render_tile_pallas_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
     si = jnp.where(si >= 0, si, F32(jnp.inf))   # replay sentinel
 
     # ---- replay in submission order (selection over the K layers) -------
+    # Selection is K-way predicated `where`s, NOT take_along_axis: a
+    # per-pixel gather over even a K-deep axis is element-count-bound on
+    # TPU (~tens of ms per full-frame take at 1080p — BENCHMARKS.md
+    # gather model; measured 508 ms → 46 ms for this replay at K=4).
     cur_c, cur_d = fb_color, fb_depth
     used = jnp.zeros((K, H, W), bool)
     for _ in range(K):
         masked_i = jnp.where(used, F32(jnp.inf), si)
-        pick = jnp.argmin(masked_i, axis=0)             # (H, W)
-        sel_i = jnp.take_along_axis(masked_i, pick[None], axis=0)[0]
+        sel_i = jnp.min(masked_i, axis=0)               # (H, W)
         valid = jnp.isfinite(sel_i)
-        used = used | (jax.lax.broadcasted_iota(
-            jnp.int32, used.shape, 0) == pick[None])
-        sel_d = jnp.take_along_axis(sd, pick[None], axis=0)[0]
-        sel_c = jnp.take_along_axis(
-            src, pick[None, ..., None], axis=0)[0]
+        # distinct per-pixel indices ⇒ at most one layer matches
+        is_pick = (masked_i == sel_i[None]) & valid[None]
+        used = used | is_pick
+        sel_d = jnp.sum(jnp.where(is_pick, sd, 0.0), axis=0)
+        sel_c = jnp.sum(jnp.where(is_pick[..., None], src, 0.0), axis=0)
         # LESS_EQUAL: reference "new >= old" (Rasterizer.cs:545-546)
         written = valid & (sel_d >= cur_d) & (sel_c[..., 3] > 0)
         cur_c = jnp.where(written[..., None],

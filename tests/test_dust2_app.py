@@ -178,3 +178,53 @@ def test_kill_feed_and_scoreboard():
         assert g.hud.state.scoreboard[0][1] == 1
     finally:
         g.close()
+
+
+def test_spectator_mode_cycles_and_follows():
+    """B cycles spectate through other players: the camera takes the
+    target's pose, the view gun hides, shooting is disabled; another B
+    (past the last target) returns to first person."""
+    from softwarerenderer_tpu.apps.dust2 import ConnectedPlayer
+    g = make_game(offline=True)
+    try:
+        me = ConnectedPlayer(0, "me")
+        foe = ConnectedPlayer(1, "foe")
+        foe.position = np.float32([3.0, 1.0, -5.0])
+        foe.local_position = foe.position.copy()
+        g.players += [me, foe]
+        g.net.client_id = 0
+
+        def press(key):
+            g.step(1 / 60.0, inputs={"quit": False, "keys": {key},
+                                     "chars": "", "mouse_delta": (0, 0),
+                                     "mouse_down": False})
+            g.step(1 / 60.0, inputs={"quit": False, "keys": set(),
+                                     "chars": "", "mouse_delta": (0, 0),
+                                     "mouse_down": False})
+
+        press("b")
+        assert g.spectate_idx == 0
+        assert g.hud.state.spectating == "foe"
+        u = g.engine.uniforms
+        cam = np.asarray(u["camera_position"])
+        expected = foe.local_position \
+            + np.asarray(g.char_params["cam_offset"], np.float32)
+        assert np.allclose(cam, expected, atol=0.3), (cam, expected)
+        # view weapon hidden while spectating
+        vis = np.asarray(u["mesh_visible"])
+        lo, hi = g.gun_slice
+        assert not vis[lo:hi].any()
+        # shooting is gated off
+        before = g.last_shot
+        g.step(1 / 60.0, inputs={"quit": False, "keys": set(),
+                                 "chars": "", "mouse_delta": (0, 0),
+                                 "mouse_down": True})
+        assert g.last_shot == before
+
+        press("b")      # past the last target -> back to first person
+        assert g.spectate_idx == -1
+        assert g.hud.state.spectating == ""
+        vis = np.asarray(g.engine.uniforms["mesh_visible"])
+        assert vis[lo:hi].any()
+    finally:
+        g.close()
