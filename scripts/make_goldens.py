@@ -24,7 +24,8 @@ GOLDEN_SIZES = {1: (320, 240), 2: (320, 180), 3: (480, 270),
                 4: (320, 180), 5: (480, 270)}
 # Feature-path goldens (ROADMAP #11): wireframe, K-buffer translucency,
 # shadow maps, mip-mapped sampling.
-FEATURES = ("wireframe", "kbuffer", "shadows", "mips")
+FEATURES = ("wireframe", "kbuffer", "shadows", "mips",
+            "point_shadows")
 
 
 def _sanitize_env():
@@ -124,6 +125,32 @@ def render_feature(name: str):
         u["camera_rotation"] = ml.quat_from_yaw_pitch_roll(
             np.float32(0.55), np.float32(-0.35), np.float32(0))
         c, _ = jax.jit(functools.partial(render_frame_with_shadows,
+                                         params=params,
+                                         shadow_size=256))(sc, u)
+        return np.asarray(jax.jit(to_rgb8)(c))
+    if name == "point_shadows":
+        from softwarerenderer_tpu.engine import (
+            render_frame_with_point_shadows,
+        )
+        insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                        ml.translation([0, -1, 0]),
+                                        texture=checker),
+                 scene_mod.MeshInstance(primitives.cube(0.8),
+                                        ml.translation([0, 0.6, -4]),
+                                        texture=checker),
+                 scene_mod.MeshInstance(
+                     primitives.uv_sphere(0.5, rings=16, sectors=24),
+                     ml.translation([1.8, 0.0, -5]), texture=checker)]
+        sc = scene_mod.build_scene_buffers(insts)
+        params = RenderParams(width=320, height=240)
+        u = default_frame_uniforms(320, 240)
+        u["camera_position"] = np.float32([2.5, 2.0, -0.5])
+        u["camera_rotation"] = ml.quat_from_yaw_pitch_roll(
+            np.float32(0.55), np.float32(-0.35), np.float32(0))
+        u["point_light_position"] = np.float32([0.0, 3.0, -4.0])
+        u["point_light_color"] = np.ones(4, np.float32)
+        u["point_light_range"] = np.float32(40.0)
+        c, _ = jax.jit(functools.partial(render_frame_with_point_shadows,
                                          params=params,
                                          shadow_size=256))(sc, u)
         return np.asarray(jax.jit(to_rgb8)(c))

@@ -93,12 +93,31 @@ def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
     tile_id = (ty0[:, None] + dy) * ntx + (tx0[:, None] + dx)   # (N, S)
     pair_ok = is_binned[:, None] & (s_idx < span[:, None])
     tile_id = jnp.where(pair_ok, tile_id, ntiles).reshape(-1)
-    tri_id = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, span_cap)).reshape(-1)
 
-    perm = jnp.argsort(tile_id, stable=True)
-    sorted_tile = jnp.take(tile_id, perm)
-    sorted_tri = jnp.take(tri_id, perm)
+    n_pairs = n * span_cap
+    pos_bits = max(1, (n_pairs - 1).bit_length())
+    tile_bits = (ntiles + 1 - 1).bit_length()
+    if pos_bits + tile_bits <= 32:
+        # Packed single-key sort: key = tile_id << pos_bits | pair_pos.
+        # The position low bits ARE the stability tiebreak (submission
+        # order inside a tile) and decode straight to the triangle id
+        # (pair p = tri * span_cap + slot), so the sort moves one u32 per
+        # pair instead of an (i32 key, i32 index) pair — TPU sorts are
+        # bandwidth-bound bitonic passes, measured ~2× on the ~4.5 ms
+        # binning stage at 1080p dust2.
+        pos = jnp.arange(n_pairs, dtype=jnp.uint32)
+        key = (tile_id.astype(jnp.uint32) << pos_bits) | pos
+        skey = jnp.sort(key)
+        sorted_tile = (skey >> pos_bits).astype(jnp.int32)
+        sorted_tri = (skey & jnp.uint32((1 << pos_bits) - 1)) \
+            .astype(jnp.int32) // span_cap
+    else:
+        tri_id = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None],
+            (n, span_cap)).reshape(-1)
+        perm = jnp.argsort(tile_id, stable=True)
+        sorted_tile = jnp.take(tile_id, perm)
+        sorted_tri = jnp.take(tri_id, perm)
 
     tids = jnp.arange(ntiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tids, side="left")

@@ -41,7 +41,7 @@ def test_golden_config(n):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["wireframe", "kbuffer", "shadows",
-                                  "mips"])
+                                  "mips", "point_shadows"])
 def test_golden_feature(name):
     """Feature-path goldens: wireframe, K-buffer, shadows, mips
     (ROADMAP #11)."""
