@@ -7,6 +7,12 @@ UV-space stripes modulated by the world normal.
     python examples/custom_shader.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 from softwarerenderer_tpu import RenderParams

@@ -7,6 +7,12 @@ Runs on the virtual CPU mesh anywhere:
     python examples/multichip_render.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

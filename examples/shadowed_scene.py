@@ -1,3 +1,4 @@
+
 #!/usr/bin/env python
 """Directional shadow maps: one extra depth-only pass from the light
 inside the same jitted frame (a capability beyond the reference).
@@ -6,7 +7,11 @@ inside the same jitted frame (a capability beyond the reference).
 """
 
 import functools
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -6,6 +6,9 @@
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 from softwarerenderer_tpu import RenderParams
