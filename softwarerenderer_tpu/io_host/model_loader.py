@@ -32,7 +32,7 @@ F32 = np.float32
 _MODEL_CACHE: Dict[str, "Model"] = {}
 _TEXTURE_CACHE: Dict[str, Optional[np.ndarray]] = {}
 
-SUPPORTED_EXTENSIONS = {".gltf", ".glb", ".obj"}
+SUPPORTED_EXTENSIONS = {".gltf", ".glb", ".obj", ".stl", ".ply"}
 
 
 @dataclasses.dataclass
@@ -135,12 +135,217 @@ def load_obj(path: str) -> Dict:
     return {"meshes": [mesh], "lights": []}
 
 
+def _mesh_dict(pos, uv, normal, color, indices) -> Dict:
+    """Common mesh-dict assembly for the simple single-mesh formats."""
+    pos = np.asarray(pos, F32).reshape(-1, 3)
+    center, radius = bounding_sphere(pos)
+    return {
+        "position": pos,
+        "uv": np.asarray(uv, F32).reshape(-1, 2),
+        "normal": np.asarray(normal, F32).reshape(-1, 3),
+        "color": np.asarray(color, F32).reshape(-1, 4),
+        "indices": np.asarray(indices, np.int32).reshape(-1, 3),
+        "material": Material(),
+        "bounds_center": center,
+        "bounds_radius": radius,
+    }
+
+
+def load_stl(path: str) -> Dict:
+    """STL, binary or ASCII — facet normals replicated per corner.
+
+    (The reference imports STL through Assimp, ModelLoader.cs:144-150;
+    this is the first-party equivalent.)  Vertices are NOT deduplicated:
+    STL facets are independent, matching Assimp's default for STL."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+    if head == b"solid":
+        # Probably ASCII — but binary files may also start with "solid";
+        # fall back to binary when the ASCII parse finds no facets.
+        tris = _parse_stl_ascii(path)
+        if tris is None:
+            tris = _parse_stl_binary(path)
+    else:
+        tris = _parse_stl_binary(path)
+    normals, verts = tris
+    n_tri = verts.shape[0]
+    pos = verts.reshape(-1, 3)
+    nrm = np.repeat(normals, 3, axis=0)
+    # zero/garbage facet normals → recompute from winding
+    bad = np.linalg.norm(nrm, axis=-1) < 1e-12
+    if bad.any():
+        e1 = verts[:, 1] - verts[:, 0]
+        e2 = verts[:, 2] - verts[:, 0]
+        face_n = np.cross(e1, e2)
+        ln = np.linalg.norm(face_n, axis=-1, keepdims=True)
+        face_n = np.divide(face_n, np.where(ln > 0, ln, 1.0))
+        nrm[bad] = np.repeat(face_n, 3, axis=0)[bad]
+    idx = np.arange(n_tri * 3, dtype=np.int32).reshape(-1, 3)
+    mesh = _mesh_dict(pos, np.zeros((n_tri * 3, 2), F32), nrm,
+                      np.ones((n_tri * 3, 4), F32), idx)
+    return {"meshes": [mesh], "lights": []}
+
+
+def _parse_stl_ascii(path: str):
+    normals, verts, cur = [], [], []
+    cur_n = (0.0, 0.0, 0.0)
+    try:
+        with open(path, "r", errors="strict") as f:
+            for line in f:
+                t = line.split()
+                if not t:
+                    continue
+                if t[0] == "facet" and len(t) >= 5:
+                    cur_n = (float(t[2]), float(t[3]), float(t[4]))
+                elif t[0] == "vertex":
+                    cur.append((float(t[1]), float(t[2]), float(t[3])))
+                elif t[0] == "endfacet":
+                    for i in range(1, len(cur) - 1):   # fan, like OBJ
+                        normals.append(cur_n)
+                        verts.append((cur[0], cur[i], cur[i + 1]))
+                    cur = []
+    except (UnicodeDecodeError, ValueError):
+        return None
+    if not verts:
+        return None
+    return np.asarray(normals, F32), np.asarray(verts, F32)
+
+
+def _parse_stl_binary(path: str):
+    with open(path, "rb") as f:
+        f.seek(80)
+        (n_tri,) = np.frombuffer(f.read(4), "<u4")
+        rec = np.frombuffer(f.read(int(n_tri) * 50), dtype=np.uint8)
+    rec = rec.reshape(n_tri, 50)
+    floats = rec[:, :48].copy().view("<f4").reshape(n_tri, 12)
+    return (floats[:, 0:3].astype(F32),
+            floats[:, 3:12].reshape(n_tri, 3, 3).astype(F32))
+
+
+def load_ply(path: str) -> Dict:
+    """PLY, ascii / binary_little_endian — vertex position, optional
+    normals, uv (s/t, u/v or texture_u/texture_v), and u8 or float
+    colors; polygonal faces fan-triangulated."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"not a PLY file: {path}")
+        fmt = None
+        elements = []          # (name, count, [(type, name) or list-spec])
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError("PLY header unterminated")
+            t = line.decode("ascii", "replace").split()
+            if not t or t[0] == "comment":
+                continue
+            if t[0] == "format":
+                fmt = t[1]
+            elif t[0] == "element":
+                elements.append([t[1], int(t[2]), []])
+            elif t[0] == "property":
+                if t[1] == "list":
+                    elements[-1][2].append(("list", t[2], t[3], t[4]))
+                else:
+                    elements[-1][2].append((t[1], t[2]))
+            elif t[0] == "end_header":
+                break
+        body = f.read()
+
+    if fmt not in ("ascii", "binary_little_endian"):
+        raise ValueError(f"unsupported PLY format: {fmt}")
+
+    _PLY_NP = {"char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+               "short": "i2", "int16": "i2", "ushort": "u2",
+               "uint16": "u2", "int": "i4", "int32": "i4", "uint": "u4",
+               "uint32": "u4", "float": "f4", "float32": "f4",
+               "double": "f8", "float64": "f8"}
+    vdata: Dict[str, np.ndarray] = {}
+    faces: List[tuple] = []
+
+    if fmt == "ascii":
+        rows = body.decode("ascii", "replace").split("\n")
+        r = 0
+        for name, count, props in elements:
+            if name == "vertex":
+                names = [p[1] for p in props]
+                vals = np.asarray(
+                    [rows[r + i].split() for i in range(count)], np.float64)
+                for j, nm in enumerate(names):
+                    vdata[nm] = vals[:, j]
+                r += count
+            elif name == "face":
+                for i in range(count):
+                    t = rows[r + i].split()
+                    k = int(t[0])
+                    faces.append(tuple(int(x) for x in t[1:1 + k]))
+                r += count
+            else:
+                r += count
+    else:
+        off = 0
+        for name, count, props in elements:
+            if name == "vertex":
+                dt = np.dtype([(p[1], "<" + _PLY_NP[p[0]]) for p in props])
+                arr = np.frombuffer(body, dt, count, off)
+                off += dt.itemsize * count
+                for p in props:
+                    vdata[p[1]] = arr[p[1]].astype(np.float64)
+            elif name == "face":
+                # list properties are per-row variable: walk records
+                lp = props[0]
+                cnt_dt = np.dtype("<" + _PLY_NP[lp[1]])
+                idx_dt = np.dtype("<" + _PLY_NP[lp[2]])
+                for _ in range(count):
+                    k = int(np.frombuffer(body, cnt_dt, 1, off)[0])
+                    off += cnt_dt.itemsize
+                    ix = np.frombuffer(body, idx_dt, k, off)
+                    off += idx_dt.itemsize * k
+                    faces.append(tuple(int(x) for x in ix))
+            else:
+                # skip fixed-size foreign elements
+                dt = np.dtype([(p[1], "<" + _PLY_NP[p[0]]) for p in props
+                               if p[0] != "list"])
+                off += dt.itemsize * count
+
+    n_v = len(vdata.get("x", ()))
+    pos = np.stack([vdata["x"], vdata["y"], vdata["z"]], -1)
+    if {"nx", "ny", "nz"} <= vdata.keys():
+        nrm = np.stack([vdata["nx"], vdata["ny"], vdata["nz"]], -1)
+    else:
+        nrm = np.zeros((n_v, 3))
+    uv = np.zeros((n_v, 2))
+    for ukey, vkey in (("s", "t"), ("u", "v"),
+                       ("texture_u", "texture_v")):
+        if {ukey, vkey} <= vdata.keys():
+            uv = np.stack([vdata[ukey], 1.0 - vdata[vkey]], -1)  # FlipUVs
+            break
+    col = np.ones((n_v, 4))
+    if {"red", "green", "blue"} <= vdata.keys():
+        scale = 255.0 if vdata["red"].max(initial=0) > 1.0 else 1.0
+        col[:, 0] = vdata["red"] / scale
+        col[:, 1] = vdata["green"] / scale
+        col[:, 2] = vdata["blue"] / scale
+        if "alpha" in vdata:
+            col[:, 3] = vdata["alpha"] / scale
+    indices = []
+    for face in faces:
+        for i in range(1, len(face) - 1):
+            indices.append((face[0], face[i], face[i + 1]))
+    mesh = _mesh_dict(pos, uv, nrm, col,
+                      np.asarray(indices, np.int32).reshape(-1, 3))
+    return {"meshes": [mesh], "lights": []}
+
+
 def _load_single(path: str) -> Model:
     ext = os.path.splitext(path)[1].lower()
     if ext in (".gltf", ".glb"):
         doc = gltf_mod.load_gltf(path)
     elif ext == ".obj":
         doc = load_obj(path)
+    elif ext == ".stl":
+        doc = load_stl(path)
+    elif ext == ".ply":
+        doc = load_ply(path)
     else:
         raise ValueError(f"unsupported model format: {ext}")
     return Model(meshes=doc["meshes"], lights=doc["lights"])

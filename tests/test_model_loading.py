@@ -206,3 +206,138 @@ def test_flipbook_clock_matches_reference_timing():
     assert m.advance_animation(1.0 / 60.0, fps=30) == 0   # half a frame
     assert m.advance_animation(1.0 / 60.0, fps=30) == 1   # full frame
     assert m.advance_animation(2.0 / 30.0, fps=30) == 0   # +2 wraps (3 total)
+
+
+# ---------------------------------------------------------------------------
+# STL / PLY first-party importers (the reference reaches these formats
+# through Assimp, ModelLoader.cs:144-150)
+# ---------------------------------------------------------------------------
+
+def _tetra_verts():
+    return np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                      np.float32)
+
+
+def test_load_stl_binary(tmp_path):
+    import struct
+    from softwarerenderer_tpu.io_host.model_loader import load_stl
+    v = _tetra_verts()
+    tris = [(v[0], v[1], v[2]), (v[0], v[1], v[3])]
+    path = tmp_path / "t.stl"
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        for a, b, c in tris:
+            f.write(struct.pack("<3f", 0, 0, 0))      # zero normal: recompute
+            for p in (a, b, c):
+                f.write(struct.pack("<3f", *p))
+            f.write(struct.pack("<H", 0))
+    doc = load_stl(str(path))
+    m = doc["meshes"][0]
+    assert m["position"].shape == (6, 3)
+    assert m["indices"].shape == (2, 3)
+    # zero facet normals recomputed from winding: first tri is the z=0
+    # plane with CCW winding → +z
+    n0 = m["normal"][0]
+    np.testing.assert_allclose(np.abs(n0), [0, 0, 1], atol=1e-6)
+    assert np.isfinite(m["bounds_radius"]) and m["bounds_radius"] > 0
+
+
+def test_load_stl_ascii(tmp_path):
+    from softwarerenderer_tpu.io_host.model_loader import load_stl
+    path = tmp_path / "t.stl"
+    path.write_text("""solid tri
+facet normal 0 0 1
+  outer loop
+    vertex 0 0 0
+    vertex 1 0 0
+    vertex 0 1 0
+  endloop
+endfacet
+endsolid tri
+""")
+    doc = load_stl(str(path))
+    m = doc["meshes"][0]
+    assert m["position"].shape == (3, 3)
+    np.testing.assert_allclose(m["normal"][0], [0, 0, 1])
+
+
+def test_load_ply_ascii(tmp_path):
+    from softwarerenderer_tpu.io_host.model_loader import load_ply
+    path = tmp_path / "t.ply"
+    path.write_text("""ply
+format ascii 1.0
+comment quad with colors and uv
+element vertex 4
+property float x
+property float y
+property float z
+property float s
+property float t
+property uchar red
+property uchar green
+property uchar blue
+element face 1
+property list uchar int vertex_indices
+end_header
+0 0 0 0 0 255 0 0
+1 0 0 1 0 0 255 0
+1 1 0 1 1 0 0 255
+0 1 0 0 1 255 255 255
+4 0 1 2 3
+""")
+    doc = load_ply(str(path))
+    m = doc["meshes"][0]
+    assert m["position"].shape == (4, 3)
+    assert m["indices"].shape == (2, 3)           # quad fan-triangulated
+    np.testing.assert_allclose(m["color"][0], [1, 0, 0, 1])
+    np.testing.assert_allclose(m["color"][1], [0, 1, 0, 1])
+    # FlipUVs: t=1 maps to v=0
+    np.testing.assert_allclose(m["uv"][2], [1, 0])
+
+
+def test_load_ply_binary(tmp_path):
+    import struct
+    from softwarerenderer_tpu.io_host.model_loader import load_ply
+    path = tmp_path / "t.ply"
+    header = b"""ply
+format binary_little_endian 1.0
+element vertex 3
+property float x
+property float y
+property float z
+property float nx
+property float ny
+property float nz
+element face 1
+property list uchar int vertex_indices
+end_header
+"""
+    body = b""
+    for p, n in [((0, 0, 0), (0, 0, 1)), ((1, 0, 0), (0, 0, 1)),
+                 ((0, 1, 0), (0, 0, 1))]:
+        body += struct.pack("<6f", *p, *n)
+    body += struct.pack("<B3i", 3, 0, 1, 2)
+    path.write_bytes(header + body)
+    doc = load_ply(str(path))
+    m = doc["meshes"][0]
+    assert m["position"].shape == (3, 3)
+    np.testing.assert_allclose(m["normal"], [[0, 0, 1]] * 3)
+    assert m["indices"].tolist() == [[0, 1, 2]]
+
+
+def test_load_model_dispatches_stl_ply(tmp_path):
+    from softwarerenderer_tpu.io_host import model_loader
+    model_loader.clear_caches()
+    path = tmp_path / "d.stl"
+    import struct
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", 1))
+        f.write(struct.pack("<3f", 0, 0, 1))
+        for p in [(0, 0, 0), (1, 0, 0), (0, 1, 0)]:
+            f.write(struct.pack("<3f", *p))
+        f.write(struct.pack("<H", 0))
+    model = model_loader.load_model(str(path))
+    assert len(model.meshes) == 1
+    assert model.meshes[0]["indices"].shape == (1, 3)
