@@ -136,7 +136,7 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
                       init_depth=None, row_offset=0, *, tile_h: int = 32,
                       tile_w: int = 128, span_cap: int = 16,
                       tile_group: int = 8, tile_row_map=None,
-                      full_height=None):
+                      full_height=None, tile_map=None):
     """Binned per-pixel (depth, triangle-id) reduction.
 
     Drop-in replacement for raster.visibility_brute_force (same contract)
@@ -149,6 +149,15 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
     contiguous band at row_offset — the load-balanced fb-sharding mode
     (parallel.sharding): binning runs over the full frame and only the
     owned tiles' segments fold.  Output rows follow tile_row_map order.
+
+    tile_map (traced (n_owned,) i32 GLOBAL tile ids over the full
+    params.height × params.width frame): this call owns an arbitrary set
+    of individual TILES (the tile-level balanced fb-sharding mode — a
+    single hot tile row can split across devices).  Returns a
+    (n_owned · tile_h, tile_w) pseudo-image whose block r//tile_h is the
+    owned tile tile_map[r//tile_h]; ids == ntiles are dummy padding tiles
+    (they fold nothing from the segments and their output is dropped by
+    the caller's reassembly).
     """
     mode = params.depth_test
     if mode not in _REDUCE_RULES:
@@ -157,7 +166,9 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
     use_max, later_wins = _REDUCE_RULES[mode]
 
     H, W = params.height, params.width
-    if tile_row_map is not None:
+    if tile_map is not None:
+        bins = bin_triangles(tris, params, tile_h, tile_w, span_cap, 0)
+    elif tile_row_map is not None:
         if H % tile_h:
             raise ValueError("height must be a tile_h multiple for "
                              "tile_row_map mode")
@@ -167,8 +178,14 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
         bins = bin_triangles(tris, params, tile_h, tile_w, span_cap,
                              row_offset)
     ntx = bins["ntx"]
-    nty = _cdiv(H, tile_h)
-    ntiles = ntx * nty
+    if tile_map is not None:
+        n_owned = tile_map.shape[0]
+        nty = n_owned
+        ntiles = n_owned
+        n_tiles_full = ntx * bins["nty"]
+    else:
+        nty = _cdiv(H, tile_h)
+        ntiles = ntx * nty
     ngroups = _cdiv(ntiles, tile_group)
     ntiles_pad = ngroups * tile_group
     tpx = tile_h * tile_w
@@ -179,20 +196,39 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
     n = screen.shape[0]
 
     # Framebuffer in tile layout (ntiles_pad, tpx).
-    if init_depth is None:
-        init_depth = jnp.full((H, W), DEPTH_CLEAR, dtype=F32)
-    Hp, Wp = nty * tile_h, ntx * tile_w
-    d0 = jnp.pad(init_depth, ((0, Hp - H), (0, Wp - W)))
-    d0 = d0.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
-    d0 = d0.reshape(ntiles, tpx)
-    d0 = jnp.pad(d0, ((0, ntiles_pad - ntiles), (0, 0)))
+    if tile_map is not None:
+        if init_depth is None:
+            init_depth = jnp.full((n_owned * tile_h, tile_w), DEPTH_CLEAR,
+                                  dtype=F32)
+        d0 = init_depth.reshape(n_owned, tpx)
+        d0 = jnp.pad(d0, ((0, ntiles_pad - ntiles), (0, 0)))
+    else:
+        if init_depth is None:
+            init_depth = jnp.full((H, W), DEPTH_CLEAR, dtype=F32)
+        Hp, Wp = nty * tile_h, ntx * tile_w
+        d0 = jnp.pad(init_depth, ((0, Hp - H), (0, Wp - W)))
+        d0 = d0.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
+        d0 = d0.reshape(ntiles, tpx)
+        d0 = jnp.pad(d0, ((0, ntiles_pad - ntiles), (0, 0)))
     i0 = jnp.full((ntiles_pad, tpx), NO_TRI, dtype=jnp.int32)
 
     sorted_tri = bins["sorted_tri"]
     order = bins["order"]
     n_global = bins["n_global"]
 
-    if tile_row_map is not None:
+    if tile_map is not None:
+        # Arbitrary owned tiles: gather segments + pixel bases per tile.
+        # Dummy ids (== n_tiles_full) get zero-length segments.
+        tm = jnp.asarray(tile_map, jnp.int32)
+        dummy = tm >= n_tiles_full
+        tmc = jnp.clip(tm, 0, n_tiles_full - 1)
+        starts = jnp.pad(jnp.take(bins["starts"], tmc),
+                         (0, ntiles_pad - ntiles))
+        counts = jnp.pad(jnp.where(dummy, 0, jnp.take(bins["counts"], tmc)),
+                         (0, ntiles_pad - ntiles))
+        ty_base = jnp.pad((tmc // ntx) * tile_h, (0, ntiles_pad - ntiles))
+        tx_base = jnp.pad((tmc % ntx) * tile_w, (0, ntiles_pad - ntiles))
+    elif tile_row_map is not None:
         # Gather the owned tiles' segments + global pixel-row bases.
         trm = jnp.asarray(tile_row_map, jnp.int32)
         gids = (trm[:, None] * ntx
@@ -203,11 +239,13 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
                          (0, ntiles_pad - ntiles))
         ty_base = jnp.pad(jnp.repeat(trm, ntx) * tile_h,
                           (0, ntiles_pad - ntiles))
+        tx_base = (jnp.arange(ntiles_pad, dtype=jnp.int32) % ntx) * tile_w
     else:
         starts = jnp.pad(bins["starts"], (0, ntiles_pad - ntiles))
         counts = jnp.pad(bins["counts"], (0, ntiles_pad - ntiles))
         ty_base = (jnp.arange(ntiles_pad, dtype=jnp.int32) // ntx) * tile_h \
             + jnp.asarray(row_offset, jnp.int32)
+        tx_base = (jnp.arange(ntiles_pad, dtype=jnp.int32) % ntx) * tile_w
 
     tile_ids_all = jnp.arange(ntiles_pad, dtype=jnp.int32)
     px_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
@@ -289,8 +327,8 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
         g_starts = jax.lax.dynamic_slice_in_dim(starts, base, tile_group)
         g_counts = jax.lax.dynamic_slice_in_dim(counts, base, tile_group)
         g_ty_base = jax.lax.dynamic_slice_in_dim(ty_base, base, tile_group)
-        tx = tiles % ntx
-        px = tx[:, None] * tile_w + px_in_tile[None, :]   # (G, tpx)
+        g_tx_base = jax.lax.dynamic_slice_in_dim(tx_base, base, tile_group)
+        px = g_tx_base[:, None] + px_in_tile[None, :]     # (G, tpx) global
         py = g_ty_base[:, None] + py_in_tile[None, :]     # global rows
 
         best_d = jax.lax.dynamic_slice_in_dim(all_d, base, tile_group)
@@ -336,10 +374,14 @@ def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,
 
     all_d, all_i = jax.lax.fori_loop(0, ngroups, group_body, (d0, i0))
 
-    def untile(a):
-        a = a[:ntiles].reshape(nty, ntx, tile_h, tile_w)
-        a = a.transpose(0, 2, 1, 3).reshape(Hp, Wp)
-        return a[:H, :W]
+    if tile_map is not None:
+        def untile(a):
+            return a[:ntiles].reshape(n_owned * tile_h, tile_w)
+    else:
+        def untile(a):
+            a = a[:ntiles].reshape(nty, ntx, tile_h, tile_w)
+            a = a.transpose(0, 2, 1, 3).reshape(Hp, Wp)
+            return a[:H, :W]
 
     return untile(all_d), untile(all_i)
 
@@ -640,10 +682,10 @@ def make_binned_visibility(tile_h: int = 32, tile_w: int = 128,
                            span_cap: int = 16, tile_group: int = 8):
     """Factory producing a visibility_fn for raster.render_deferred."""
     def fn(tris, params, chunk=32, init_depth=None, row_offset=0,
-           tile_row_map=None, full_height=None):
+           tile_row_map=None, full_height=None, tile_map=None):
         return visibility_binned(tris, params, chunk, init_depth, row_offset,
                                  tile_h=tile_h, tile_w=tile_w,
                                  span_cap=span_cap, tile_group=tile_group,
                                  tile_row_map=tile_row_map,
-                                 full_height=full_height)
+                                 full_height=full_height, tile_map=tile_map)
     return fn

@@ -83,7 +83,7 @@ def _pad_pow2_chunks(n: int, chunk: int) -> int:
 def visibility_brute_force(tris: Dict, params: RenderParams,
                            chunk: int = 128,
                            init_depth: Optional[jnp.ndarray] = None,
-                           row_offset=0):
+                           row_offset=0, col_offset=0):
     """Per-pixel (depth, triangle-id) reduction over ALL triangles.
 
     tris: the geometry SoA from ops.geometry (screen/depth/valid/inv_area).
@@ -118,7 +118,8 @@ def visibility_brute_force(tris: Dict, params: RenderParams,
     inv_area = pad(tris["inv_area"])
     valid = pad(tris["valid"])
 
-    px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(F32)
+    px = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+          + jnp.asarray(col_offset, jnp.int32)).astype(F32)
     py = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
           + jnp.asarray(row_offset, jnp.int32)).astype(F32)
 
@@ -185,7 +186,8 @@ def visibility_brute_force(tris: Dict, params: RenderParams,
 
 
 def interpolate_at_pixels(tris: Dict, tri_id: jnp.ndarray,
-                          covered: jnp.ndarray, row_offset=0) -> Dict:
+                          covered: jnp.ndarray, row_offset=0,
+                          col_offset=0) -> Dict:
     """Perspective-correct fragment inputs for each pixel's winning triangle.
 
     Replicates Rasterizer.Interpolate exactly (Rasterizer.cs:566-640):
@@ -227,7 +229,8 @@ def interpolate_at_pixels(tris: Dict, tri_id: jnp.ndarray,
     cw0, cw1 = slices["clip_position"]
     clip_w = av[..., cw1 - 1]                          # (H, W, 3)
 
-    px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(F32)
+    px = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+          + jnp.asarray(col_offset, jnp.int32)).astype(F32)
     py = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
           + jnp.asarray(row_offset, jnp.int32)).astype(F32)
     s0x, s0y = s[..., 0, 0], s[..., 0, 1]
@@ -291,7 +294,7 @@ def shade_deferred(tris: Dict, best_depth, best_tri,
                    params: RenderParams,
                    fb_color: jnp.ndarray, fb_depth: jnp.ndarray,
                    per_tri_extra: Optional[Dict[str, jnp.ndarray]] = None,
-                   row_offset=0):
+                   row_offset=0, col_offset=0):
     """Shade each covered pixel's winning triangle once, blend, write depth.
 
     per_tri_extra: optional dict of (T,) or (T, K) per-triangle arrays
@@ -299,7 +302,8 @@ def shade_deferred(tris: Dict, best_depth, best_tri,
     fragment dict as frag["tri"][name] so shaders can do material lookups.
     """
     covered = best_tri != NO_TRI
-    frag = interpolate_at_pixels(tris, best_tri, covered, row_offset)
+    frag = interpolate_at_pixels(tris, best_tri, covered, row_offset,
+                                 col_offset)
     if per_tri_extra:
         t = jnp.where(covered, best_tri, 0)
         frag["tri"] = {k: jnp.take(v, t, axis=0)
@@ -322,7 +326,7 @@ def render_wireframe_deferred(tris: Dict, fragment_shader: Callable,
                               fb_color: jnp.ndarray, fb_depth: jnp.ndarray,
                               per_tri_extra: Optional[Dict] = None,
                               chunk: Optional[int] = None,
-                              row_offset=0):
+                              row_offset=0, col_offset=0):
     """Deferred wireframe: per-pixel (depth, segment) reduction over all
     3N triangle edges, then one shade of the winner.
 
@@ -358,7 +362,8 @@ def render_wireframe_deferred(tris: Dict, fragment_shader: Callable,
 
     p0, p1, d01, valid = pad(p0), pad(p1), pad(d01), pad(valid)
 
-    px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(F32)
+    px = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+          + jnp.asarray(col_offset, jnp.int32)).astype(F32)
     py = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
           + jnp.asarray(row_offset, jnp.int32)).astype(F32)
     pxc = px + F32(0.5)

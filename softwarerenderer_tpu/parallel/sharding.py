@@ -103,13 +103,21 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
     mesh.shape["fb"].  Returns (color (H, W, 4), depth (H, W)) laid out
     row-sharded over "fb".
 
-    balanced=True (binned only): instead of contiguous row bands, each fb
-    device owns an equal-size set of TILE ROWS chosen by triangle-bbox
-    occupancy (serpentine assignment over the occupancy-sorted rows) — a
-    camera that concentrates geometry in one band (the dust2 floor) no
+    balanced=True / "rows" (binned only): instead of contiguous row bands,
+    each fb device owns an equal-size set of TILE ROWS chosen by
+    triangle-bbox occupancy (greedy LPT over the occupancy-sorted rows) —
+    a camera that concentrates geometry in one band (the dust2 floor) no
     longer idles the other devices.  The occupancy ranking is a traced,
     replicated computation, so camera motion rebalances every frame with
     no recompile, and the final gather restores global row order.
+
+    balanced="tiles" (binned only): ownership at individual-TILE
+    granularity — a single hot tile row can split across devices (ROADMAP
+    #9).  Per-tile occupancy is one (nty, T)×(T, ntx) MXU matmul over the
+    bbox row/column overlap masks; tiles assign by the same greedy LPT
+    under an equal-tiles-per-device constraint; each device renders its
+    tiles as an (tiles_per_dev·tile_h, tile_w) pseudo-image and the final
+    gather scatters tiles back to frame positions.
     """
     from softwarerenderer_tpu.engine.renderer import (
         camera_matrices,
@@ -128,15 +136,26 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         raise ValueError(f"height {H} not divisible by fb axis {n_fb}")
     shard_h = H // n_fb
     shard_params = params.replace(height=shard_h)
-    if balanced:
-        if not params.binned:
-            raise ValueError("balanced fb sharding requires binned=True")
+    balanced_mode = {False: None, True: "rows"}.get(balanced, balanced)
+    if balanced_mode not in (None, "rows", "tiles"):
+        raise ValueError(f"balanced must be False/True/'rows'/'tiles', "
+                         f"got {balanced!r}")
+    if balanced_mode and not params.binned:
+        raise ValueError("balanced fb sharding requires binned=True")
+    if balanced_mode == "rows":
         n_tile_rows = -(-H // params.tile_h)
         if H % params.tile_h or n_tile_rows % n_fb:
             raise ValueError(
                 f"balanced mode needs height ({H}) a multiple of "
                 f"tile_h*n_fb ({params.tile_h}*{n_fb})")
         rows_per_dev = n_tile_rows // n_fb
+    elif balanced_mode == "tiles":
+        th_t, tw_t = params.tile_h, params.tile_w
+        nty_full = -(-H // th_t)
+        ntx_full = -(-W // tw_t)
+        ntiles_full = nty_full * ntx_full
+        tiles_per_dev = -(-ntiles_full // n_fb)
+        n_pad_tiles = tiles_per_dev * n_fb
     t_pad = scene["indices"].shape[0]
     if t_pad % n_tri:
         raise ValueError("run scene through shard_scene_triangles first")
@@ -178,8 +197,13 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
             near_clip=u["near_clip"], tri_mask=tri_mask)
 
         clear = jnp.asarray(uniforms["clear_color"], dtype=F32)
-        fb_color = jnp.broadcast_to(clear, (shard_h, W, 4))
-        fb_depth = jnp.full((shard_h, W), DEPTH_CLEAR, dtype=F32)
+        if balanced_mode == "tiles":
+            pseudo_h = tiles_per_dev * th_t
+            fb_color = jnp.broadcast_to(clear, (pseudo_h, tw_t, 4))
+            fb_depth = jnp.full((pseudo_h, tw_t), DEPTH_CLEAR, dtype=F32)
+        else:
+            fb_color = jnp.broadcast_to(clear, (shard_h, W, 4))
+            fb_depth = jnp.full((shard_h, W), DEPTH_CLEAR, dtype=F32)
 
         # Local visibility over this shard's triangles and rows.
         if params.binned:
@@ -191,7 +215,61 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
                 span_cap=params.span_cap, tile_group=params.tile_group)
         else:
             vis = raster.visibility_brute_force
-        if balanced:
+        col_offset_arr = 0
+        if balanced_mode == "tiles":
+            # Per-TILE occupancy via one MXU matmul over the bbox overlap
+            # masks: occ[y, x] = Σ_t row_t(y)·col_t(x); psum over "tri"
+            # keeps the ranking identical on every shard.
+            bbox = tris["bbox"]
+            ty0 = jnp.clip(bbox[:, 1], 0, H - 1) // th_t
+            ty1 = jnp.clip(bbox[:, 3], 0, H - 1) // th_t
+            tx0 = jnp.clip(bbox[:, 0], 0, W - 1) // tw_t
+            tx1 = jnp.clip(bbox[:, 2], 0, W - 1) // tw_t
+            rows = jnp.arange(nty_full, dtype=jnp.int32)
+            cols = jnp.arange(ntx_full, dtype=jnp.int32)
+            rowm = ((ty0[:, None] <= rows[None, :])
+                    & (ty1[:, None] >= rows[None, :])
+                    & tris["valid"][:, None]).astype(F32)
+            colm = ((tx0[:, None] <= cols[None, :])
+                    & (tx1[:, None] >= cols[None, :])).astype(F32)
+            occ = jax.lax.psum(
+                jax.lax.dot_general(rowm, colm, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32),
+                "tri").reshape(-1)                     # (ntiles_full,)
+            # Descending-occupancy greedy LPT under the equal-tiles
+            # constraint; dummy padding tiles (occ −1 → sorted last, load
+            # clamped to 0) fill the remainder.
+            occp = jnp.pad(occ, (0, n_pad_tiles - ntiles_full),
+                           constant_values=-1.0)
+            order_tiles = jnp.argsort(-occp).astype(jnp.int32)
+            occ_sorted = jnp.maximum(jnp.take(occp, order_tiles), 0.0)
+
+            def assign_step(i, carry):
+                loads, cnt, assign = carry
+                avail = jnp.where(cnt < tiles_per_dev, loads, jnp.inf)
+                k = jnp.argmin(avail).astype(jnp.int32)
+                return (loads.at[k].add(occ_sorted[i]),
+                        cnt.at[k].add(1), assign.at[i].set(k))
+
+            _, _, assign = jax.lax.fori_loop(
+                0, n_pad_tiles, assign_step,
+                (jnp.zeros(n_fb, F32), jnp.zeros(n_fb, jnp.int32),
+                 jnp.zeros(n_pad_tiles, jnp.int32)))
+            mine_pos = jnp.argsort(
+                jnp.where(assign == fb_idx, 0, 1), stable=True
+            )[:tiles_per_dev]
+            my_tiles = jnp.sort(jnp.take(order_tiles, mine_pos))
+            tmc = jnp.clip(my_tiles, 0, ntiles_full - 1)
+            r = jnp.arange(pseudo_h, dtype=jnp.int32)
+            ty_base = jnp.take((tmc // ntx_full) * th_t, r // th_t)
+            tx_base = jnp.take((tmc % ntx_full) * tw_t, r // th_t)
+            # shade's py = local_row + row_offset, px = local_col +
+            # col_offset; map pseudo rows to global pixel coords.
+            row_offset_arr = (ty_base + r % th_t - r)[:, None]
+            col_offset_arr = tx_base[:, None]
+            depth_l, tri_l = vis(tris, params, params.chunk,
+                                 init_depth=fb_depth, tile_map=my_tiles)
+        elif balanced_mode == "rows":
             # Equal-count tile-row ownership balanced by occupancy: rank
             # GLOBAL tile rows by triangle-bbox overlap (psum over the tri
             # axis keeps every shard's ranking identical), then assign rows
@@ -261,7 +339,7 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         color_s, depth_s = raster.shade_deferred(
             tris, dstar, local_best, fragment_shader, u, shard_params,
             fb_color, fb_depth, per_tri_extra=per_tri,
-            row_offset=row_offset_arr)
+            row_offset=row_offset_arr, col_offset=col_offset_arr)
         # shade_deferred composited the owner's fragments onto the clear
         # background; exactly one shard owns each covered pixel, so masked
         # contributions sum exclusively across the 'tri' axis.  (A shader
@@ -276,11 +354,32 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         sum_d = jax.lax.psum(contrib_d, "tri")
         out_c = jnp.where(any_written[..., None], sum_c, fb_color)
         out_d = jnp.where(any_written, sum_d, fb_depth)
-        if balanced:
+        if balanced_mode == "tiles":
+            return out_c, out_d, my_tiles
+        if balanced_mode == "rows":
             return out_c, out_d, row_map_px
         return out_c, out_d
 
-    if balanced:
+    if balanced_mode == "tiles":
+        fn = shard_map_unchecked(shard_fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=(P("fb"), P("fb"), P("fb")))
+        c, d, tmap = fn(scene, uniforms)
+        # Scatter tiles back to frame positions: sort the concatenated
+        # per-device tile lists by global tile id (dummies sort last) and
+        # keep the first ntiles_full.
+        th, tw = th_t, tw_t
+        ct = c.reshape(-1, th, tw, 4)
+        dt = d.reshape(-1, th, tw)
+        perm = jnp.argsort(tmap)[:ntiles_full]
+        ct = jnp.take(ct, perm, axis=0).reshape(nty_full, ntx_full, th,
+                                                tw, 4)
+        dt = jnp.take(dt, perm, axis=0).reshape(nty_full, ntx_full, th, tw)
+        c_full = ct.transpose(0, 2, 1, 3, 4).reshape(
+            nty_full * th, ntx_full * tw, 4)[:H, :W]
+        d_full = dt.transpose(0, 2, 1, 3).reshape(
+            nty_full * th, ntx_full * tw)[:H, :W]
+        return c_full, d_full
+    if balanced_mode == "rows":
         fn = shard_map_unchecked(shard_fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=(P("fb"), P("fb"), P("fb")))
         c, d, perm = fn(scene, uniforms)

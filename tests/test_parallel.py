@@ -218,3 +218,81 @@ def test_balanced_sharding_matches_and_balances():
     assert spread(per_dev) <= 0.15, f"balanced spread {spread(per_dev):.2f}"
     assert spread(per_dev) < spread(bands), \
         f"balanced {spread(per_dev):.2f} !< contiguous {spread(bands):.2f}"
+
+
+def test_tile_balanced_sharding_matches_and_splits_hot_rows():
+    """balanced='tiles': exact parity with single-device, AND a per-device
+    fold-work spread at least as tight as row-level balance can achieve —
+    individual tiles of a hot row split across devices (ROADMAP #9)."""
+    import functools
+    from softwarerenderer_tpu.engine import (camera_matrices,
+                                             scene_fragment_shader,
+                                             scene_vertex_shader)
+    from softwarerenderer_tpu.ops import binning, culling, geometry
+
+    BW, BH = 128, 256
+    params = RenderParams(width=BW, height=BH, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16)
+    scene = bottom_heavy_scene()
+    u = downward_uniforms(BW, BH)
+
+    ref_c, ref_d = jax.jit(
+        lambda s, u: render_frame(s, u, params=params))(scene, u)
+    ref_c, ref_d = np.asarray(ref_c), np.asarray(ref_d)
+
+    n_fb = 4
+    sscene = shard_scene_triangles(scene, 1)
+    mesh = make_mesh(n_fb, 1)
+    with mesh:
+        c, d = jax.jit(functools.partial(
+            render_frame_sharded, params=params, mesh=mesh,
+            balanced="tiles"))(sscene, u)
+    c, d = np.asarray(c), np.asarray(d)
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
+
+    # Tile-level LPT load spread <= row-level LPT spread on the same scene.
+    def tris_of(scene, u):
+        view, proj = camera_matrices(u, BW, BH)
+        vp = ml.transform(view, proj, xp=jnp)
+        visible = culling.spheres_in_frustum(
+            scene["bounds_center"], scene["bounds_radius"],
+            scene["mesh_matrices"], vp, xp=jnp)
+        tri_mask = jnp.take(visible, scene["tri_mesh_id"])
+        model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
+                            axis=0)
+        uu = dict(u)
+        uu.update(model=model_pv, view=view, projection=proj)
+        vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
+        return geometry.build_triangles(
+            scene_vertex_shader, vin, scene["indices"], uu, width=BW,
+            height=BH, near_clip=uu["near_clip"], tri_mask=tri_mask,
+            keep_varyings=scene_fragment_shader.varyings)
+
+    tris = jax.jit(tris_of)(scene, u)
+    bins = jax.jit(lambda t: binning.bin_triangles(
+        t, params, params.tile_h, params.tile_w, params.span_cap))(tris)
+    counts = np.asarray(bins["counts"])
+    ntx = bins["ntx"]
+    ntiles = counts.shape[0]
+
+    def lpt(loads, n_dev):
+        cap = -(-loads.shape[0] // n_dev)
+        order = np.argsort(-loads)
+        per_dev = np.zeros(n_dev)
+        cnt = np.zeros(n_dev, int)
+        for r in order:
+            avail = np.where(cnt < cap, per_dev, np.inf)
+            k = int(np.argmin(avail))
+            per_dev[k] += loads[r]
+            cnt[k] += 1
+        return per_dev
+
+    def spread(loads):
+        return (loads.max() - loads.min()) / max(loads.mean(), 1e-9)
+
+    tile_dev = lpt(counts.astype(float), n_fb)
+    row_dev = lpt(counts.reshape(-1, ntx).sum(axis=1).astype(float), n_fb)
+    assert spread(tile_dev) <= spread(row_dev) + 1e-9, \
+        f"tile {spread(tile_dev):.3f} !<= row {spread(row_dev):.3f}"
+    assert spread(tile_dev) <= 0.15, f"tile spread {spread(tile_dev):.3f}"
