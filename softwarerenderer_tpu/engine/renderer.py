@@ -442,3 +442,35 @@ def render_frame_with_point_shadows(scene: Dict, uniforms: Dict,
              point_shadow_projs=projs)
     return render_frame(scene, u, params, vertex_shader=vertex_shader,
                         fragment_shader=fragment_shader, chunk=chunk)
+
+
+def render_frame_with_spot_shadow(scene: Dict, uniforms: Dict,
+                                  params: RenderParams,
+                                  shadow_size: int = 512,
+                                  vertex_shader=None,
+                                  fragment_shader=None,
+                                  chunk: int = 128):
+    """Frame lit by one spot light with a shadow map — a single
+    perspective depth-only pass along the cone axis (ops/shadows.py).
+
+    uniforms must carry spot_position / spot_direction / spot_inner /
+    spot_outer (radians) / spot_color (and optionally spot_range)."""
+    from softwarerenderer_tpu.ops.lighting import lit_scene_vertex_shader
+    from softwarerenderer_tpu.ops.shadows import (
+        render_shadow_depth,
+        spot_light_camera,
+        spot_shadowed_fragment_shader,
+    )
+
+    vertex_shader = vertex_shader or lit_scene_vertex_shader
+    fragment_shader = fragment_shader or spot_shadowed_fragment_shader
+
+    view, proj = spot_light_camera(uniforms["spot_position"],
+                                   uniforms["spot_direction"],
+                                   uniforms["spot_outer"])
+    smap = render_shadow_depth(scene, uniforms, view, proj, shadow_size,
+                               params)
+    u = dict(uniforms)
+    u.update(shadow_map=smap, shadow_view=view, shadow_proj=proj)
+    return render_frame(scene, u, params, vertex_shader=vertex_shader,
+                        fragment_shader=fragment_shader, chunk=chunk)

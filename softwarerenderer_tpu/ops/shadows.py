@@ -287,3 +287,70 @@ point_shadowed_fragment_shader.varyings = (
     "color", "uv", "data.world_normal", "data.world_position")
 point_shadowed_fragment_shader.tri_extras = (
     "tex_oy", "tex_ox", "tex_h", "tex_w")
+
+
+# ---------------------------------------------------------------------------
+# Spot-light shadows: ONE perspective depth pass along the cone axis.
+# shadow_factor() is projection-agnostic (it projects with whatever
+# shadow_view/shadow_proj ride in the uniforms), so a spot light reuses
+# the directional machinery with a perspective camera + cone falloff.
+# ---------------------------------------------------------------------------
+
+def spot_light_camera(position, direction, outer_angle, near=0.05,
+                      far=100.0, xp=jnp):
+    """(view, proj) for a spot light: perspective camera at the light
+    position looking along the cone axis, FOV = 2·outer_angle (the cone
+    exactly fills the frustum)."""
+    lp = xp.asarray(position, xp.float32)
+    d = ml.normalize(xp.asarray(direction, xp.float32), xp=xp)
+    up0 = xp.asarray([0.0, 1.0, 0.0], xp.float32)
+    up1 = xp.asarray([1.0, 0.0, 0.0], xp.float32)
+    up = xp.where(xp.abs(d[1]) > F32(0.95), up1, up0)
+    view = ml.look_at(lp, lp + d, up, xp=xp)
+    fov = F32(2.0) * xp.asarray(outer_angle, xp.float32)
+    proj = ml.perspective_fov(fov, xp.float32(1.0),
+                              xp.asarray(near, xp.float32),
+                              xp.asarray(far, xp.float32), xp=xp)
+    return view, proj
+
+
+def spot_shadowed_fragment_shader(frag, uniforms, xp=jnp):
+    """Game-style shader lit by one spot light: cone smoothstep falloff ×
+    inverse-linear range falloff × shadow-map occlusion.  uniforms:
+    spot_position, spot_direction, spot_inner, spot_outer (radians),
+    spot_color, spot_range, plus shadow_map/shadow_view/shadow_proj from
+    render_shadow_depth + spot_light_camera."""
+    from softwarerenderer_tpu.engine.renderer import _frag_atlas_sample
+
+    wp = frag["data"]["world_position"][..., :3]
+    lp = xp.asarray(uniforms["spot_position"], xp.float32)
+    sdir = ml.normalize(xp.asarray(uniforms["spot_direction"], xp.float32),
+                        xp=xp)
+    to_light = lp - wp
+    dist = xp.sqrt(xp.maximum(ml.dot(to_light, to_light, xp=xp), F32(1e-12)))
+    ldir = to_light / dist[..., None]
+    world_normal = frag["data"]["world_normal"]
+    diffuse = xp.maximum(F32(0.25), ml.dot(world_normal, ldir, xp=xp))
+    shade = shadow_factor(wp, uniforms, xp=xp)
+    diffuse = F32(0.25) + (diffuse - F32(0.25)) * shade
+    # cone: smoothstep between cos(outer) and cos(inner) (Light.cs fields)
+    cos_angle = ml.dot(-ldir, sdir, xp=xp)
+    ci = xp.cos(xp.asarray(uniforms["spot_inner"], xp.float32))
+    co = xp.cos(xp.asarray(uniforms["spot_outer"], xp.float32))
+    t = xp.clip((cos_angle - co) / xp.where(ci == co, F32(1), ci - co),
+                F32(0.0), F32(1.0))
+    cone = t * t * (F32(3.0) - F32(2.0) * t)
+    rng = xp.asarray(uniforms.get("spot_range", 25.0), xp.float32)
+    atten = xp.clip(F32(1.0) - dist / rng, F32(0.0), F32(1.0)) ** 2
+    tex_color = _frag_atlas_sample(frag, uniforms, xp)
+    base = frag["color"] * tex_color
+    lit = base * (F32(0.1)
+                  + F32(0.9) * (diffuse * cone * atten)[..., None]) \
+        * xp.asarray(uniforms["spot_color"], xp.float32)
+    return xp.concatenate([lit[..., :3], base[..., 3:4]], axis=-1)
+
+
+spot_shadowed_fragment_shader.varyings = (
+    "color", "uv", "data.world_normal", "data.world_position")
+spot_shadowed_fragment_shader.tri_extras = (
+    "tex_oy", "tex_ox", "tex_h", "tex_w")

@@ -170,3 +170,88 @@ def test_point_shadowed_frame_darkens_behind_occluder():
     darker = (shaded[..., :3].sum(-1) < plain[..., :3].sum(-1) - 0.05)
     # a bounded shadow patch exists but most of the frame matches
     assert 20 < darker.sum() < 0.25 * darker.size, int(darker.sum())
+
+
+# ---------------------------------------------------------------------------
+# Spot-light shadows
+# ---------------------------------------------------------------------------
+
+def test_spot_shadow_factor_occlusion():
+    """Spot light above, cube occluder below it: the floor point straight
+    down the axis is occluded; a point inside the cone but to the side of
+    the occluder is lit."""
+    checker = np.asarray(tex_ops.checkerboard(32, 4)["data"])
+    insts = [scene_mod.MeshInstance(primitives.cube(0.8),
+                                    ml.translation([0, 0.6, -4]),
+                                    texture=checker)]
+    sc = scene_mod.build_scene_buffers(insts)
+    u = default_frame_uniforms(64, 64)
+    lp = np.float32([0.0, 3.0, -4.0])
+    ldir = np.float32([0.0, -1.0, 0.0])
+
+    @jax.jit
+    def factors(scene, u):
+        view, proj = shadows.spot_light_camera(lp, ldir,
+                                               np.float32(np.deg2rad(40)))
+        smap = shadows.render_shadow_depth(sc, u, view, proj, 256)
+        uu = dict(u)
+        uu.update(shadow_map=smap, shadow_view=view, shadow_proj=proj)
+        pts = jnp.asarray(np.float32([
+            [0.0, -1.0, -4.0],     # straight below: occluded by the cube
+            [1.8, -1.0, -4.0],     # inside the cone, beside the occluder
+        ]))
+        return shadows.shadow_factor(pts, uu, xp=jnp)
+
+    f = np.asarray(factors(sc, u))
+    assert f[0] == 0.0, f"occluded point reads lit: {f}"
+    assert f[1] == 1.0, f"open point reads shadowed: {f}"
+
+
+@pytest.mark.slow
+def test_spot_shadowed_frame():
+    """Full frame via render_frame_with_spot_shadow: cone-limited lighting
+    with a dark patch behind the occluder, pixel-compared against the
+    same shader with an empty shadow map."""
+    import functools
+    from softwarerenderer_tpu.engine import (render_frame,
+                                             render_frame_with_spot_shadow)
+    from softwarerenderer_tpu.ops.lighting import lit_scene_vertex_shader
+    from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR
+
+    checker = np.asarray(tex_ops.checkerboard(32, 4)["data"])
+    insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                    ml.translation([0, -1, 0]),
+                                    texture=checker),
+             scene_mod.MeshInstance(primitives.cube(0.8),
+                                    ml.translation([0, 0.6, -4]),
+                                    texture=checker)]
+    sc = scene_mod.build_scene_buffers(insts)
+    params = RenderParams(width=160, height=120)
+    u = default_frame_uniforms(160, 120)
+    u["camera_position"] = np.float32([2.5, 2.0, -0.5])
+    u["camera_rotation"] = ml.quat_from_yaw_pitch_roll(
+        np.float32(0.55), np.float32(-0.35), np.float32(0))
+    u["spot_position"] = np.float32([0.0, 3.0, -4.0])
+    u["spot_direction"] = np.float32([0.0, -1.0, 0.0])
+    u["spot_inner"] = np.float32(np.deg2rad(25))
+    u["spot_outer"] = np.float32(np.deg2rad(40))
+    u["spot_color"] = np.ones(4, np.float32)
+    u["spot_range"] = np.float32(40.0)
+
+    shaded = np.asarray(jax.jit(functools.partial(
+        render_frame_with_spot_shadow, params=params,
+        shadow_size=256))(sc, u)[0])
+
+    view, proj = shadows.spot_light_camera(
+        u["spot_position"], u["spot_direction"], u["spot_outer"], xp=np)
+    ulit = dict(u)
+    ulit.update(shadow_map=np.full((256, 256), DEPTH_CLEAR, np.float32),
+                shadow_view=np.asarray(view, np.float32),
+                shadow_proj=np.asarray(proj, np.float32))
+    plain = np.asarray(jax.jit(functools.partial(
+        render_frame, params=params, vertex_shader=lit_scene_vertex_shader,
+        fragment_shader=shadows.spot_shadowed_fragment_shader))(
+            sc, ulit)[0])
+
+    darker = (shaded[..., :3].sum(-1) < plain[..., :3].sum(-1) - 0.05)
+    assert 20 < darker.sum() < 0.25 * darker.size, int(darker.sum())
