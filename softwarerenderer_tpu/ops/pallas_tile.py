@@ -281,6 +281,12 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kp3_dma,
     def pw(f):    # screen-space (Data dict channel semantics)
         return row(0, f) * wa + row(1, f) * wb + row(2, f) * wc
 
+    def out(c, val):
+        # Planar G-buffer write: the (1, tpx)->(th, tw) relayout happens
+        # HERE in VMEM (like outd below) so the host-side consumer reads
+        # (kpi, H, W) planes directly with no XLA untile transpose.
+        gbuf_ref[c:c + 1, :, :] = val.reshape(1, tile_h, tile_w)
+
     j = 0
     for kind, lo, hi in interp_plan:
         width = hi - lo
@@ -291,26 +297,26 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kp3_dma,
             lsq = v0 * v0 + v1 * v1 + v2 * v2
             den = jnp.sqrt(jnp.where(lsq > 0, lsq, F32(1)))
             keep = lsq > F32(1e-6)
-            gbuf_ref[j:j + 1, :] = jnp.where(keep, v0 / den, v0)
-            gbuf_ref[j + 1:j + 2, :] = jnp.where(keep, v1 / den, v1)
-            gbuf_ref[j + 2:j + 3, :] = jnp.where(keep, v2 / den, v2)
+            out(j, jnp.where(keep, v0 / den, v0))
+            out(j + 1, jnp.where(keep, v1 / den, v1))
+            out(j + 2, jnp.where(keep, v2 / den, v2))
         elif kind == "pw":
             for f in range(lo, hi):
-                gbuf_ref[j + f - lo:j + f - lo + 1, :] = pw(f)
+                out(j + f - lo, pw(f))
         elif kind == "pc":
             for f in range(lo, hi):
-                gbuf_ref[j + f - lo:j + f - lo + 1, :] = pc(f)
+                out(j + f - lo, pc(f))
         elif kind == "bary":
-            gbuf_ref[j:j + 1, :] = wa
-            gbuf_ref[j + 1:j + 2, :] = wb
-            gbuf_ref[j + 2:j + 3, :] = wc
+            out(j, wa)
+            out(j + 1, wb)
+            out(j + 2, wc)
             width = 3
         elif kind == "v0":    # per-triangle scalar (tex id, mesh id)
-            gbuf_ref[j:j + 1, :] = row(0, lo)
+            out(j, row(0, lo))
             width = 1
         j += width
-    if j < kpi:
-        gbuf_ref[j:kpi, :] = jnp.zeros((kpi - j, tpx), F32)
+    for c in range(j, kpi):
+        out(c, jnp.zeros((1, tpx), F32))
 
     outd_ref[...] = bd_ref[...].reshape(tile_h, tile_w)
     outi_ref[...] = bi_ref[...].reshape(tile_h, tile_w).astype(jnp.int32)
@@ -450,7 +456,8 @@ def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None):
         grid=(ntiles,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((kpi, tpx), lambda i, *_: (i, 0)),
+            pl.BlockSpec((kpi, tile_h, tile_w),
+                         lambda i, *_: (0, i // ntx, i % ntx)),
             tile_spec,
             tile_spec,
         ],
@@ -476,18 +483,13 @@ def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None):
     gbuf, best_d, best_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((ntiles * kpi, tpx), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((kpi, Hp, Wp), jnp.float32),
                    jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
                    jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)],
         interpret=interpret,
     )(ctx["starts"], ctx["counts"], ctx["n_global"], *inputs)
 
-    def untile(a):           # (ntiles*kpi, tpx) → (kpi, H, W)
-        a = a.reshape(nty, ntx, kpi, tile_h, tile_w)
-        a = a.transpose(2, 0, 3, 1, 4).reshape(kpi, Hp, Wp)
-        return a[:, :H, :W]
-
-    planes = untile(gbuf)
+    planes = gbuf[:, :H, :W]       # planar output: no untile transpose
     gb_slices = ctx["gb_slices"]
     flat = {k: jnp.moveaxis(planes[lo:hi], 0, -1)
             for k, (lo, hi) in gb_slices.items() if not k.startswith("tri.")}
