@@ -323,11 +323,20 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kp3_dma,
 
 
 def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
-                 per_tri_extra: Optional[Dict], row_offset):
+                 per_tri_extra: Optional[Dict], row_offset,
+                 gb_keep=None):
     """Bin, pack the payload, build the streams and the interpolation plan
     — everything a kernel pass needs that is independent of peeling state.
     Shared by the opaque single-pass path and the K-buffer peeled passes
-    (which reuse one ctx for all K kernel invocations)."""
+    (which reuse one ctx for all K kernel invocations).
+
+    gb_keep: optional frozenset of flat varying names the fragment shader
+    declared it reads (its `varyings` registry).  When given, G-buffer
+    channels nothing reads are never written: clip_position shrinks to its
+    z channel alone (the fog input; x/y/w are re-exposed as zeros) unless
+    "clip_position" itself is declared, and the barycentric planes are
+    emitted only when "barycentric" is declared.  None keeps everything
+    (registry-less custom shaders)."""
     tile_w = params.tile_w
     # VMEM budget: bpl (kp3, tpx) + eval intermediates (SUB, tpx)×~8 +
     # payload buffers; tpx = 32·128 keeps the total ≈ 10 MB.
@@ -343,10 +352,17 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
                          row_offset)
 
     # ---- packed per-triangle payload (fused-path layout) -----------------
+    # When the shader's registry allows it, clip_position is packed as its
+    # (z, w) channels only — x/y are read by nothing downstream (z feeds
+    # fog, w the perspective division) and dropping them narrows the
+    # winner-merge scratch, the kernel's dominant VMEM traffic.
+    prune_clip = gb_keep is not None and "clip_position" not in gb_keep
     keys = sorted(tris["attrs"].keys())
     parts, slices, off = [], {}, 0
     for k in keys:
         arr = tris["attrs"][k]
+        if k == "clip_position" and prune_clip:
+            arr = arr[..., 2:4]
         parts.append(arr)
         slices[k] = (off, off + arr.shape[-1])
         off += arr.shape[-1]
@@ -369,7 +385,8 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
     # but the winner-payload SCRATCH has lanes = tpx with kp3 as its
     # sublane dim, so it only needs 8-alignment — and the full-width
     # (kp3, tpx) where-merge per sub-chunk is the kernel's dominant VMEM
-    # traffic.
+    # traffic.  (A bf16 payload/merge was measured SLOWER on v5e —
+    # 12.5 vs 10.7 ms/frame — see BENCHMARKS.md negative results.)
     kp3 = _cdiv(3 * kp, 8) * 8
     kp3_dma = _cdiv(3 * kp, 128) * 128
     payload = jnp.concatenate(parts, axis=-1).reshape(n, 3 * kp)
@@ -383,6 +400,14 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
     j = 0
     for k in keys:
         lo, hi = slices[k]
+        if k == "clip_position" and prune_clip:
+            # Only clip z (the fog input) survives to the G-buffer; the
+            # consumer rebuilds x/y/w as zeros (DCE'd when unread).  The
+            # payload slice is (z, w), so z sits at `lo`.
+            interp_plan.append(("pc", lo, lo + 1))
+            gb_slices["clip_z"] = (j, j + 1)
+            j += 1
+            continue
         if k.startswith("data.") and hi - lo == 3:
             interp_plan.append(("pw3", lo, hi))
         elif k.startswith("data."):
@@ -391,9 +416,10 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
             interp_plan.append(("pc", lo, hi))
         gb_slices[k] = (j, j + hi - lo)
         j += hi - lo
-    interp_plan.append(("bary", 0, 0))
-    gb_slices["barycentric"] = (j, j + 3)
-    j += 3
+    if gb_keep is None or "barycentric" in gb_keep:
+        interp_plan.append(("bary", 0, 0))
+        gb_slices["barycentric"] = (j, j + 3)
+        j += 3
     for k in extra_keys:
         interp_plan.append(("v0", extra_slices[k], 0))
         gb_slices["tri." + k] = (j, j + 1)
@@ -493,13 +519,26 @@ def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None):
     gb_slices = ctx["gb_slices"]
     flat = {k: jnp.moveaxis(planes[lo:hi], 0, -1)
             for k, (lo, hi) in gb_slices.items() if not k.startswith("tri.")}
+    if "clip_z" in flat:
+        # Pruned G-buffer: only z was stored.  The zero x/y/w planes are
+        # dead code for any shader whose registry allowed the pruning.
+        z = flat.pop("clip_z")[..., 0]
+        zero = jnp.zeros_like(z)
+        flat["clip_position"] = jnp.stack([zero, zero, z, zero], axis=-1)
     frag = unflatten_varyings(
         {k: v for k, v in flat.items() if k != "barycentric"})
-    frag["barycentric"] = flat["barycentric"]
+    if "barycentric" in flat:
+        frag["barycentric"] = flat["barycentric"]
     if ctx["extra_keys"]:
         frag["tri"] = {k: planes[gb_slices["tri." + k][0]].astype(jnp.int32)
                        for k in ctx["extra_keys"]}
     return frag, best_d, best_i
+
+
+def _gb_keep(fragment_shader):
+    """The shader's declared flat-varying reads, or None (keep all)."""
+    v = getattr(fragment_shader, "varyings", None)
+    return None if v is None else frozenset(v)
 
 
 def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
@@ -513,7 +552,8 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
     if params.depth_test != DepthTest.LESS_EQUAL:
         raise NotImplementedError("pallas tile kernel supports LESS_EQUAL "
                                   "only")
-    ctx = _prepare_ctx(tris, params, fb_depth, per_tri_extra, row_offset)
+    ctx = _prepare_ctx(tris, params, fb_depth, per_tri_extra, row_offset,
+                       gb_keep=_gb_keep(fragment_shader))
     frag, best_d, best_i = _run_pass(ctx, interpret)
     H, W = ctx["H"], ctx["W"]
 
@@ -547,7 +587,8 @@ def render_tile_pallas_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
         raise NotImplementedError("pallas K-buffer supports LESS_EQUAL only")
     K = params.kbuffer
     assert K >= 1
-    ctx = _prepare_ctx(tris, params, fb_depth, per_tri_extra, row_offset)
+    ctx = _prepare_ctx(tris, params, fb_depth, per_tri_extra, row_offset,
+                       gb_keep=_gb_keep(fragment_shader))
     H, W, Hp, Wp = ctx["H"], ctx["W"], ctx["Hp"], ctx["Wp"]
 
     colors, depths, indices = [], [], []

@@ -173,3 +173,4 @@ def test_tile_kernel_global_tail(monkeypatch):
                                            monkeypatch=monkeypatch)
     assert (np.abs(cg - cf).max(axis=-1) > 1e-5).mean() == 0
     assert (np.abs(dg - df) > 1e-5).mean() == 0
+
