@@ -120,6 +120,12 @@ class RenderParams:
     # ON.  Engages only on the TPU backend with LESS_EQUAL depth; every
     # other configuration falls back to the XLA fused path automatically.
     use_pallas: bool = True
+    # Supersampled anti-aliasing (beyond the reference, which has none):
+    # render every pass at ssaa× in each axis, then box-filter colors back
+    # to (height, width).  Returned depth is the supersample-grid's
+    # top-left sample per output pixel (a real rendered sample, not an
+    # average of unrelated depths).  1 = off (the parity mode).
+    ssaa: int = 1
 
     def replace(self, **kw) -> "RenderParams":
         return dataclasses.replace(self, **kw)

@@ -171,6 +171,24 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     Jit-friendly: call under jax.jit with `params`/`chunk` static.  Returns
     (color (H, W, 4) f32, depth (H, W) f32).
     """
+    if params.ssaa > 1:
+        # Supersampled AA: render the whole frame at ssaa× and box-filter
+        # down (beyond the reference — it has no AA at all).  fb seeds are
+        # upsampled by sample replication so accumulation passes compose.
+        f = params.ssaa
+        hi = params.replace(width=params.width * f,
+                            height=params.height * f, ssaa=1)
+        if fb is not None:
+            fb = (jnp.repeat(jnp.repeat(fb[0], f, 0), f, 1),
+                  jnp.repeat(jnp.repeat(fb[1], f, 0), f, 1))
+        color, depth = render_frame(scene, uniforms, hi,
+                                    vertex_shader=vertex_shader,
+                                    fragment_shader=fragment_shader,
+                                    chunk=chunk, fb=fb)
+        H, W = params.height, params.width
+        color = color.reshape(H, f, W, f, 4).mean(axis=(1, 3))
+        depth = depth[::f, ::f]
+        return color, depth
     H, W = params.height, params.width
     view, proj = camera_matrices(uniforms, W, H)
     view_proj = ml.transform(view, proj, xp=jnp)          # row-vector V·P
