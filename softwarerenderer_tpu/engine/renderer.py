@@ -228,6 +228,12 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
             scene["anim_positions"][fv, va])
         vin["normal"] = vin["normal"].at[scene["anim_vert_index"]].set(
             scene["anim_normals"][fv, va])
+    if "skin_joints" in scene:
+        # Skeletal animation on device (ops/skinning.py): FK + blended
+        # matrix skinning inside the same jitted program, driven by the
+        # traced uniforms["anim_time"] seconds clock.
+        from softwarerenderer_tpu.ops import skinning
+        vin = skinning.apply_skinning(vin, scene, uniforms, xp=jnp)
     tris = geometry.build_triangles(
         vertex_shader, vin, scene["indices"], u,
         width=W, height=H, cull_mode=params.cull_mode,

@@ -174,12 +174,219 @@ def _extract_material(doc: dict, base_dir: str, mi: Optional[int]) -> Material:
                     emissive=emissive, texture_paths=tuple(paths))
 
 
-def load_gltf(path: str, flip_uv: bool = True) -> Dict:
+def _quat_from_rot_rows(r: np.ndarray) -> np.ndarray:
+    """xyzw quaternion from a row-vector 3×3 rotation (the layout of
+    mathlib.matrix_from_quaternion: m01 − m10 = 4wz, etc.)."""
+    t = r[0, 0] + r[1, 1] + r[2, 2]
+    if t > 0:
+        w = np.sqrt(1.0 + t) / 2.0
+        x = (r[1, 2] - r[2, 1]) / (4 * w)
+        y = (r[2, 0] - r[0, 2]) / (4 * w)
+        z = (r[0, 1] - r[1, 0]) / (4 * w)
+    elif r[0, 0] >= r[1, 1] and r[0, 0] >= r[2, 2]:
+        x = np.sqrt(max(0.0, 1.0 + r[0, 0] - r[1, 1] - r[2, 2])) / 2.0
+        w = (r[1, 2] - r[2, 1]) / (4 * x)
+        y = (r[0, 1] + r[1, 0]) / (4 * x)
+        z = (r[0, 2] + r[2, 0]) / (4 * x)
+    elif r[1, 1] >= r[2, 2]:
+        y = np.sqrt(max(0.0, 1.0 - r[0, 0] + r[1, 1] - r[2, 2])) / 2.0
+        w = (r[2, 0] - r[0, 2]) / (4 * y)
+        x = (r[0, 1] + r[1, 0]) / (4 * y)
+        z = (r[1, 2] + r[2, 1]) / (4 * y)
+    else:
+        z = np.sqrt(max(0.0, 1.0 - r[0, 0] - r[1, 1] + r[2, 2])) / 2.0
+        w = (r[0, 1] - r[1, 0]) / (4 * z)
+        x = (r[0, 2] + r[2, 0]) / (4 * z)
+        y = (r[1, 2] + r[2, 1]) / (4 * z)
+    q = np.asarray([x, y, z, w], dtype=F32)
+    return q / max(np.linalg.norm(q), 1e-30)
+
+
+def _decompose_trs_row(m: np.ndarray):
+    """Row-vector 4×4 → (translation, xyzw quat, scale).  Shear is lost
+    (the standard approximation; glTF joint nodes are TRS by convention)."""
+    t = m[3, :3].astype(F32)
+    rows = m[:3, :3].astype(np.float64)
+    s = np.linalg.norm(rows, axis=1)
+    if np.linalg.det(rows) < 0:
+        s[0] = -s[0]
+    safe = np.where(s == 0, 1.0, s)
+    q = _quat_from_rot_rows(rows / safe[:, None])
+    return t, q, s.astype(F32)
+
+
+def _node_trs(node: dict):
+    """A node's rest-pose local TRS (decomposing `matrix` when present)."""
+    if "matrix" in node:
+        return _decompose_trs_row(_node_matrix_row(node))
+    t = np.asarray(node.get("translation", [0, 0, 0]), F32)
+    q = np.asarray(node.get("rotation", [0, 0, 0, 1]), F32)
+    s = np.asarray(node.get("scale", [1, 1, 1]), F32)
+    return t, q, s
+
+
+def _resample_channel(times: np.ndarray, values: np.ndarray, grid: np.ndarray,
+                      interpolation: str, is_quat: bool) -> np.ndarray:
+    """Resample one sampler onto the uniform grid.  LINEAR → np.interp
+    per component (quats sign-aligned first, renormalized after);
+    STEP → previous key; CUBICSPLINE → its value-thirds, treated LINEAR
+    (documented approximation)."""
+    if interpolation == "CUBICSPLINE":
+        values = values.reshape(times.shape[0], 3, -1)[:, 1, :]
+    values = values.astype(np.float64)
+    if is_quat:
+        for k in range(1, values.shape[0]):
+            if np.dot(values[k], values[k - 1]) < 0:
+                values[k] = -values[k]
+    if interpolation == "STEP":
+        idx = np.clip(np.searchsorted(times, grid, side="right") - 1,
+                      0, times.shape[0] - 1)
+        out = values[idx]
+    else:
+        out = np.stack([np.interp(grid, times, values[:, c])
+                        for c in range(values.shape[1])], axis=-1)
+    if is_quat:
+        out = out / np.maximum(
+            np.linalg.norm(out, axis=-1, keepdims=True), 1e-30)
+    return out.astype(F32)
+
+
+def _build_skins(doc: dict, buffers: List[bytes], animation_index: int,
+                 node_parent: Dict[int, Optional[int]]):
+    """Per glTF skin: topologically-ordered skeleton + uniform-clock TRS
+    tracks, as models.scene.Skin kwargs (minus the per-vertex arrays).
+
+    glTF semantics honored: joint world transform = the node's global
+    transform; a root joint's non-joint ancestor chain is folded into its
+    local track (matrix-composed per frame, then TRS-decomposed — exact
+    for shear-free ancestors).  Returns (skins, joint_remaps) where
+    joint_remaps[s] maps glTF joint slot → topo slot.
+    """
+    from softwarerenderer_tpu.models.scene import Skin  # noqa: F401 (doc)
+
+    anims = doc.get("animations", [])
+    channels = {}          # node → {path: (times, values, interpolation)}
+    duration = 0.0
+    if anims:
+        anim = anims[min(animation_index, len(anims) - 1)]
+        for ch in anim.get("channels", []):
+            tgt = ch.get("target", {})
+            node = tgt.get("node")
+            path = tgt.get("path")
+            if node is None or path not in ("translation", "rotation",
+                                            "scale"):
+                continue
+            smp = anim["samplers"][ch["sampler"]]
+            times = _read_accessor(doc, buffers, smp["input"]) \
+                .reshape(-1).astype(np.float64)
+            values = _read_accessor(doc, buffers, smp["output"])
+            channels.setdefault(node, {})[path] = (
+                times, values, smp.get("interpolation", "LINEAR"))
+            if times.size:
+                duration = max(duration, float(times[-1]))
+
+    out_skins, out_remaps = [], []
+    for skin in doc.get("skins", []):
+        joints = list(skin["joints"])
+        jset = set(joints)
+
+        def depth(n):
+            d, p = 0, node_parent.get(n)
+            while p is not None:
+                d, p = d + 1, node_parent.get(p)
+            return d
+
+        order = sorted(range(len(joints)), key=lambda k: depth(joints[k]))
+        remap = np.empty(len(joints), np.int32)
+        for new, old in enumerate(order):
+            remap[old] = new
+        node_of = [joints[k] for k in order]
+        slot_of_node = {n: i for i, n in enumerate(node_of)}
+
+        parent = np.full(len(node_of), -1, np.int32)
+        folded = []            # root joints with non-joint ancestors
+        for i, n in enumerate(node_of):
+            p = node_parent.get(n)
+            while p is not None and p not in jset:
+                p = node_parent.get(p)
+            if p is not None:
+                parent[i] = slot_of_node[p]
+            else:
+                a = node_parent.get(n)
+                if a is not None:
+                    folded.append(i)
+
+        # Uniform clock: densest sampler (clamped) over the clip.
+        rate = 30.0
+        for n in node_of:
+            for times, _v, _i in channels.get(n, {}).values():
+                if times.size > 1 and duration > 0:
+                    rate = max(rate, (times.size - 1) / duration)
+        rate = float(np.clip(rate, 1.0, 120.0))
+        F = max(1, int(round(duration * rate)) + 1) if duration > 0 else 1
+        grid = np.arange(F, dtype=np.float64) / rate
+
+        J = len(node_of)
+        trans = np.zeros((F, J, 3), F32)
+        rot = np.zeros((F, J, 4), F32)
+        scl = np.ones((F, J, 3), F32)
+        for i, n in enumerate(node_of):
+            t0, q0, s0 = _node_trs(doc["nodes"][n])
+            ch = channels.get(n, {})
+            trans[:, i] = (_resample_channel(*ch["translation"][:2], grid,
+                                             ch["translation"][2], False)
+                           if "translation" in ch else t0)
+            rot[:, i] = (_resample_channel(*ch["rotation"][:2], grid,
+                                           ch["rotation"][2], True)
+                         if "rotation" in ch else q0)
+            scl[:, i] = (_resample_channel(*ch["scale"][:2], grid,
+                                           ch["scale"][2], False)
+                         if "scale" in ch else s0)
+
+        # Fold static non-joint ancestor chains into root-joint tracks.
+        from softwarerenderer_tpu.ops.skinning import compose_trs
+        for i in folded:
+            # A = L(nearest ancestor) @ ... @ L(root): global = local @
+            # parent_global in the row-vector convention.
+            a = node_parent.get(node_of[i])
+            anc = np.eye(4, dtype=F32)
+            while a is not None and a not in jset:
+                anc = anc @ _node_matrix_row(doc["nodes"][a])
+                a = node_parent.get(a)
+            for f in range(F):
+                m = compose_trs(trans[f, i], rot[f, i], scl[f, i],
+                                xp=np) @ anc
+                trans[f, i], rot[f, i], scl[f, i] = _decompose_trs_row(m)
+
+        if "inverseBindMatrices" in skin:
+            ibm = _read_accessor(doc, buffers,
+                                 skin["inverseBindMatrices"]) \
+                .reshape(-1, 4, 4).astype(F32)
+            # column-major 16-float storage read as (4,4) == transpose ==
+            # our row-vector layout (same as _node_matrix_row)
+            inv_bind = ibm[order]
+        else:
+            inv_bind = np.broadcast_to(np.eye(4, dtype=F32),
+                                       (J, 4, 4)).copy()
+        out_skins.append(dict(parent=parent, inverse_bind=inv_bind,
+                              trans=trans, rot=rot, scale=scl, rate=rate))
+        out_remaps.append(remap)
+    return out_skins, out_remaps
+
+
+def load_gltf(path: str, flip_uv: bool = True,
+              animation_index: int = 0) -> Dict:
     """Parse a .gltf/.glb file into {"meshes": [...], "lights": [...]}.
 
     Each mesh dict: position/uv/normal/color (V, K) float32 arrays with the
     node's world transform baked in, indices (T, 3) int32, material
     (models.scene.Material), bounds_center (3,), bounds_radius float.
+
+    Skinned primitives (a node with `skin` + JOINTS_0/WEIGHTS_0) keep
+    their authored vertex positions (the node transform is ignored, per
+    the glTF skinning spec) and additionally carry "skin": a
+    models.scene.Skin with the topologically-ordered skeleton and the
+    uniform-clock-resampled tracks of animation `animation_index`.
     """
     base_dir = os.path.dirname(os.path.abspath(path))
     with open(path, "rb") as f:
@@ -190,6 +397,17 @@ def load_gltf(path: str, flip_uv: bool = True) -> Dict:
         doc, glb_bin = json.loads(data), None
     buffers = _load_buffers(doc, base_dir, glb_bin)
 
+    node_parent: Dict[int, Optional[int]] = {}
+    for ni, nd in enumerate(doc.get("nodes", [])):
+        for ch in nd.get("children", []):
+            node_parent[ch] = ni
+    if doc.get("skins"):
+        from softwarerenderer_tpu.models.scene import Skin
+        skin_protos, joint_remaps = _build_skins(
+            doc, buffers, animation_index, node_parent)
+    else:
+        skin_protos, joint_remaps = [], []
+
     meshes: List[Dict] = []
 
     def process_node(node_idx: int, parent: np.ndarray):
@@ -198,6 +416,8 @@ def load_gltf(path: str, flip_uv: bool = True) -> Dict:
         rot_only = global_m.copy()
         rot_only[3, :] = [0, 0, 0, 1]
         rot_only[:, 3] = [0, 0, 0, 1]
+        skin_idx = node.get("skin") if node.get("skin", None) is not None \
+            and node.get("skin") < len(skin_protos) else None
         if "mesh" in node:
             gmesh = doc["meshes"][node["mesh"]]
             for prim in gmesh.get("primitives", []):
@@ -233,15 +453,35 @@ def load_gltf(path: str, flip_uv: bool = True) -> Dict:
                 if idx.shape[0] % 3:
                     idx = idx[: idx.shape[0] - idx.shape[0] % 3]
 
-                # Bake world transform (ModelLoader.cs:196-200) — native
-                # C++ kernels when built, NumPy otherwise.
-                from softwarerenderer_tpu.native import (bake_normals,
-                                                         bake_positions)
-                wpos = bake_positions(pos, global_m)
-                wn = bake_normals(normal, rot_only)
+                skin_obj = None
+                if skin_idx is not None and "JOINTS_0" in attrs \
+                        and "WEIGHTS_0" in attrs:
+                    # Skinned primitive: vertices stay in their authored
+                    # space — the node transform is IGNORED per the glTF
+                    # skinning spec; joints carry the full transforms.
+                    proto = skin_protos[skin_idx]
+                    remap = joint_remaps[skin_idx]
+                    ji = _read_accessor(doc, buffers, attrs["JOINTS_0"]) \
+                        .astype(np.int64)[:, :4]
+                    wt = _read_accessor(doc, buffers,
+                                        attrs["WEIGHTS_0"]).astype(F32)
+                    wt = wt[:, :4]
+                    wsum = wt.sum(axis=1, keepdims=True)
+                    wt = np.where(wsum > 0, wt / np.maximum(wsum, 1e-8),
+                                  np.asarray([1, 0, 0, 0], F32))
+                    skin_obj = Skin(joints=remap[ji].astype(np.int32),
+                                    weights=wt, **proto)
+                    wpos, wn = pos, normal
+                else:
+                    # Bake world transform (ModelLoader.cs:196-200) —
+                    # native C++ kernels when built, NumPy otherwise.
+                    from softwarerenderer_tpu.native import (bake_normals,
+                                                             bake_positions)
+                    wpos = bake_positions(pos, global_m)
+                    wn = bake_normals(normal, rot_only)
 
                 center, radius = bounding_sphere(wpos)
-                meshes.append({
+                mesh_rec = {
                     "position": wpos,
                     "uv": uv.astype(F32),
                     "normal": wn,
@@ -251,7 +491,10 @@ def load_gltf(path: str, flip_uv: bool = True) -> Dict:
                         doc, base_dir, prim.get("material")),
                     "bounds_center": center,
                     "bounds_radius": radius,
-                })
+                }
+                if skin_obj is not None:
+                    mesh_rec["skin"] = skin_obj
+                meshes.append(mesh_rec)
         for child in node.get("children", []):
             process_node(child, global_m)
 

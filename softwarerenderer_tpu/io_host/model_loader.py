@@ -406,5 +406,6 @@ def model_instances(model: Model, model_matrix: Optional[np.ndarray] = None,
         out.append(MeshInstance(mesh=mesh, model_matrix=mm, texture=tex,
                                 material=material,
                                 animation_positions=anim_pos,
-                                animation_normals=anim_nrm))
+                                animation_normals=anim_nrm,
+                                skin=mesh.get("skin")))
     return out

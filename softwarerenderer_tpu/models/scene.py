@@ -255,6 +255,25 @@ def pack_atlas(textures: List[np.ndarray], pad_to_multiple: int = 128
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass
+class Skin:
+    """Skeleton + per-vertex skinning data for one MeshInstance (beyond
+    the reference, whose only animation is the flip-book swap —
+    ModelLoader.cs:331-348).  Joints must be topologically ordered
+    (parent[j] < j, roots = -1); tracks are uniform-clock TRS keyframes
+    at `rate` frames/second (a single-frame track = static pose).  See
+    ops/skinning.py for the evaluation semantics."""
+
+    joints: np.ndarray          # (V, 4) int32 — joint ids per vertex
+    weights: np.ndarray         # (V, 4) float32 — blend weights (sum 1)
+    parent: np.ndarray          # (J,) int32 — topo order, -1 = root
+    inverse_bind: np.ndarray    # (J, 4, 4) float32 (row-vector layout)
+    trans: np.ndarray           # (F, J, 3) float32
+    rot: np.ndarray             # (F, J, 4) float32 xyzw quats
+    scale: np.ndarray           # (F, J, 3) float32
+    rate: float = 30.0          # keyframes per second
+
+
+@dataclasses.dataclass
 class MeshInstance:
     """One draw: a mesh dict (primitives.py layout) + transform + texture.
 
@@ -273,6 +292,7 @@ class MeshInstance:
     material: Material = Material()
     animation_positions: Optional[np.ndarray] = None   # (F, V, 3)
     animation_normals: Optional[np.ndarray] = None     # (F, V, 3)
+    skin: Optional[Skin] = None                        # skeletal animation
 
 
 def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
@@ -295,8 +315,12 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     textures = []
     tex_id_of = {}
     anim = {"pos": [], "nrm": [], "vidx": [], "slot": [], "nf": []}
+    sk = {"joints": [], "weights": [], "vidx": [], "parent": [],
+          "inv_bind": [], "trans": [], "rot": [], "scale": [],
+          "slot": [], "nf": [], "rate": []}
 
     v_off = 0
+    j_off = 0
     for mi, inst in enumerate(instances):
         mesh = inst.mesh
         pos = np.asarray(mesh["position"], dtype=F32)
@@ -317,6 +341,29 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
             anim["vidx"].append(v_off + np.arange(v, dtype=np.int32))
             anim["slot"].append(np.full(v, len(anim["nf"]), np.int32))
             anim["nf"].append(ap.shape[0])
+        if inst.skin is not None:
+            s = inst.skin
+            jts = np.asarray(s.joints, np.int32).reshape(v, -1)[:, :4]
+            wts = np.asarray(s.weights, F32).reshape(v, -1)[:, :4]
+            nj = s.parent.shape[0]
+            if jts.max(initial=0) >= nj:
+                raise ValueError("skin joint id out of range")
+            sk["joints"].append(jts + j_off)
+            sk["weights"].append(wts)
+            sk["vidx"].append(v_off + np.arange(v, dtype=np.int32))
+            par = np.asarray(s.parent, np.int32)
+            if not (par < np.arange(nj)).all():
+                raise ValueError("skin joints must be topologically "
+                                 "ordered (parent[j] < j)")
+            sk["parent"].append(np.where(par < 0, -1, par + j_off))
+            sk["inv_bind"].append(np.asarray(s.inverse_bind, F32))
+            sk["trans"].append(np.asarray(s.trans, F32))
+            sk["rot"].append(np.asarray(s.rot, F32))
+            sk["scale"].append(np.asarray(s.scale, F32))
+            sk["slot"].append(np.full(nj, len(sk["nf"]), np.int32))
+            sk["nf"].append(s.trans.shape[0])
+            sk["rate"].append(float(s.rate))
+            j_off += nj
         positions.append(pos)
         uvs.append(np.asarray(mesh["uv"], dtype=F32))
         normals.append(np.asarray(mesh["normal"], dtype=F32))
@@ -337,9 +384,20 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         tri_tex_id.append(np.full(t, tex, dtype=np.int32))
         matrices.append(np.asarray(inst.model_matrix, dtype=F32))
         # Animated meshes: bound every frame so culling stays conservative.
-        c, r = bounding_sphere(
-            pos if inst.animation_positions is None
-            else np.asarray(inst.animation_positions, F32).reshape(-1, 3))
+        if inst.skin is not None:
+            from softwarerenderer_tpu.ops.skinning import (
+                skinned_positions_np,
+            )
+            nf = inst.skin.trans.shape[0]
+            frames = np.unique(np.linspace(0, nf - 1, min(nf, 32),
+                                           dtype=np.int64))
+            bp = np.concatenate([skinned_positions_np(inst.skin, pos, f)
+                                 for f in frames], axis=0)
+            c, r = bounding_sphere(bp)
+        else:
+            c, r = bounding_sphere(
+                pos if inst.animation_positions is None
+                else np.asarray(inst.animation_positions, F32).reshape(-1, 3))
         centers.append(c)
         radii.append(r)
         base_colors.append(np.asarray(inst.material.base_color, dtype=F32))
@@ -380,4 +438,26 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         out["anim_vert_index"] = np.concatenate(anim["vidx"])
         out["anim_slot"] = np.concatenate(anim["slot"])
         out["anim_n_frames"] = np.asarray(anim["nf"], np.int32)
+    if sk["nf"]:
+        # Skeletal skinning buffers: joints concatenated with global ids;
+        # track frame axes padded to the longest clip (per-skin playback
+        # is modulo n_frames, so padding rows are never sampled).
+        f_max = max(sk["nf"])
+
+        def padf(arrs):
+            return np.concatenate(
+                [np.pad(a, ((0, f_max - a.shape[0]),) + ((0, 0),) *
+                        (a.ndim - 1)) for a in arrs], axis=1)
+
+        out["skin_joints"] = np.concatenate(sk["joints"], axis=0)
+        out["skin_weights"] = np.concatenate(sk["weights"], axis=0)
+        out["skin_vert_index"] = np.concatenate(sk["vidx"])
+        out["joint_parent"] = np.concatenate(sk["parent"])
+        out["joint_inv_bind"] = np.concatenate(sk["inv_bind"], axis=0)
+        out["joint_skin_slot"] = np.concatenate(sk["slot"])
+        out["skin_trans"] = padf(sk["trans"])
+        out["skin_rot"] = padf(sk["rot"])
+        out["skin_scale"] = padf(sk["scale"])
+        out["skin_n_frames"] = np.asarray(sk["nf"], np.int32)
+        out["skin_rate"] = np.asarray(sk["rate"], F32)
     return out

@@ -1,0 +1,259 @@
+"""Skeletal skinning: hand-computed two-bone arm + device/host parity +
+engine integration (beyond the reference, whose only animation is the
+flip-book swap — ModelLoader.cs:331-348)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softwarerenderer_tpu import RenderParams
+from softwarerenderer_tpu.models import primitives
+from softwarerenderer_tpu.models.scene import (MeshInstance, Skin,
+                                               build_scene_buffers)
+from softwarerenderer_tpu.ops import skinning
+from softwarerenderer_tpu.utils import mathlib as ml
+
+F32 = np.float32
+
+
+def two_bone_skin(positions):
+    """Root joint at the origin, child at x=1 rotating 90° about z over
+    one second (2 keyframes @ 1 fps).  Hard-bound: x<1 → root, else
+    child."""
+    child = (positions[:, 0] >= 1.0).astype(np.int32)
+    joints = np.stack([child, np.zeros_like(child),
+                       np.zeros_like(child), np.zeros_like(child)], -1)
+    weights = np.zeros(joints.shape, F32)
+    weights[:, 0] = 1.0
+    qid = np.array([0, 0, 0, 1], F32)
+    q90 = np.asarray(ml.quat_from_axis_angle([0, 0, 1], np.pi / 2), F32)
+    rot = np.stack([np.stack([qid, qid]),            # root: static
+                    np.stack([qid, q90])], axis=1)   # child: 0° → 90°
+    trans = np.zeros((2, 2, 3), F32)
+    trans[:, 1, 0] = 1.0                             # child local +1 x
+    scale = np.ones((2, 2, 3), F32)
+    inv_bind = np.stack([np.eye(4, dtype=F32),
+                         np.asarray(ml.translation([-1, 0, 0]), F32)])
+    return Skin(joints=joints, weights=weights,
+                parent=np.asarray([-1, 0], np.int32),
+                inverse_bind=inv_bind, trans=trans, rot=rot, scale=scale,
+                rate=1.0)
+
+
+def arm_mesh():
+    """A 4-vertex 'arm' strip from x=0 to x=2 (two triangles)."""
+    m = primitives.plane(1.0)
+    pos = np.asarray([[0, 0, 0], [2, 0, 0], [0, 1, 0], [2, 1, 0]], F32)
+    return {
+        "position": pos,
+        "uv": np.zeros((4, 2), F32),
+        "normal": np.tile(np.asarray([[0, 0, 1]], F32), (4, 1)),
+        "color": np.ones((4, 4), F32),
+        "indices": np.asarray([[0, 1, 2], [2, 1, 3]], np.int32),
+    }
+
+
+def test_two_bone_hand_computed():
+    mesh = arm_mesh()
+    skin = two_bone_skin(mesh["position"])
+    # Rest frame: identity.
+    p0 = skinning.skinned_positions_np(skin, mesh["position"], 0.0)
+    np.testing.assert_allclose(p0, mesh["position"], atol=1e-6)
+    # Frame 1: points bound to the child pivot 90° about (1, 0, 0):
+    # (2,0,0) → (1,1,0); (2,1,0) → T(-1)=(1,1,0) @Rz90=(-1,1,0) @T(1)=(0,1,0).
+    p1 = skinning.skinned_positions_np(skin, mesh["position"], 1.0)
+    np.testing.assert_allclose(p1[1], [1, 1, 0], atol=1e-5)
+    np.testing.assert_allclose(p1[3], [0, 1, 0], atol=1e-5)
+    np.testing.assert_allclose(p1[0], [0, 0, 0], atol=1e-6)   # root-bound
+    # Halfway: nlerp of a 90° arc ≈ 45° rotation of the offset (1, 0, 0).
+    ph = skinning.skinned_positions_np(skin, mesh["position"], 0.5)
+    r = np.hypot(ph[1, 0] - 1.0, ph[1, 1])
+    assert abs(r - 1.0) < 1e-5
+    assert abs(np.degrees(np.arctan2(ph[1, 1], ph[1, 0] - 1.0)) - 45) < 0.5
+
+
+def test_device_matches_host_reference():
+    mesh = arm_mesh()
+    skin = two_bone_skin(mesh["position"])
+    scene = build_scene_buffers([MeshInstance(mesh, skin=skin)])
+    vin = {k: jnp.asarray(scene[k])
+           for k in ("position", "uv", "normal", "color")}
+
+    @jax.jit
+    def dev(t):
+        return skinning.apply_skinning(
+            vin, {k: jnp.asarray(v) for k, v in scene.items()
+                  if k.startswith(("skin_", "joint_"))},
+            {"anim_time": t}, xp=jnp)["position"]
+
+    for t in (0.0, 0.25, 1.0, 1.75):
+        ref = skinning.skinned_positions_np(skin, mesh["position"],
+                                            t * skin.rate)
+        np.testing.assert_allclose(np.asarray(dev(F32(t))), ref, atol=1e-5)
+
+
+def test_engine_renders_skinned_scene():
+    """A skinned arm sweeps 90°: the rendered silhouette must move
+    between anim_time 0 and 1 inside the same jitted program."""
+    from softwarerenderer_tpu.engine import Engine
+
+    mesh = arm_mesh()
+    skin = two_bone_skin(mesh["position"])
+    scene = build_scene_buffers([
+        MeshInstance(mesh, ml.translation([-1.0, -0.5, -4.0]), skin=skin)])
+    eng = Engine(scene, RenderParams(width=96, height=64, cull_mode=0,
+                                     use_pallas=False))
+    u = dict(eng.uniforms)
+    u["anim_time"] = F32(0.0)
+    c0 = np.asarray(eng.render(u)[0])
+    u["anim_time"] = F32(1.0)
+    c1 = np.asarray(eng.render(u)[0])
+    assert (np.abs(c0 - c1).max(axis=-1) > 0.05).sum() > 50
+    # Conservative culling bounds cover every pose: the arm is visible in
+    # both frames (some non-clear pixels differ from the clear color).
+    clear = np.asarray(eng.uniforms["clear_color"])
+    assert (np.abs(c0 - clear).max(axis=-1) > 0.05).any()
+    assert (np.abs(c1 - clear).max(axis=-1) > 0.05).any()
+
+
+def test_build_rejects_unordered_joints():
+    mesh = arm_mesh()
+    skin = two_bone_skin(mesh["position"])
+    skin.parent = np.asarray([1, -1], np.int32)       # child before parent
+    with pytest.raises(ValueError):
+        build_scene_buffers([MeshInstance(mesh, skin=skin)])
+
+
+def _simple_skin_gltf(tmp_path):
+    """Handcrafted minimal skinned glTF: a 6-vertex strip bound to two
+    joints (root + child at y=1), child animated 0° → 90° about z over
+    1 s.  Matrices/quats use glTF's column-major / xyzw conventions."""
+    import base64
+    import json
+    import struct
+
+    pos = np.asarray([[-0.5, 0, 0], [0.5, 0, 0], [-0.5, 1, 0],
+                      [0.5, 1, 0], [-0.5, 2, 0], [0.5, 2, 0]], np.float32)
+    idx = np.asarray([0, 1, 2, 2, 1, 3, 2, 3, 4, 4, 3, 5], np.uint16)
+    joints = np.zeros((6, 4), np.uint8)
+    joints[4:, 0] = 1                      # top row fully on the child
+    weights = np.zeros((6, 4), np.float32)
+    weights[:, 0] = 1.0
+    weights[2:4] = [0.5, 0.5, 0, 0]        # middle row blended
+    joints[2:4, 1] = 1
+    ibm = np.zeros((2, 16), np.float32)    # column-major mat4s
+    ibm[0] = np.eye(4, dtype=np.float32).reshape(-1)
+    ibm[1] = np.eye(4, dtype=np.float32).reshape(-1)
+    ibm[1, 13] = -1.0                      # translation y = -1 (col-major)
+    times = np.asarray([0.0, 1.0], np.float32)
+    s, c = np.sin(np.pi / 4), np.cos(np.pi / 4)
+    quats = np.asarray([[0, 0, 0, 1], [0, 0, s, c]], np.float32)
+
+    blob = b"".join(a.tobytes() for a in
+                    (pos, idx, joints, weights, ibm, times, quats))
+    off = {}
+    o = 0
+    for name, a in (("pos", pos), ("idx", idx), ("joints", joints),
+                    ("weights", weights), ("ibm", ibm), ("times", times),
+                    ("quats", quats)):
+        off[name] = o
+        o += a.nbytes
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0, "skin": 0},
+            {"children": [2]},
+            {"translation": [0, 1, 0]},
+        ],
+        "skins": [{"joints": [1, 2], "inverseBindMatrices": 4}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "JOINTS_0": 2, "WEIGHTS_0": 3},
+            "indices": 1}]}],
+        "animations": [{
+            "channels": [{"sampler": 0,
+                          "target": {"node": 2, "path": "rotation"}}],
+            "samplers": [{"input": 5, "output": 6,
+                          "interpolation": "LINEAR"}],
+        }],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 6,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 12,
+             "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5121, "count": 6,
+             "type": "VEC4"},
+            {"bufferView": 3, "componentType": 5126, "count": 6,
+             "type": "VEC4"},
+            {"bufferView": 4, "componentType": 5126, "count": 2,
+             "type": "MAT4"},
+            {"bufferView": 5, "componentType": 5126, "count": 2,
+             "type": "SCALAR", "min": [0.0], "max": [1.0]},
+            {"bufferView": 6, "componentType": 5126, "count": 2,
+             "type": "VEC4"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": off[n], "byteLength": a.nbytes}
+            for n, a in (("pos", pos), ("idx", idx), ("joints", joints),
+                         ("weights", weights), ("ibm", ibm),
+                         ("times", times), ("quats", quats))
+        ],
+        "buffers": [{
+            "byteLength": len(blob),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(blob).decode(),
+        }],
+    }
+    p = tmp_path / "simple_skin.gltf"
+    p.write_text(json.dumps(doc))
+    return str(p), pos
+
+
+def test_gltf_skin_import(tmp_path):
+    from softwarerenderer_tpu.io_host import gltf
+
+    path, pos = _simple_skin_gltf(tmp_path)
+    doc = gltf.load_gltf(path)
+    (mesh,) = doc["meshes"]
+    skin = mesh["skin"]
+    assert list(skin.parent) == [-1, 0]
+    np.testing.assert_allclose(mesh["position"], pos)      # NOT baked
+
+    # Rest pose reproduces the bind pose exactly.
+    p0 = skinning.skinned_positions_np(skin, mesh["position"], 0.0)
+    np.testing.assert_allclose(p0, pos, atol=1e-5)
+
+    # t=1 s: the child joint is rotated 90° about z; the fully-bound top
+    # vertex (0.5, 2, 0) pivots about (0, 1, 0) → (-1, 1.5, 0).
+    p1 = skinning.skinned_positions_np(skin, mesh["position"],
+                                       skin.rate * 1.0)
+    np.testing.assert_allclose(p1[5], [-1.0, 1.5, 0.0], atol=1e-4)
+    np.testing.assert_allclose(p1[0], pos[0], atol=1e-5)   # root-bound
+    # Blended middle vertex (0.5, 1, 0): child map = invbind → (0.5,0,0),
+    # Rz90 → (0,0.5,0), +T(0,1,0) → (0,1.5,0); 0.5/0.5 blend with the
+    # root map (rest position) → (0.25, 1.25, 0).
+    np.testing.assert_allclose(p1[3], [0.25, 1.25, 0.0], atol=1e-4)
+
+
+def test_gltf_skin_renders_through_model_loader(tmp_path):
+    from softwarerenderer_tpu.engine import Engine
+    from softwarerenderer_tpu.io_host import model_loader
+
+    path, _pos = _simple_skin_gltf(tmp_path)
+    model = model_loader.load_model(path)
+    insts = model_loader.model_instances(
+        model, ml.translation([0.0, -1.0, -4.0]))
+    assert insts[0].skin is not None
+    scene = build_scene_buffers(insts)
+    eng = Engine(scene, RenderParams(width=96, height=64, cull_mode=0,
+                                     use_pallas=False))
+    u = dict(eng.uniforms)
+    u["anim_time"] = F32(0.0)
+    c0 = np.asarray(eng.render(u)[0])
+    u["anim_time"] = F32(1.0)
+    c1 = np.asarray(eng.render(u)[0])
+    assert (np.abs(c0 - c1).max(axis=-1) > 0.05).sum() > 30
