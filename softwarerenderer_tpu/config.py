@@ -104,11 +104,13 @@ class RenderParams:
     span_cap: int = 8         # bbox tile-span above which a tri goes global
     tile_group: int = 16      # tiles processed per sequential step
     chunk: int = 32           # triangles folded per reduction step
-    # Mip-mapped texture sampling (beyond the reference, ROADMAP #4):
+    # Mip-mapped texture sampling (beyond the reference):
     # per-triangle LOD from the uv-area/screen-area ratio selects a
-    # box-filtered mip from the atlas chain. Off by default (mip 0 is the
-    # exact parity mode — the reference has no mips).
-    use_mipmaps: bool = False
+    # box-filtered mip from the atlas chain.  False = off (mip 0, the
+    # exact parity mode — the reference has no mips); True = nearest mip;
+    # "trilinear" = two bracketing mips blended in the fragment stage
+    # (pair with engine.scene_fragment_shader_trilinear).
+    use_mipmaps: object = False    # False | True | "trilinear"
     # K-buffer depth (ops/kbuffer): keep the K best fragments per pixel
     # and replay the reference's sequential shade/blend over them in
     # submission order — order-correct translucency and discard-reveal at

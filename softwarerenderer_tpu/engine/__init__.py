@@ -8,6 +8,7 @@ from softwarerenderer_tpu.engine.renderer import (  # noqa: F401
     render_frame_with_shadows,
     scene_fragment_shader,
     scene_fragment_shader_bilinear,
+    scene_fragment_shader_trilinear,
     scene_vertex_shader,
     to_rgb8,
 )

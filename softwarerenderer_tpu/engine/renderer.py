@@ -127,6 +127,42 @@ scene_fragment_shader_bilinear.tri_extras = (
     "tex_id", "tex_oy", "tex_ox", "tex_h", "tex_w")
 
 
+def scene_fragment_shader_trilinear(frag, uniforms, xp=jnp):
+    """Trilinear filtering: bilinear in each of the triangle's two mip
+    regions, lerped by the 8-bit-quantized per-triangle mip fraction.
+    Use with RenderParams(use_mipmaps="trilinear").  8 texel fetches per
+    pixel — the highest quality mode (the reference ships nearest only)."""
+    tri = frag["tri"]
+    t0 = tex_ops.sample_atlas_region_bilinear(
+        uniforms["atlas_data"], tri["tex_oy"], tri["tex_ox"],
+        tri["tex_h"], tri["tex_w"], frag["uv"], xp=xp)
+    t1 = tex_ops.sample_atlas_region_bilinear(
+        uniforms["atlas_data"], tri["tex_oy2"], tri["tex_ox2"],
+        tri["tex_h2"], tri["tex_w2"], frag["uv"], xp=xp)
+    a = tri["mip_frac256"].astype(xp.float32)[..., None] / F32(256.0)
+    tex_color = t0 + (t1 - t0) * a
+    world_normal = frag["data"]["world_normal"]
+    light_dir = uniforms["light_direction"]
+    diffuse = xp.maximum(F32(0.25), ml.dot(world_normal, -light_dir, xp=xp))
+    base = frag["color"] * tex_color
+    depth = frag["clip_position"][..., 2]
+    fog = xp.clip((uniforms["fog_end"] - depth)
+                  / (uniforms["fog_end"] - uniforms["fog_start"]),
+                  F32(0.0), F32(1.0))
+    fog = fog * fog * (F32(3.0) - F32(2.0) * fog)
+    lit = base * (F32(0.1) + F32(0.9) * diffuse[..., None]) \
+        * uniforms["light_color"]
+    rgba = uniforms["fog_color"] + (lit - uniforms["fog_color"]) \
+        * fog[..., None]
+    return xp.concatenate([rgba[..., :3], base[..., 3:4]], axis=-1)
+
+
+scene_fragment_shader_trilinear.varyings = scene_fragment_shader.varyings
+scene_fragment_shader_trilinear.tri_extras = (
+    "tex_oy", "tex_ox", "tex_h", "tex_w",
+    "tex_oy2", "tex_ox2", "tex_h2", "tex_w2", "mip_frac256")
+
+
 def default_frame_uniforms(width: int, height: int) -> Dict:
     """Per-frame traced parameters with the reference game's defaults
     (Renderer.cs:34-46, 74, 406-413)."""
@@ -276,16 +312,36 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         ratio = jnp.maximum(uv2 * jnp.abs(tris["inv_area"]), F32(1.0))
         lod = F32(0.5) * jnp.log2(ratio)
         nm = jnp.take(jnp.asarray(scene["atlas_n_mips"], jnp.int32), tid2)
-        mip = jnp.clip((lod + F32(0.5)).astype(jnp.int32), 0, nm - 1)
         moff = jnp.asarray(scene["atlas_mip_offsets"],
                            jnp.int32).reshape(-1, 2)
         msiz = jnp.asarray(scene["atlas_mip_sizes"],
                            jnp.int32).reshape(-1, 2)
-        flat = tid2 * MAX_MIP_LEVELS + mip
-        per_tri.update(tex_oy=jnp.take(moff[:, 0], flat),
-                       tex_ox=jnp.take(moff[:, 1], flat),
-                       tex_h=jnp.take(msiz[:, 0], flat),
-                       tex_w=jnp.take(msiz[:, 1], flat))
+        if params.use_mipmaps == "trilinear":
+            # Two bracketing mips + an 8-bit fraction (per-tri extras are
+            # integer channels); pair with scene_fragment_shader_trilinear.
+            mip0 = jnp.clip(jnp.floor(lod).astype(jnp.int32), 0, nm - 1)
+            mip1 = jnp.minimum(mip0 + 1, nm - 1)
+            frac = jnp.where(mip1 > mip0, lod - jnp.floor(lod), 0.0)
+            frac = jnp.clip(jnp.round(frac * F32(256.0)), 0, 255) \
+                .astype(jnp.int32)
+            f0 = tid2 * MAX_MIP_LEVELS + mip0
+            f1 = tid2 * MAX_MIP_LEVELS + mip1
+            per_tri.update(tex_oy=jnp.take(moff[:, 0], f0),
+                           tex_ox=jnp.take(moff[:, 1], f0),
+                           tex_h=jnp.take(msiz[:, 0], f0),
+                           tex_w=jnp.take(msiz[:, 1], f0),
+                           tex_oy2=jnp.take(moff[:, 0], f1),
+                           tex_ox2=jnp.take(moff[:, 1], f1),
+                           tex_h2=jnp.take(msiz[:, 0], f1),
+                           tex_w2=jnp.take(msiz[:, 1], f1),
+                           mip_frac256=frac)
+        else:
+            mip = jnp.clip((lod + F32(0.5)).astype(jnp.int32), 0, nm - 1)
+            flat = tid2 * MAX_MIP_LEVELS + mip
+            per_tri.update(tex_oy=jnp.take(moff[:, 0], flat),
+                           tex_ox=jnp.take(moff[:, 1], flat),
+                           tex_h=jnp.take(msiz[:, 0], flat),
+                           tex_w=jnp.take(msiz[:, 1], flat))
     tri_extras = getattr(fragment_shader, "tri_extras", None)
     if tri_extras is not None:
         per_tri = {k: v for k, v in per_tri.items() if k in tri_extras}

@@ -158,6 +158,43 @@ def sample_atlas_region(atlas_data, oy, ox, h, w, uv, xp=np):
     return _atlas_fetch(data, (oy + y) * aw + (ox + x), ah, aw, xp)
 
 
+def sample_atlas_region_bilinear(atlas_data, oy, ox, h, w, uv, xp=np):
+    """Bilinear filtering with repeat wrap inside a per-element atlas
+    region (oy, ox, h, w) — the region-resolved analog of
+    sample_atlas_bilinear, used by the trilinear quality mode where two
+    mip regions ride the per-triangle channels."""
+    data = xp.asarray(atlas_data)
+    ah, aw = data.shape[0], data.shape[1]
+    oy = xp.asarray(oy, dtype=xp.int32)
+    ox = xp.asarray(ox, dtype=xp.int32)
+    h = xp.asarray(h, dtype=xp.int32)
+    w = xp.asarray(w, dtype=xp.int32)
+    st = _wrap_uv(uv, xp)
+    fx = st[..., 0] * w.astype(xp.float32) - F32(0.5)
+    fy = st[..., 1] * h.astype(xp.float32) - F32(0.5)
+    x0 = xp.floor(fx)
+    y0 = xp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = xp.asarray(x0, dtype=xp.int32) % w
+    y0i = xp.asarray(y0, dtype=xp.int32) % h
+    x0i = xp.where(x0i < 0, x0i + w, x0i)
+    y0i = xp.where(y0i < 0, y0i + h, y0i)
+    x1i = (x0i + 1) % w
+    y1i = (y0i + 1) % h
+
+    def fetch(yi, xi):
+        return _atlas_fetch(data, (oy + yi) * aw + (ox + xi), ah, aw, xp)
+
+    c00 = fetch(y0i, x0i)
+    c10 = fetch(y0i, x1i)
+    c01 = fetch(y1i, x0i)
+    c11 = fetch(y1i, x1i)
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
+
+
 def sample_atlas_bilinear(atlas_data, offsets, sizes, tex_id, uv, xp=np):
     """Bilinear filtering with repeat wrap inside an atlas sub-rectangle
     (texel centers at half-integers).  The non-parity quality mode — the

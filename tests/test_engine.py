@@ -213,3 +213,58 @@ def test_ssaa_supersampling():
 
     # Depth is a real sample from the supersample grid.
     assert d2.dtype == d1.dtype and np.isfinite(d2[h, w])
+
+
+def test_trilinear_mip_blending():
+    """use_mipmaps='trilinear' + the trilinear shader blends two mip
+    levels: smoother than nearest-mip at distance (no level pops) and
+    bounded by the bracketing levels; unit-checks the region-bilinear
+    sampler against a hand lerp."""
+    import functools
+    from softwarerenderer_tpu.engine import (render_frame,
+                                             scene_fragment_shader_trilinear)
+
+    # Region-bilinear unit check on a tiny 2x2 region at (0, 0) of a 4x4
+    # atlas: uv (0.5, 0.5) is the texel-center cross → mean of the 4.
+    atlas = np.zeros((4, 4, 4), np.float32)
+    atlas[0, 0] = [1, 0, 0, 1]
+    atlas[0, 1] = [0, 1, 0, 1]
+    atlas[1, 0] = [0, 0, 1, 1]
+    atlas[1, 1] = [1, 1, 1, 1]
+    got = tex_ops.sample_atlas_region_bilinear(
+        atlas, np.asarray([0]), np.asarray([0]), np.asarray([2]),
+        np.asarray([2]), np.asarray([[0.5, 0.5]], np.float32), xp=np)
+    np.testing.assert_allclose(got[0], atlas[:2, :2].reshape(4, 4)
+                               .mean(axis=0), atol=1e-6)
+
+    checker = np.asarray(tex_ops.checkerboard(64, 32)["data"])
+    insts = []
+    for zi in range(24):
+        strip = primitives.plane(16.0)
+        strip["uv"] = strip["uv"] * np.float32(16.0)
+        insts.append(scene_mod.MeshInstance(
+            strip, ml.translation([0, -1, -8.0 - 16.0 * zi]),
+            texture=checker))
+    sc = scene_mod.build_scene_buffers(insts)
+    u = default_frame_uniforms(160, 120)
+    u["camera_position"] = np.float32([0.0, 0.5, 0.0])
+
+    params = RenderParams(width=160, height=120, use_mipmaps="trilinear")
+    ct, _ = jax.jit(functools.partial(
+        render_frame, params=params,
+        fragment_shader=scene_fragment_shader_trilinear))(sc, u)
+    ct = np.asarray(ct)
+    assert np.isfinite(ct).all()
+
+    # vs nearest-mip: the far band stays low-variance (mips engaged) …
+    c0, _ = jax.jit(functools.partial(
+        render_frame, params=params.replace(use_mipmaps=False)))(sc, u)
+    far_band = slice(61, 67)
+    assert float(np.var(ct[far_band, :, 0])) \
+        < float(np.var(np.asarray(c0)[far_band, :, 0])) * 0.5
+    # … and the mid-distance transition rows differ from nearest-mip
+    # (fractional blending engaged, not just level snapping).
+    cn, _ = jax.jit(functools.partial(
+        render_frame, params=params.replace(use_mipmaps=True)))(sc, u)
+    mid = slice(67, 95)
+    assert np.abs(ct[mid] - np.asarray(cn)[mid]).max() > 0.02
