@@ -121,6 +121,18 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
     if params.depth_test not in _REDUCE_RULES:
         raise NotImplementedError("order-dependent depth tests need the "
                                   "forward path")
+    if params.ssaa > 1:
+        # SSAA composes with the ring pass (see sharding.py): render f×,
+        # box-filter after the gather.
+        f = params.ssaa
+        color, depth = render_frame_ring(
+            scene, uniforms,
+            params.replace(width=params.width * f,
+                           height=params.height * f, ssaa=1),
+            mesh, vertex_shader, fragment_shader)
+        H, W = params.height, params.width
+        color = color.reshape(H, f, W, f, 4).mean(axis=(1, 3))
+        return color, depth[::f, ::f]
 
     n = mesh.shape[AXIS]
     H, W = params.height, params.width

@@ -129,6 +129,22 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
     vertex_shader = vertex_shader or scene_vertex_shader
     fragment_shader = fragment_shader or scene_fragment_shader
 
+    if params.ssaa > 1:
+        # Supersampled AA composes with sharding: render the f×-size frame
+        # sharded, then box-filter the gathered full frame (exactness vs
+        # the single-device SSAA path is preserved — the downsample runs
+        # after the order-restoring gather).
+        f = params.ssaa
+        import jax.numpy as _jnp
+        color, depth = render_frame_sharded(
+            scene, uniforms,
+            params.replace(width=params.width * f,
+                           height=params.height * f, ssaa=1),
+            mesh, vertex_shader, fragment_shader, balanced)
+        H, W = params.height, params.width
+        color = color.reshape(H, f, W, f, 4).mean(axis=(1, 3))
+        return color, depth[::f, ::f]
+
     n_fb = mesh.shape["fb"]
     n_tri = mesh.shape["tri"]
     H, W = params.height, params.width

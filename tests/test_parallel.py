@@ -296,3 +296,23 @@ def test_tile_balanced_sharding_matches_and_splits_hot_rows():
     assert spread(tile_dev) <= spread(row_dev) + 1e-9, \
         f"tile {spread(tile_dev):.3f} !<= row {spread(row_dev):.3f}"
     assert spread(tile_dev) <= 0.15, f"tile spread {spread(tile_dev):.3f}"
+
+
+def test_sharded_ssaa_matches_single_device():
+    """SSAA composes with fb sharding: the sharded ssaa=2 frame equals
+    the single-device ssaa=2 frame exactly (downsample runs after the
+    order-restoring gather)."""
+    params = RenderParams(width=W, height=H, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16, ssaa=2)
+    scene = small_scene()
+    u = uniforms()
+    ref_c, ref_d = jax.jit(
+        lambda s, u: render_frame(s, u, params=params))(scene, u)
+    sscene = shard_scene_triangles(scene, 1)
+    mesh = make_mesh(4, 1)
+    with mesh:
+        c, d = jax.jit(lambda s, u: render_frame_sharded(
+            s, u, params, mesh))(sscene, u)
+    assert (np.abs(np.asarray(c) - np.asarray(ref_c)).max(axis=-1)
+            <= 1e-6).all()
+    assert (np.abs(np.asarray(d) - np.asarray(ref_d)) <= 1e-6).all()
