@@ -257,3 +257,48 @@ def test_gltf_skin_renders_through_model_loader(tmp_path):
     u["anim_time"] = F32(1.0)
     c1 = np.asarray(eng.render(u)[0])
     assert (np.abs(c0 - c1).max(axis=-1) > 0.05).sum() > 30
+
+
+def test_decompose_trs_row_roundtrip():
+    """TRS → matrix → decompose recovers the components (the matrix-node
+    and ancestor-fold paths in the importer rely on this)."""
+    from softwarerenderer_tpu.io_host.gltf import _decompose_trs_row
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        t = rng.uniform(-5, 5, 3).astype(F32)
+        q = rng.normal(size=4).astype(F32)
+        q /= np.linalg.norm(q)
+        s = rng.uniform(0.2, 3.0, 3).astype(F32)
+        m = skinning.compose_trs(t, q, s, xp=np)
+        t2, q2, s2 = _decompose_trs_row(m)
+        np.testing.assert_allclose(t2, t, atol=1e-5)
+        np.testing.assert_allclose(s2, s, atol=1e-5)
+        if np.dot(q2, q) < 0:
+            q2 = -q2
+        np.testing.assert_allclose(q2, q, atol=1e-5)
+
+
+def test_resample_channel_modes():
+    from softwarerenderer_tpu.io_host.gltf import _resample_channel
+
+    times = np.asarray([0.0, 1.0, 2.0])
+    vals = np.asarray([[0.0], [10.0], [20.0]])
+    grid = np.asarray([0.0, 0.5, 1.0, 1.5, 2.0])
+    lin = _resample_channel(times, vals, grid, "LINEAR", False)
+    np.testing.assert_allclose(lin[:, 0], [0, 5, 10, 15, 20], atol=1e-6)
+    stp = _resample_channel(times, vals, grid, "STEP", False)
+    np.testing.assert_allclose(stp[:, 0], [0, 0, 10, 10, 20], atol=1e-6)
+    # CUBICSPLINE stores (in-tangent, value, out-tangent) triplets; the
+    # value thirds are taken and treated linearly.
+    cs_vals = np.zeros((3, 3))
+    cs_vals[:, 1] = [0.0, 10.0, 20.0]
+    cub = _resample_channel(times, cs_vals.reshape(3, 3), grid,
+                            "CUBICSPLINE", False)
+    np.testing.assert_allclose(cub[:, 0], [0, 5, 10, 15, 20], atol=1e-6)
+    # Quats hemisphere-align before interpolation: lerping q and -q must
+    # not pass through zero.
+    qt = np.asarray([0.0, 1.0])
+    qv = np.asarray([[0, 0, 0, 1.0], [0, 0, 0, -1.0]])
+    qq = _resample_channel(qt, qv, np.asarray([0.5]), "LINEAR", True)
+    np.testing.assert_allclose(np.abs(qq[0, 3]), 1.0, atol=1e-6)
