@@ -25,7 +25,8 @@ GOLDEN_SIZES = {1: (320, 240), 2: (320, 180), 3: (480, 270),
 # Feature-path goldens (ROADMAP #11): wireframe, K-buffer translucency,
 # shadow maps, mip-mapped sampling.
 FEATURES = ("wireframe", "kbuffer", "shadows", "mips",
-            "point_shadows")
+            "point_shadows", "spot_shadows", "skinning", "ssaa",
+            "trilinear")
 
 
 def _sanitize_env():
@@ -154,6 +155,84 @@ def render_feature(name: str):
                                          params=params,
                                          shadow_size=256))(sc, u)
         return np.asarray(jax.jit(to_rgb8)(c))
+    if name == "spot_shadows":
+        from softwarerenderer_tpu.engine import (
+            render_frame_with_spot_shadow,
+        )
+        insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                        ml.translation([0, -1, 0]),
+                                        texture=checker),
+                 scene_mod.MeshInstance(primitives.cube(0.8),
+                                        ml.translation([0, 0.2, -4]),
+                                        texture=checker)]
+        sc = scene_mod.build_scene_buffers(insts)
+        params = RenderParams(width=320, height=240)
+        u = default_frame_uniforms(320, 240)
+        u["camera_position"] = np.float32([2.5, 2.0, -0.5])
+        u["camera_rotation"] = ml.quat_from_yaw_pitch_roll(
+            np.float32(0.55), np.float32(-0.35), np.float32(0))
+        u["spot_position"] = np.float32([1.5, 3.0, -2.0])
+        d = np.float32([-0.35, -1.0, -0.55])
+        u["spot_direction"] = d / np.linalg.norm(d)
+        u["spot_inner"] = np.float32(0.35)
+        u["spot_outer"] = np.float32(0.6)
+        u["spot_color"] = np.ones(4, np.float32)
+        u["spot_range"] = np.float32(40.0)
+        c, _ = jax.jit(functools.partial(render_frame_with_spot_shadow,
+                                         params=params,
+                                         shadow_size=256))(sc, u)
+        return np.asarray(jax.jit(to_rgb8)(c))
+    if name == "skinning":
+        sys.path.insert(0, os.path.join(REPO, "examples"))
+        from skeletal_animation import tentacle_mesh, tentacle_skin
+        mesh = tentacle_mesh()
+        skin = tentacle_skin(mesh["position"])
+        insts = [scene_mod.MeshInstance(mesh,
+                                        ml.translation([0, -1.2, 0]),
+                                        texture=checker, skin=skin),
+                 scene_mod.MeshInstance(primitives.plane(12.0),
+                                        ml.translation([0, -1.2, 0]),
+                                        texture=checker)]
+        eng = Engine(scene_mod.build_scene_buffers(insts),
+                     RenderParams(width=320, height=240))
+        u = dict(eng.uniforms)
+        u["camera_position"] = np.float32([0, 0.6, 4.5])
+        u["anim_time"] = np.float32(0.6)
+        return eng.present(u)
+    if name == "ssaa":
+        insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                        ml.translation([0, -1, 0]),
+                                        texture=checker),
+                 scene_mod.MeshInstance(
+                     primitives.cube(1.0),
+                     (ml.matrix_from_yaw_pitch_roll(
+                         np.float32(0.6), 0.3, 0.0)
+                      @ ml.translation([0, 0.2, -3.0])).astype(np.float32),
+                     texture=checker)]
+        eng = Engine(scene_mod.build_scene_buffers(insts),
+                     RenderParams(width=320, height=240, ssaa=4))
+        u = dict(eng.uniforms)
+        u["camera_position"] = np.float32([0, 0.6, 1.5])
+        return eng.present(u)
+    if name == "trilinear":
+        from softwarerenderer_tpu.engine import (
+            scene_fragment_shader_trilinear,
+        )
+        insts = []
+        for zi in range(24):
+            strip = primitives.plane(16.0)
+            strip["uv"] = strip["uv"] * np.float32(16.0)
+            insts.append(scene_mod.MeshInstance(
+                strip, ml.translation([0, -1, -8.0 - 16.0 * zi]),
+                texture=np.asarray(tex_ops.checkerboard(64, 32)["data"])))
+        eng = Engine(scene_mod.build_scene_buffers(insts),
+                     RenderParams(width=320, height=240,
+                                  use_mipmaps="trilinear"),
+                     fragment_shader=scene_fragment_shader_trilinear)
+        u = dict(eng.uniforms)
+        u["camera_position"] = np.float32([0, 0.5, 0])
+        u["far_clip"] = np.float32(2000.0)
+        return eng.present(u)
     if name == "mips":
         insts = []
         for zi in range(24):

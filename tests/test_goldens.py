@@ -41,7 +41,8 @@ def test_golden_config(n):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["wireframe", "kbuffer", "shadows",
-                                  "mips", "point_shadows"])
+                                  "mips", "point_shadows", "spot_shadows",
+                                  "skinning", "ssaa", "trilinear"])
 def test_golden_feature(name):
     """Feature-path goldens: wireframe, K-buffer, shadows, mips
     (ROADMAP #11)."""
