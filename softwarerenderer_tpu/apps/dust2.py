@@ -537,6 +537,16 @@ class Dust2Game:
                 # Renderer.cs:799-804); compiles a second frame program on
                 # first use
                 self.wireframe = not self.wireframe
+            elif ch == "o":
+                # SSAA 2× toggle (beyond reference; RenderParams.ssaa) —
+                # static param, so this compiles a new frame program once.
+                p = self.engine.params
+                self._swap_params(p.replace(ssaa=2 if p.ssaa == 1 else 1))
+            elif ch == "m":
+                # mip-mapped sampling toggle (beyond reference)
+                p = self.engine.params
+                self._swap_params(p.replace(
+                    use_mipmaps=not bool(p.use_mipmaps)))
             elif ch == "[":
                 self._tune_idx = (self._tune_idx - 1) % len(self.TUNABLES)
             elif ch == "]":
@@ -565,6 +575,15 @@ class Dust2Game:
         self._prev_keys = set(keys)
 
     # -- shooting -------------------------------------------------------------
+
+    def _swap_params(self, params):
+        """Rebuild the frame program with new static RenderParams; scene
+        and traced uniforms carry over (same machinery as render-scale)."""
+        old = self.engine
+        self.engine = Engine(old.scene, params)
+        self.engine.scene = old.scene
+        self.engine.uniforms = old.uniforms
+        self._wire_engine = None
 
     def _rebuild_engine_for_scale(self):
         """Render-scale change = new framebuffer shapes = a new compiled
@@ -819,6 +838,10 @@ class Dust2Game:
         self.stats.frame(pixels=rw * rh, triangles=n_tris)
         if self.hud.state.show_debug:
             lines = self.stats.debug_lines()
+            p = self.engine.params
+            lines.append(f"ssaa [o]: {p.ssaa}x   mips [m]: "
+                         f"{bool(p.use_mipmaps)}   wire [p]: "
+                         f"{self.wireframe}")
             lines.append("-- tunables ([ ] select, -/= adjust) --")
             for i, (name, kind, *_rest) in enumerate(self.TUNABLES):
                 mark = ">" if i == self._tune_idx else " "

@@ -228,3 +228,26 @@ def test_spectator_mode_cycles_and_follows():
         assert vis[lo:hi].any()
     finally:
         g.close()
+
+
+def test_ssaa_and_mip_toggles():
+    """'o' toggles 2x SSAA, 'm' toggles mips — each swaps in a new frame
+    program with scene/uniforms preserved, and a frame still renders."""
+    g = make_game(offline=True)
+    try:
+        inp = {"keys": set(), "mouse_delta": (0.0, 0.0),
+               "mouse_down": False, "chars": "o", "quit": False}
+        g.step(1 / 60, inp)
+        assert g.engine.params.ssaa == 2
+        inp["chars"] = "m"
+        g.step(1 / 60, inp)
+        assert g.engine.params.use_mipmaps is True
+        assert g.engine.params.ssaa == 2           # toggles compose
+        frame = g.window.last_frame
+        assert frame is not None and frame.shape == (120, 160, 3)
+        inp["chars"] = "om"
+        g.step(1 / 60, inp)
+        assert g.engine.params.ssaa == 1
+        assert g.engine.params.use_mipmaps is False
+    finally:
+        g.close()
