@@ -225,6 +225,19 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         color = color.reshape(H, f, W, f, 4).mean(axis=(1, 3))
         depth = depth[::f, ::f]
         return color, depth
+    if "sky_panorama" in uniforms:
+        # Equirect sky (ops/sky.py, beyond the reference's flat clear
+        # color): render without it, then fill clear-depth pixels by
+        # per-pixel view-direction panorama sampling — all in the same
+        # program.  Runs inside the ssaa branch's inner call, so the sky
+        # is supersampled too.
+        from softwarerenderer_tpu.ops import sky
+        u2 = {k: v for k, v in uniforms.items() if k != "sky_panorama"}
+        color, depth = render_frame(scene, u2, params,
+                                    vertex_shader=vertex_shader,
+                                    fragment_shader=fragment_shader,
+                                    chunk=chunk, fb=fb)
+        return sky.composite_sky(color, depth, uniforms, xp=jnp)
     H, W = params.height, params.width
     view, proj = camera_matrices(uniforms, W, H)
     view_proj = ml.transform(view, proj, xp=jnp)          # row-vector V·P

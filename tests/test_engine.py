@@ -268,3 +268,37 @@ def test_trilinear_mip_blending():
         render_frame, params=params.replace(use_mipmaps=True)))(sc, u)
     mid = slice(67, 95)
     assert np.abs(ct[mid] - np.asarray(cn)[mid]).max() > 0.02
+
+
+def test_sky_panorama_compositing():
+    """uniforms["sky_panorama"]: uncovered pixels sample the equirect map
+    by view direction (up → top of panorama, horizon → middle); covered
+    pixels keep their shaded color."""
+    from softwarerenderer_tpu.engine import Engine
+
+    pano = np.zeros((64, 128, 4), np.float32)
+    pano[:21] = [1, 0, 0, 1]       # sky top: red
+    pano[21:43] = [0, 1, 0, 1]     # horizon band: green
+    pano[43:] = [0, 0, 1, 1]       # below horizon: blue
+    sc = scene_mod.build_scene_buffers(
+        [scene_mod.MeshInstance(primitives.cube(1.0),
+                                ml.translation([0, 0, -3.0]))])
+    eng = Engine(sc, RenderParams(width=128, height=96, use_pallas=False))
+    u = dict(eng.uniforms)
+    u["sky_panorama"] = pano
+    c, d = map(np.asarray, eng.render(u))
+    # Straight ahead (horizon) around the cube: green.
+    np.testing.assert_allclose(c[48, 8, :3], [0, 1, 0], atol=1e-2)
+    # Cube pixels keep their shaded (non-pure-green) color.
+    assert not np.allclose(c[48, 64, :3], [0, 1, 0], atol=0.2)
+    # Pitch the camera up: top rows turn red.
+    u["camera_rotation"] = np.asarray(
+        ml.quat_from_axis_angle([1.0, 0.0, 0.0], np.pi / 3), np.float32)
+    c2, _ = map(np.asarray, eng.render(u))
+    np.testing.assert_allclose(c2[4, 64, :3], [1, 0, 0], atol=1e-2)
+    # And SSAA composes (sky sampled at the supersampled grid).
+    eng4 = Engine(sc, RenderParams(width=128, height=96, use_pallas=False,
+                                   ssaa=2))
+    eng4.scene = eng.scene
+    c3, _ = map(np.asarray, eng4.render(u))
+    np.testing.assert_allclose(c3[4, 64, :3], [1, 0, 0], atol=1e-2)
