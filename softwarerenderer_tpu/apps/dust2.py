@@ -119,7 +119,8 @@ class Dust2Game:
                  assets_dir: str = DEFAULT_ASSETS,
                  player_name: Optional[str] = None,
                  max_players: int = 8, out: Optional[str] = None,
-                 offline: bool = False, seed: Optional[int] = None):
+                 offline: bool = False, seed: Optional[int] = None,
+                 reliable: bool = False):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         self.hud = Hud()
@@ -127,6 +128,10 @@ class Dust2Game:
         self.player_name = player_name or load_player_name()
         self.assets_dir = assets_dir
         self.rng = random.Random(seed)
+        # Opt-in reliable delivery for state-critical RPCs (join, hits,
+        # chat) — requires every peer to run this framework (the seq/ack
+        # extension is not in the reference's wire protocol).
+        self.reliable = reliable
 
         self._load_scene()
         self._init_state()
@@ -140,7 +145,7 @@ class Dust2Game:
             self.net.send_rpc(
                 "ConnectedPlayer",
                 [str(self.net.client_id), self.player_name],
-                buffer_rpc=True)
+                buffer_rpc=True, reliable=self.reliable)
         self.players: List[ConnectedPlayer] = []
 
     # -- scene assembly -------------------------------------------------------
@@ -566,7 +571,7 @@ class Dust2Game:
                                if p.id == self.net.client_id), None)
                     self.net.send_rpc("ChatMessage",
                                       [me.name if me else self.player_name,
-                                       text])
+                                       text], reliable=self.reliable)
                 hs.chat_input = ""
                 hs.chat_active = False
         elif "t" in keys and "t" not in self._prev_keys:
@@ -721,7 +726,7 @@ class Dust2Game:
                 if hit_player is not None:
                     self.net.send_rpc("PlayerHit", [
                         str(hit_player.id), str(self.net.client_id),
-                        str(SHOT_DAMAGE)])
+                        str(SHOT_DAMAGE)], reliable=self.reliable)
                 elif mesh_id < self.n_map:
                     self.net.send_rpc("LevelHit", [
                         str(self.net.client_id),
@@ -901,6 +906,9 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=600)
     ap.add_argument("--render-scale", type=float, default=0.25)
     ap.add_argument("--headless", action="store_true")
+    ap.add_argument("--reliable", action="store_true",
+                    help="acked/resent delivery for join/hit/chat RPCs "
+                         "(all peers must run this framework)")
     ap.add_argument("--offline", action="store_true",
                     help="skip networking entirely")
     ap.add_argument("--frames", type=int, default=None)
@@ -913,7 +921,7 @@ def main(argv=None):
                      height=args.height, render_scale=args.render_scale,
                      headless=args.headless, assets_dir=args.assets,
                      player_name=args.name, out=args.out,
-                     offline=args.offline)
+                     offline=args.offline, reliable=args.reliable)
     game.run(frames=args.frames)
 
 

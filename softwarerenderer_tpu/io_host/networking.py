@@ -79,6 +79,17 @@ class Networking:
         # anywhere" — we add it): fraction of outbound datagrams dropped.
         self.drop_rate: float = 0.0
         self._drop_seq = 0
+        # --- reliable delivery (beyond the reference's at-most-once UDP):
+        # send_rpc(..., reliable=True) tags the message with a seq number,
+        # resends until every addressed peer acks, and receivers dedup by
+        # (endpoint, seq) — at-least-once on the wire, exactly-once
+        # delivered.  Both ends must run this framework (a reference-shape
+        # peer would read the seq tag as an RPC param).
+        self.resend_interval: float = 0.25
+        self.max_resend_attempts: int = 40
+        self._send_seq = 0
+        self._pending: Dict[int, dict] = {}         # seq → delivery state
+        self._seen_seqs: Dict[Tuple[str, int], set] = {}
 
     # -- connection lifecycle ------------------------------------------------
 
@@ -192,8 +203,14 @@ class Networking:
             self.log(f"Error sending: {e}")
 
     def send_rpc(self, method: str, params: Optional[List[str]] = None,
-                 target_client_id: int = 0, buffer_rpc: bool = False) -> None:
-        """SendRPC (Networking.cs:242-319): local echo + broadcast/target."""
+                 target_client_id: int = 0, buffer_rpc: bool = False,
+                 reliable: bool = False) -> None:
+        """SendRPC (Networking.cs:242-319): local echo + broadcast/target.
+
+        reliable=True (beyond the reference): the message carries a seq
+        tag and is resent every `resend_interval` seconds until every
+        addressed peer acks it (receivers dedup, so delivery stays
+        exactly-once)."""
         if self._sock is None:
             self.log("Cannot send RPC: not connected.")
             return
@@ -201,6 +218,12 @@ class Networking:
         msg = "RPC:" + method
         if params:
             msg += ":" + ":".join(params)
+        seq = None
+        if reliable:
+            with self._lock:
+                self._send_seq += 1
+                seq = self._send_seq
+            msg += f":seq={seq}"
         if not self.is_host and self.client_id != 0:
             msg += f":senderId={self.client_id}"
         data = msg.encode("utf-8")
@@ -210,6 +233,10 @@ class Networking:
                 with self._lock:
                     self._buffered_rpcs.append(msg)
             if target_client_id == 0:
+                if seq is not None:
+                    with self._lock:
+                        targets = set(self._clients.keys())
+                    self._track_pending(seq, data, targets)
                 self._send_raw(data)
                 self._deliver(method, params, 0)
             else:
@@ -217,13 +244,87 @@ class Networking:
                     target = next((ep for ep, cid in self._clients.items()
                                    if cid == target_client_id), None)
                 if target is not None:
+                    if seq is not None:
+                        self._track_pending(seq, data, {target})
                     self._send_raw(data, target)
                 else:
                     self.log(f"Cannot send RPC: client {target_client_id} "
                              "not found.")
         else:
+            if seq is not None and self._remote is not None:
+                self._track_pending(seq, data, {self._remote})
             self._send_raw(data)
             self._deliver(method, params, self.client_id)
+
+    # -- reliable delivery ----------------------------------------------------
+
+    def _track_pending(self, seq: int, data: bytes,
+                       targets: set) -> None:
+        if not targets:
+            return
+        with self._lock:
+            self._pending[seq] = {
+                "data": data, "targets": set(targets),
+                "next_send": time.monotonic() + self.resend_interval,
+                "attempts": 0}
+
+    def _pump_resends(self, now: float) -> None:
+        """Resend unacked reliable messages; called from the receive loop
+        (it wakes at least every 0.25 s)."""
+        with self._lock:
+            due = [(s, p) for s, p in self._pending.items()
+                   if now >= p["next_send"]]
+            for seq, p in due:
+                p["attempts"] += 1
+                p["next_send"] = now + self.resend_interval
+                if p["attempts"] > self.max_resend_attempts \
+                        or not p["targets"]:
+                    del self._pending[seq]
+            current = {ep for ep in self._clients} if self.is_host else None
+        for seq, p in due:
+            if p["attempts"] > self.max_resend_attempts or not p["targets"]:
+                if p["targets"]:
+                    self.log(f"reliable seq {seq} gave up on {p['targets']}")
+                continue
+            for ep in list(p["targets"]):
+                if current is not None and ep not in current:
+                    p["targets"].discard(ep)   # client left the session
+                    continue
+                self._send_raw(p["data"],
+                               ep if self.is_host else None)
+
+    def _handle_ack(self, msg: str, sender: Tuple[str, int]) -> None:
+        sid = msg[len("ack:"):]
+        if not sid.isdigit():
+            return
+        seq = int(sid)
+        with self._lock:
+            p = self._pending.get(seq)
+            if p is None:
+                return
+            p["targets"].discard(sender)
+            if not self.is_host:
+                p["targets"].clear()     # only the host is ever addressed
+            if not p["targets"]:
+                del self._pending[seq]
+
+    def _note_reliable_receipt(self, seq: int,
+                               sender: Tuple[str, int]) -> bool:
+        """Ack a tagged message; True when it is new (deliver it),
+        False for a resend duplicate (ack only)."""
+        # Acks ride _send_raw so fault injection exercises ack loss too
+        # (the resend path must converge even when acks drop).
+        self._send_raw(f"ack:{seq}".encode(),
+                       sender if self.is_host else None)
+        with self._lock:
+            seen = self._seen_seqs.setdefault(sender, set())
+            if seq in seen:
+                return False
+            seen.add(seq)
+            if len(seen) > 4096:         # bound memory; old seqs are stale
+                cutoff = max(seen) - 2048
+                self._seen_seqs[sender] = {s for s in seen if s > cutoff}
+            return True
 
     def clear_buffered_rpcs(self) -> None:
         with self._lock:
@@ -246,8 +347,10 @@ class Networking:
             try:
                 data, sender = sock.recvfrom(65536)
             except socket.timeout:
+                now = time.monotonic()
                 if self.peer_timeout > 0:
-                    self._check_timeouts(time.monotonic())
+                    self._check_timeouts(now)
+                self._pump_resends(now)
                 continue
             except OSError:
                 break
@@ -260,6 +363,10 @@ class Networking:
                 self._last_host_heard = now
             if self.peer_timeout > 0:
                 self._check_timeouts(now)
+            self._pump_resends(now)
+            if msg.startswith("ack:"):
+                self._handle_ack(msg, sender)
+                continue
             if self.is_host and msg == "ping":
                 try:
                     sock.sendto(b"pong", sender)
@@ -312,6 +419,20 @@ class Networking:
         method = parts[1]
         params = parts[2:]
 
+        # Reliable-delivery tag: ack + dedup (beyond the reference; the
+        # tag sits before a client's trailing senderId).
+        seq = None
+        for i in (-1, -2):
+            if len(params) >= -i and params[i].startswith("seq="):
+                sid = params[i][len("seq="):]
+                if sid.isdigit():
+                    seq = int(sid)
+                    params = params[:i] + (params[i + 1:] if i == -2
+                                           else [])
+                break
+        if seq is not None and not self._note_reliable_receipt(seq, sender):
+            return      # resend duplicate: acked again, not re-delivered
+
         sender_id = 0
         if not self.is_host and params and params[-1].startswith("senderId="):
             sid = params[-1][len("senderId="):]
@@ -332,7 +453,11 @@ class Networking:
             if self.relay_client_rpcs:
                 # Optional fixed topology: re-broadcast client RPCs to the
                 # other clients (the reference never does this — see module
-                # docstring).
+                # docstring).  The seq tag is stripped: seq namespaces are
+                # per-sender, so a relayed tag would collide with the
+                # host's own pending table when the other clients ack.
+                if seq is not None:
+                    msg = msg.replace(f":seq={seq}", "", 1)
                 relay = msg if msg.endswith(f"senderId={sender_id}") else \
                     msg + f":senderId={sender_id}"
                 data = relay.encode("utf-8")

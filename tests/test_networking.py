@@ -231,3 +231,74 @@ def test_fault_injection_drops_packets(port):
             m == "ChatMessage" for m, p, s in client.poll_rpcs()))
     finally:
         client.close(); host.close()
+
+
+def test_reliable_rpc_survives_heavy_loss(port):
+    """reliable=True resends until acked: a 75%-loss link still delivers
+    the RPC exactly once in each direction (beyond the reference's
+    at-most-once UDP)."""
+    host = make_peer(port)
+    client = make_peer(port)
+    try:
+        host.resend_interval = client.resend_interval = 0.05
+        host.drop_rate = client.drop_rate = 0.75
+        host.send_rpc("MapChange", ["de_dust2"], reliable=True)
+        client.send_rpc("Loadout", ["ak47"], reliable=True)
+        got_c, got_h = [], []
+        wait_for(lambda: (
+            got_c.extend(x for x in client.poll_rpcs()
+                         if x[0] == "MapChange") or
+            got_h.extend(x for x in host.poll_rpcs()
+                         if x[0] == "Loadout" and x[2] == client.client_id)
+            or (got_c and got_h)), timeout=15.0)
+        assert len(got_c) == 1 and got_c[0][1] == ["de_dust2"]
+        # host keeps the trailing senderId param (faithful reference
+        # behavior); the seq tag must be stripped though
+        assert len(got_h) == 1 and got_h[0][1][0] == "ak47"
+        assert not any(p.startswith("seq=") for p in got_h[0][1])
+        host.drop_rate = client.drop_rate = 0.0
+        # pending tables drain once acks get through
+        wait_for(lambda: not host._pending and not client._pending,
+                 timeout=10.0)
+        assert not host._pending and not client._pending
+    finally:
+        client.close()
+        host.close()
+
+
+def test_reliable_rpc_exactly_once_despite_resends(port):
+    """Dropped ACKs force resends; the receiver must dedup (deliver once,
+    ack every copy)."""
+    host = make_peer(port)
+    client = make_peer(port)
+    try:
+        host.resend_interval = 0.05
+        client.drop_rate = 1.0        # client's acks all drop
+        host.send_rpc("RoundStart", ["1"], reliable=True)
+        got = []
+        wait_for(lambda: got.extend(
+            x for x in client.poll_rpcs() if x[0] == "RoundStart") or got)
+        time.sleep(0.5)               # several resend periods elapse
+        got.extend(x for x in client.poll_rpcs() if x[0] == "RoundStart")
+        assert len(got) == 1          # duplicates suppressed
+        assert host._pending          # unacked: still pending
+        client.drop_rate = 0.0        # acks flow again
+        wait_for(lambda: not host._pending, timeout=10.0)
+    finally:
+        client.close()
+        host.close()
+
+
+def test_reliable_gives_up_after_max_attempts(port):
+    host = make_peer(port)
+    client = make_peer(port)
+    try:
+        host.resend_interval = 0.02
+        host.max_resend_attempts = 3
+        host.drop_rate = 1.0          # nothing ever arrives
+        host.send_rpc("Never", [], reliable=True)
+        wait_for(lambda: not host._pending, timeout=10.0)
+        assert not host._pending
+    finally:
+        client.close()
+        host.close()
