@@ -261,6 +261,8 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
 
     vin = {"position": scene["position"], "uv": scene["uv"],
            "normal": scene["normal"], "color": scene["color"]}
+    if "tangent" in scene:
+        vin["tangent"] = scene["tangent"]   # normal mapping (ops/normalmap)
     if "anim_positions" in scene:
         # Flip-book animation on device (ModelLoader.cs:331-348): select
         # each animated mesh's current frame from the traced
@@ -304,6 +306,12 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                "tex_ox": jnp.take(aoff[:, 1], tid2),
                "tex_h": jnp.take(asiz[:, 0], tid2),
                "tex_w": jnp.take(asiz[:, 1], tid2)}
+    if "tri_normal_tex_id" in scene:
+        nid2 = jnp.repeat(scene["tri_normal_tex_id"], 2)
+        per_tri.update(nm_oy=jnp.take(aoff[:, 0], nid2),
+                       nm_ox=jnp.take(aoff[:, 1], nid2),
+                       nm_h=jnp.take(asiz[:, 0], nid2),
+                       nm_w=jnp.take(asiz[:, 1], nid2))
     if params.use_mipmaps and "atlas_mip_offsets" in scene:
         # Per-triangle LOD (deferred shading has no pixel quads for
         # derivatives): texel-per-pixel ratio = |uv cross| · texels ·

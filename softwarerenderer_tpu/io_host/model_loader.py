@@ -403,8 +403,13 @@ def model_instances(model: Model, model_matrix: Optional[np.ndarray] = None,
                                  for f in frames])
             anim_nrm = np.stack([np.asarray(f.meshes[i]["normal"], F32)
                                  for f in frames])
+        ntex = None
+        npath = material.texture_path("normals")
+        if npath is not None:
+            ntex = load_texture(npath)   # reference loads, never samples
         out.append(MeshInstance(mesh=mesh, model_matrix=mm, texture=tex,
                                 material=material,
+                                normal_texture=ntex,
                                 animation_positions=anim_pos,
                                 animation_normals=anim_nrm,
                                 skin=mesh.get("skin")))

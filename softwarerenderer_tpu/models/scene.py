@@ -289,6 +289,11 @@ class MeshInstance:
     model_matrix: np.ndarray = dataclasses.field(
         default_factory=lambda: np.eye(4, dtype=F32))
     texture: Optional[np.ndarray] = None   # (H, W, 4) float32, or None
+    # Tangent-space normal map (ops/normalmap.py; the reference loads
+    # these paths but never samples them — ModelLoader.cs:221-281).
+    # Packs into the same atlas; per-vertex tangents are computed at
+    # pack time.
+    normal_texture: Optional[np.ndarray] = None
     material: Material = Material()
     animation_positions: Optional[np.ndarray] = None   # (F, V, 3)
     animation_normals: Optional[np.ndarray] = None     # (F, V, 3)
@@ -314,6 +319,14 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     matrices, centers, radii, base_colors = [], [], [], []
     textures = []
     tex_id_of = {}
+    tangents, tri_nm_id = [], []
+    any_normal_map = any(inst.normal_texture is not None
+                         for inst in instances)
+    # 1×1 neutral tangent-space normal (+z): instances without a normal
+    # map stay flat-shaded under the normal-mapped shader.  Only packed
+    # when the scene uses normal mapping at all (atlas layout unchanged
+    # otherwise).
+    neutral_nm = np.asarray([[[0.5, 0.5, 1.0, 1.0]]], F32)
     anim = {"pos": [], "nrm": [], "vidx": [], "slot": [], "nf": []}
     sk = {"joints": [], "weights": [], "vidx": [], "parent": [],
           "inv_bind": [], "trans": [], "rot": [], "scale": [],
@@ -382,6 +395,23 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         else:
             tex = 0
         tri_tex_id.append(np.full(t, tex, dtype=np.int32))
+        if any_normal_map:
+            nm_tex = inst.normal_texture if inst.normal_texture is not None \
+                else neutral_nm
+            key = id(nm_tex)
+            if key not in tex_id_of:
+                textures.append(nm_tex)
+                tex_id_of[key] = len(textures)
+            if inst.normal_texture is not None:
+                from softwarerenderer_tpu.ops.normalmap import (
+                    compute_tangents,
+                )
+                tangents.append(compute_tangents(pos, mesh["uv"],
+                                                 mesh["normal"], idx))
+            else:
+                tangents.append(np.tile(np.asarray([[1, 0, 0, 1]], F32),
+                                        (v, 1)))
+            tri_nm_id.append(np.full(t, tex_id_of[key], dtype=np.int32))
         matrices.append(np.asarray(inst.model_matrix, dtype=F32))
         # Animated meshes: bound every frame so culling stays conservative.
         if inst.skin is not None:
@@ -424,6 +454,9 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         "atlas_mip_sizes": atlas.mip_sizes,
         "atlas_n_mips": atlas.n_mips,
     }
+    if any_normal_map:
+        out["tangent"] = np.concatenate(tangents, axis=0)
+        out["tri_normal_tex_id"] = np.concatenate(tri_nm_id, axis=0)
     if anim["nf"]:
         # Frame stacks concatenated on the vertex axis, frame axis padded to
         # the longest animation (selection is per-mesh modulo n_frames, so
