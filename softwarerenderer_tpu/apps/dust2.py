@@ -552,6 +552,27 @@ class Dust2Game:
                 p = self.engine.params
                 self._swap_params(p.replace(
                     use_mipmaps=not bool(p.use_mipmaps)))
+            elif ch == "n" and "tangent" in self.scene:
+                # normal-mapped shading toggle (beyond reference): the
+                # gun carries a real normal map; unmapped meshes shade
+                # flat via the neutral atlas texel (ops/normalmap.py).
+                # No-op when no loaded asset has a normal map (fallback
+                # scenes carry no tangent buffers).
+                self.normal_mapped = not getattr(self, "normal_mapped",
+                                                 False)
+                from softwarerenderer_tpu.ops import normalmap as _nm
+                old = self.engine
+                vs = (_nm.normal_mapped_vertex_shader
+                      if self.normal_mapped else None)
+                fs = (_nm.normal_mapped_fragment_shader
+                      if self.normal_mapped else None)
+                kw = {}
+                if vs is not None:
+                    kw = dict(vertex_shader=vs, fragment_shader=fs)
+                self.engine = Engine(old.scene, old.params, **kw)
+                self.engine.scene = old.scene
+                self.engine.uniforms = old.uniforms
+                self._wire_engine = None
             elif ch == "[":
                 self._tune_idx = (self._tune_idx - 1) % len(self.TUNABLES)
             elif ch == "]":
@@ -846,7 +867,8 @@ class Dust2Game:
             p = self.engine.params
             lines.append(f"ssaa [o]: {p.ssaa}x   mips [m]: "
                          f"{bool(p.use_mipmaps)}   wire [p]: "
-                         f"{self.wireframe}")
+                         f"{self.wireframe}   nmap [n]: "
+                         f"{getattr(self, 'normal_mapped', False)}")
             lines.append("-- tunables ([ ] select, -/= adjust) --")
             for i, (name, kind, *_rest) in enumerate(self.TUNABLES):
                 mark = ">" if i == self._tune_idx else " "

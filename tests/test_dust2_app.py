@@ -251,3 +251,19 @@ def test_ssaa_and_mip_toggles():
         assert g.engine.params.use_mipmaps is False
     finally:
         g.close()
+
+
+def test_normal_map_toggle():
+    """'n' swaps in the normal-mapped shader pair and a frame renders."""
+    g = make_game(offline=True)
+    try:
+        inp = {"keys": set(), "mouse_delta": (0.0, 0.0),
+               "mouse_down": False, "chars": "n", "quit": False}
+        g.step(1 / 60, inp)
+        assert g.normal_mapped is True
+        assert g.window.last_frame is not None
+        inp["chars"] = "n"
+        g.step(1 / 60, inp)
+        assert g.normal_mapped is False
+    finally:
+        g.close()
