@@ -911,6 +911,37 @@ class Dust2Game:
         finally:
             self.close()
 
+    def save_state(self, path: str) -> None:
+        """Checkpoint the deterministic sim state (utils/checkpoint —
+        beyond the reference, which persists nothing).  The sim is a pure
+        jitted function of (state, inputs), so a restored checkpoint
+        replays bit-identically under the same input script."""
+        from softwarerenderer_tpu.utils import checkpoint
+        checkpoint.save(path, {
+            "char": jax.device_get(self.char),
+            "cam_rotation": np.asarray(self.cam_rotation),
+            "cam_position": np.asarray(self.cam_position),
+            "weapon_sway": np.asarray(self.weapon_sway),
+            "recoil": np.asarray(self.recoil),
+            "time": np.float64(self.time),
+            "last_shot": np.float64(self.last_shot),
+            "noclip": np.asarray(self.noclip),
+            "char_params": jax.device_get(self.char_params),
+        })
+
+    def load_state(self, path: str) -> None:
+        from softwarerenderer_tpu.utils import checkpoint
+        st = checkpoint.load(path)
+        self.char = jax.device_put(st["char"])
+        self.cam_rotation = np.asarray(st["cam_rotation"], F32)
+        self.cam_position = np.asarray(st["cam_position"], F32)
+        self.weapon_sway = np.asarray(st["weapon_sway"], F32)
+        self.recoil = np.asarray(st["recoil"], F32)
+        self.time = float(st["time"])
+        self.last_shot = float(st["last_shot"])
+        self.noclip = bool(st["noclip"])
+        self.char_params = jax.device_put(st["char_params"])
+
     def close(self):
         if self.net.is_connected:
             self.net.send_rpc("DisconnectedPlayer",

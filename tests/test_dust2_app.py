@@ -267,3 +267,39 @@ def test_normal_map_toggle():
         assert g.normal_mapped is False
     finally:
         g.close()
+
+
+def test_checkpoint_replay_is_deterministic(tmp_path):
+    """Save mid-run, keep playing a scripted input tail, then restore and
+    replay the same tail: the sim lands in the identical state (the sim
+    is a pure jitted function of state+inputs — SURVEY.md §5
+    checkpoint/resume, which the reference lacks entirely)."""
+    g = make_game(offline=True, seed=3)
+    try:
+        def scripted(i):
+            keys = {"w"} if i % 3 else {"w", "a"}
+            if i % 7 == 0:
+                keys.add("space")
+            return {"keys": keys, "mouse_delta": (2.0, 1.0),
+                    "mouse_down": False, "chars": "", "quit": False}
+
+        for i in range(6):
+            g.step(1 / 60, scripted(i))
+        ckpt = str(tmp_path / "mid.npz")
+        g.save_state(ckpt)
+        for i in range(6, 12):
+            g.step(1 / 60, scripted(i))
+        end_pos = np.asarray(g.char["position"]).copy()
+        end_rot = np.asarray(g.cam_rotation).copy()
+
+        g.load_state(ckpt)
+        np.testing.assert_array_equal(
+            np.asarray(g.char["position"]),
+            np.asarray(g.char["position"]))
+        for i in range(6, 12):
+            g.step(1 / 60, scripted(i))
+        np.testing.assert_array_equal(np.asarray(g.char["position"]),
+                                      end_pos)
+        np.testing.assert_array_equal(np.asarray(g.cam_rotation), end_rot)
+    finally:
+        g.close()
