@@ -199,6 +199,24 @@ class Dust2Game:
             self.player_slices.append((len(insts), len(insts) + len(pinsts)))
             insts += pinsts
 
+        # Bullet-hole decal slots (beyond reference: the LevelHit RPC
+        # carries hit point+normal, Renderer.cs:227-244, but nothing
+        # renders it).  Pre-packed hidden quads — placing a decal only
+        # rewrites a mesh matrix + the visibility mask, no recompile.
+        self.n_decals = 24
+        decal_tex = np.zeros((16, 16, 4), F32)
+        yy, xx = np.mgrid[0:16, 0:16]
+        inside = (yy - 7.5) ** 2 + (xx - 7.5) ** 2 <= 7.5 ** 2
+        decal_tex[..., :3] = 0.06
+        decal_tex[..., 3] = np.where(inside, 0.85, 0.0)
+        self.decal_slice = (len(insts), len(insts) + self.n_decals)
+        for _ in range(self.n_decals):
+            insts.append(scene_mod.MeshInstance(
+                primitives.plane(0.1), np.eye(4, dtype=F32),
+                texture=decal_tex))
+        self._decal_next = 0
+        self._decal_used = 0
+
         # Flip-book animation sources: one entry per ANIMATED mesh instance
         # (in scene order), pointing at the host Model whose PlayAnimation
         # clock drives its device-side frame index (ModelLoader.cs:331-348).
@@ -369,6 +387,12 @@ class Dust2Game:
             elif method == "PlayerHit" and len(params) >= 3:
                 self._handle_player_hit(int(params[0]), float(params[2]),
                                         attacker_id=int(params[1]))
+            elif method == "LevelHit" and len(params) >= 7:
+                self._place_decal(
+                    np.asarray([float(params[1]), float(params[2]),
+                                float(params[3])], F32),
+                    np.asarray([float(params[4]), float(params[5]),
+                                float(params[6])], F32))
             elif method == "Shoot" and len(params) >= 3:
                 shot_pos = np.asarray([float(params[0]), float(params[1]),
                                        float(params[2])], F32)
@@ -755,9 +779,36 @@ class Dust2Game:
                         repr(float(point[2])),
                         repr(float(normal[0])), repr(float(normal[1])),
                         repr(float(normal[2]))])
+                    # (send_rpc's local echo places our own decal)
+            elif hit_player is None and mesh_id is not None \
+                    and mesh_id < self.n_map:
+                # Offline: no RPC loop to echo the hit — place directly.
+                self._place_decal(point, normal)
         # recoil kick (Renderer.cs:248) — 45 is in RADIANS in the reference.
         self.recoil = np.asarray(ml.quat_mul(
             self.recoil, ml.quat_from_yaw_pitch_roll(0.0, 45.0, 0.0)), F32)
+
+    def _place_decal(self, point: np.ndarray, normal: np.ndarray) -> None:
+        """Place a bullet-hole quad at a LevelHit: orient the plane's +y
+        onto the surface normal, offset slightly along it (ring buffer of
+        pre-packed slots — oldest holes recycle)."""
+        n = np.asarray(normal, F32)
+        ln = float(np.linalg.norm(n))
+        if ln < 1e-6:
+            return
+        n = n / ln
+        a = np.asarray([0, 1, 0], F32) if abs(n[1]) < 0.9 \
+            else np.asarray([1, 0, 0], F32)
+        t = np.cross(a, n)
+        t = t / np.linalg.norm(t)
+        b = np.cross(n, t)
+        m = np.eye(4, dtype=F32)
+        m[0, :3], m[1, :3], m[2, :3] = t, n, b
+        m[3, :3] = np.asarray(point, F32) + n * F32(0.01)
+        slot = self.decal_slice[0] + self._decal_next
+        self._mesh_matrices[slot] = m
+        self._decal_next = (self._decal_next + 1) % self.n_decals
+        self._decal_used = min(self._decal_used + 1, self.n_decals)
 
     # -- render ---------------------------------------------------------------
 
@@ -769,6 +820,9 @@ class Dust2Game:
         """RenderScene (Renderer.cs:404-419): update matrices + one frame."""
         mm = self._mesh_matrices
         visible = np.ones(self.n_meshes, bool)
+        # Unplaced decal slots stay hidden.
+        visible[self.decal_slice[0] + self._decal_used:
+                self.decal_slice[1]] = False
 
         # Spectator camera: watch through the target's eyes; hide the gun
         # and the target's own model.  Falls back to first person when the

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from softwarerenderer_tpu.apps.dust2 import Dust2Game
+from softwarerenderer_tpu.utils import mathlib as ml_mod
 
 # App-level tests compile the full dust2 frame program (+ character step):
 # ~90-110 s each on the CPU backend — the slow tier (pytest -m "not slow").
@@ -301,5 +302,37 @@ def test_checkpoint_replay_is_deterministic(tmp_path):
         np.testing.assert_array_equal(np.asarray(g.char["position"]),
                                       end_pos)
         np.testing.assert_array_equal(np.asarray(g.cam_rotation), end_rot)
+    finally:
+        g.close()
+
+
+def test_bullet_hole_decals():
+    """Shooting the map places a bullet-hole decal quad (beyond the
+    reference: it sends LevelHit point+normal but renders nothing).  The
+    decal appears in the frame and recycles through the slot ring."""
+    g = make_game(offline=True, seed=1)
+    try:
+        # aim straight down at the floor; settle the pipelined present
+        g.cam_rotation = np.asarray(
+            ml_mod.quat_from_axis_angle([1.0, 0.0, 0.0], -np.pi / 2),
+            np.float32)
+        g.step(1 / 60)
+        g.step(1 / 60)
+        before = g.window.last_frame.copy()
+        assert g._decal_used == 0
+        g.shoot()
+        assert g._decal_used == 1
+        lo = g.decal_slice[0]
+        assert np.isfinite(g._mesh_matrices[lo]).all()
+        g.step(1 / 60)
+        g.step(1 / 60)     # present is pipelined one frame behind
+        after = g.window.last_frame.copy()
+        assert (np.abs(before.astype(int) - after.astype(int)).max(-1)
+                > 10).sum() > 3          # the hole is visible
+        # ring recycling: more shots than slots never overflows
+        for _ in range(g.n_decals + 3):
+            g._place_decal(np.asarray([0, 0, 0], np.float32),
+                           np.asarray([0, 1, 0], np.float32))
+        assert g._decal_used == g.n_decals
     finally:
         g.close()
