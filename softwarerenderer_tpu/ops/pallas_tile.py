@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from softwarerenderer_tpu.config import DepthTest, RenderParams
 from softwarerenderer_tpu.ops.binning import _cdiv, bin_triangles
 from softwarerenderer_tpu.ops.geometry import unflatten_varyings
-from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR, _blend
+from softwarerenderer_tpu.ops.raster import _blend
 
 F32 = jnp.float32
 N_FIELDS = 16     # setup-stream rows: s0x s0y s1x s1y s2x s2y d0 d1 d2 ia idx

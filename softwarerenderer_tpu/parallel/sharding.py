@@ -135,7 +135,6 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         # the single-device SSAA path is preserved — the downsample runs
         # after the order-restoring gather).
         f = params.ssaa
-        import jax.numpy as _jnp
         color, depth = render_frame_sharded(
             scene, uniforms,
             params.replace(width=params.width * f,

@@ -132,7 +132,6 @@ def _simple_skin_gltf(tmp_path):
     1 s.  Matrices/quats use glTF's column-major / xyzw conventions."""
     import base64
     import json
-    import struct
 
     pos = np.asarray([[-0.5, 0, 0], [0.5, 0, 0], [-0.5, 1, 0],
                       [0.5, 1, 0], [-0.5, 2, 0], [0.5, 2, 0]], np.float32)
