@@ -122,6 +122,10 @@ class RenderParams:
     # ON.  Engages only on the TPU backend with LESS_EQUAL depth; every
     # other configuration falls back to the XLA fused path automatically.
     use_pallas: bool = True
+    # Screen-space ambient occlusion (ops/ssao.py, beyond the reference):
+    # a depth-only crease-darkening post pass in the same program.  Off
+    # by default (the parity mode).
+    ssao: bool = False
     # Supersampled anti-aliasing (beyond the reference, which has none):
     # render every pass at ssaa× in each axis, then box-filter colors back
     # to (height, width).  Returned depth is the supersample-grid's

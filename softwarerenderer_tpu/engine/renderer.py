@@ -225,6 +225,17 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         color = color.reshape(H, f, W, f, 4).mean(axis=(1, 3))
         depth = depth[::f, ::f]
         return color, depth
+    if params.ssao:
+        # SSAO post pass (ops/ssao.py): render normally (sky included),
+        # then darken covered pixels by the depth-derived occlusion term.
+        # Under ssaa the outer branch runs this at the supersampled size.
+        from softwarerenderer_tpu.ops import ssao as ssao_mod
+        color, depth = render_frame(scene, uniforms,
+                                    params.replace(ssao=False),
+                                    vertex_shader=vertex_shader,
+                                    fragment_shader=fragment_shader,
+                                    chunk=chunk, fb=fb)
+        return ssao_mod.apply_ssao(color, depth, uniforms, xp=jnp)
     if "sky_panorama" in uniforms:
         # Equirect sky (ops/sky.py, beyond the reference's flat clear
         # color): render without it, then fill clear-depth pixels by

@@ -302,3 +302,42 @@ def test_sky_panorama_compositing():
     eng4.scene = eng.scene
     c3, _ = map(np.asarray, eng4.render(u))
     np.testing.assert_allclose(c3[4, 64, :3], [1, 0, 0], atol=1e-2)
+
+
+def test_ssao_darkens_creases_only():
+    """SSAO: the floor-wall contact line darkens, open flat areas stay
+    (nearly) untouched, sky pixels exactly untouched; depth unchanged."""
+    from softwarerenderer_tpu.engine import Engine
+    from softwarerenderer_tpu.ops import ssao as ssao_mod
+    from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR
+
+    # linear-depth reconstruction sanity: near and far plane round-trip
+    u = {"near_clip": np.float32(0.1), "far_clip": np.float32(100.0)}
+    d = ssao_mod.linear_view_distance(
+        np.asarray([-0.5, -1.0, DEPTH_CLEAR], np.float32), 0.1, 100.0)
+    np.testing.assert_allclose(d, [0.1, 100.0, 100.0], rtol=1e-4)
+
+    white = np.ones((8, 8, 4), np.float32)
+    insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                    ml.translation([0, -1, 0]),
+                                    texture=white),
+             scene_mod.MeshInstance(primitives.cube(2.0),
+                                    ml.translation([0, 0, -5.0]),
+                                    texture=white)]
+    sc = scene_mod.build_scene_buffers(insts)
+    p = RenderParams(width=160, height=120, use_pallas=False)
+    e0 = Engine(sc, p)
+    e1 = Engine(sc, p.replace(ssao=True))
+    e1.scene = e0.scene
+    u = dict(e0.uniforms)
+    u["camera_position"] = np.float32([0, 0.8, 0.0])
+    c0, d0 = map(np.asarray, e0.render(u))
+    c1, d1 = map(np.asarray, e1.render(u))
+    np.testing.assert_array_equal(d0, d1)
+    dark = c0[..., :3].sum(-1) - c1[..., :3].sum(-1)
+    covered = d0 != DEPTH_CLEAR
+    assert (dark[~covered] == 0).all()            # sky untouched
+    assert dark.max() > 0.2                       # creases darken
+    # darkening concentrates near depth discontinuities: most covered
+    # pixels are (nearly) unchanged
+    assert (dark[covered] < 0.05).mean() > 0.5
