@@ -26,7 +26,7 @@ GOLDEN_SIZES = {1: (320, 240), 2: (320, 180), 3: (480, 270),
 # shadow maps, mip-mapped sampling.
 FEATURES = ("wireframe", "kbuffer", "shadows", "mips",
             "point_shadows", "spot_shadows", "skinning", "ssaa",
-            "trilinear")
+            "trilinear", "ssao")
 
 
 def _sanitize_env():
@@ -232,6 +232,25 @@ def render_feature(name: str):
         u = dict(eng.uniforms)
         u["camera_position"] = np.float32([0, 0.5, 0])
         u["far_clip"] = np.float32(2000.0)
+        return eng.present(u)
+    if name == "ssao":
+        gray = np.asarray(tex_ops.checkerboard(
+            32, 4, (0.85, 0.85, 0.85, 1.0), (0.7, 0.7, 0.7, 1.0))["data"])
+        insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                        ml.translation([0, -1, 0]),
+                                        texture=gray),
+                 scene_mod.MeshInstance(primitives.cube(1.4),
+                                        ml.translation([-0.9, -0.3, -4.0]),
+                                        texture=gray),
+                 scene_mod.MeshInstance(primitives.cube(0.9),
+                                        ml.translation([1.1, -0.55, -3.2]),
+                                        texture=gray)]
+        eng = Engine(scene_mod.build_scene_buffers(insts),
+                     RenderParams(width=320, height=240, ssao=True))
+        u = dict(eng.uniforms)
+        u["camera_position"] = np.float32([0, 0.8, 0.0])
+        u["camera_rotation"] = np.asarray(
+            ml.quat_from_axis_angle([1.0, 0, 0], -0.25), np.float32)
         return eng.present(u)
     if name == "mips":
         insts = []

@@ -571,6 +571,10 @@ class Dust2Game:
                 # static param, so this compiles a new frame program once.
                 p = self.engine.params
                 self._swap_params(p.replace(ssaa=2 if p.ssaa == 1 else 1))
+            elif ch == "k":
+                # SSAO toggle (beyond reference)
+                p = self.engine.params
+                self._swap_params(p.replace(ssao=not p.ssao))
             elif ch == "m":
                 # mip-mapped sampling toggle (beyond reference)
                 p = self.engine.params
@@ -922,7 +926,8 @@ class Dust2Game:
             lines.append(f"ssaa [o]: {p.ssaa}x   mips [m]: "
                          f"{bool(p.use_mipmaps)}   wire [p]: "
                          f"{self.wireframe}   nmap [n]: "
-                         f"{getattr(self, 'normal_mapped', False)}")
+                         f"{getattr(self, 'normal_mapped', False)}   "
+                         f"ssao [k]: {p.ssao}")
             lines.append("-- tunables ([ ] select, -/= adjust) --")
             for i, (name, kind, *_rest) in enumerate(self.TUNABLES):
                 mark = ">" if i == self._tune_idx else " "

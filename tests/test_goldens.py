@@ -42,7 +42,8 @@ def test_golden_config(n):
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["wireframe", "kbuffer", "shadows",
                                   "mips", "point_shadows", "spot_shadows",
-                                  "skinning", "ssaa", "trilinear"])
+                                  "skinning", "ssaa", "trilinear",
+                                  "ssao"])
 def test_golden_feature(name):
     """Feature-path goldens: wireframe, K-buffer, shadows, mips
     (ROADMAP #11)."""
