@@ -323,6 +323,26 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                        nm_ox=jnp.take(aoff[:, 1], nid2),
                        nm_h=jnp.take(asiz[:, 0], nid2),
                        nm_w=jnp.take(asiz[:, 1], nid2))
+    if "mesh_metallic" in scene:
+        # PBR material channels, 8-bit-quantized into the integer
+        # per-triangle extras (pruned unless the shader declares them).
+        mid2 = jnp.repeat(scene["tri_mesh_id"], 2)
+
+        def q256(table):
+            return jnp.clip(jnp.round(jnp.take(
+                jnp.asarray(table, F32), mid2) * F32(256.0)),
+                0, 1020).astype(jnp.int32)
+
+        em = jnp.asarray(scene["mesh_emissive"], F32)
+        bc = jnp.asarray(scene["base_color"], F32)
+        per_tri.update(mat_m256=q256(scene["mesh_metallic"]),
+                       mat_r256=q256(scene["mesh_roughness"]),
+                       mat_er256=q256(em[:, 0]),
+                       mat_eg256=q256(em[:, 1]),
+                       mat_eb256=q256(em[:, 2]),
+                       mat_br256=q256(bc[:, 0]),
+                       mat_bg256=q256(bc[:, 1]),
+                       mat_bb256=q256(bc[:, 2]))
     if params.use_mipmaps and "atlas_mip_offsets" in scene:
         # Per-triangle LOD (deferred shading has no pixel quads for
         # derivatives): texel-per-pixel ratio = |uv cross| · texels ·

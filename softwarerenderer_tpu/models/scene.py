@@ -319,6 +319,7 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     matrices, centers, radii, base_colors = [], [], [], []
     textures = []
     tex_id_of = {}
+    metallics, roughnesses, emissives = [], [], []
     tangents, tri_nm_id = [], []
     any_normal_map = any(inst.normal_texture is not None
                          for inst in instances)
@@ -431,6 +432,9 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         centers.append(c)
         radii.append(r)
         base_colors.append(np.asarray(inst.material.base_color, dtype=F32))
+        metallics.append(float(inst.material.metallic))
+        roughnesses.append(float(inst.material.roughness))
+        emissives.append(np.asarray(inst.material.emissive[:3], F32))
         v_off += v
 
     atlas = pack_atlas(textures)
@@ -447,6 +451,12 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         "bounds_center": np.stack(centers, axis=0),
         "bounds_radius": np.asarray(radii, dtype=F32),
         "base_color": np.stack(base_colors, axis=0),
+        # PBR-ish material properties the reference imports but never
+        # shades with (Material.cs, ModelLoader.cs:221-281) — consumed by
+        # ops/lighting.pbr_scene_fragment_shader.
+        "mesh_metallic": np.asarray(metallics, F32),
+        "mesh_roughness": np.asarray(roughnesses, F32),
+        "mesh_emissive": np.stack(emissives, axis=0),
         "atlas_data": atlas.data,
         "atlas_offsets": atlas.offsets,
         "atlas_sizes": atlas.sizes,

@@ -149,3 +149,81 @@ def lit_scene_vertex_shader(vin, uniforms, xp):
         "data": {"world_normal": world_normal,
                  "world_position": world},
     }
+
+
+multi_light_fragment_shader.tri_extras = (
+    "tex_oy", "tex_ox", "tex_h", "tex_w")
+
+
+def pbr_scene_fragment_shader(frag, uniforms, xp):
+    """Stylized metalness-workflow shading that CONSUMES the
+    metallic / roughness / emissive material properties the reference
+    imports but never uses (Material.cs:14-22, ModelLoader.cs:221-281 —
+    SURVEY.md §2 "kept unused-by-shaders").
+
+    Blinn-Phong specular with a roughness-driven exponent, metalness
+    blending F0 between dielectric 0.04 and the albedo, emissive added
+    unfogged-by-light (fog still applies).  Per-triangle 8-bit material
+    channels ride the integer extras — no per-pixel table gathers."""
+    from softwarerenderer_tpu.engine.renderer import _frag_atlas_sample
+
+    tri = frag["tri"]
+    m = tri["mat_m256"].astype(xp.float32) * F32(1 / 256.0)
+    r = tri["mat_r256"].astype(xp.float32) * F32(1 / 256.0)
+    emissive = xp.stack(
+        [tri["mat_er256"], tri["mat_eg256"], tri["mat_eb256"]],
+        axis=-1).astype(xp.float32) * F32(1 / 256.0)
+
+    n = frag["data"]["world_normal"]
+    n = n / xp.sqrt(xp.maximum(xp.sum(n * n, -1, keepdims=True),
+                               F32(1e-30)))
+    wp = frag["data"]["world_position"][..., :3]
+    v = uniforms["camera_position"] - wp
+    v = v / xp.sqrt(xp.maximum(xp.sum(v * v, -1, keepdims=True),
+                               F32(1e-30)))
+    ld = uniforms["light_direction"]
+    l = -ld / xp.sqrt(xp.maximum(xp.sum(ld * ld, -1), F32(1e-30)))
+    h = l + v
+    h = h / xp.sqrt(xp.maximum(xp.sum(h * h, -1, keepdims=True),
+                               F32(1e-30)))
+    ndl = xp.maximum(xp.sum(n * l, -1), F32(0.0))
+    ndh = xp.maximum(xp.sum(n * h, -1), F32(0.0))
+
+    tex_color = _frag_atlas_sample(frag, uniforms, xp)
+    base = frag["color"] * tex_color
+    # Fold the MATERIAL base color in (the reference's shaders ignore it;
+    # here it tints the albedo like glTF's baseColorFactor).
+    mat_rgb = xp.stack(
+        [tri["mat_br256"], tri["mat_bg256"], tri["mat_bb256"]],
+        axis=-1).astype(xp.float32) * F32(1 / 256.0)
+    albedo = base[..., :3] * mat_rgb
+
+    # The game's half-Lambert floor (Renderer.cs:851-858) on the diffuse
+    # lobe; roughness sets the Blinn-Phong exponent (clamped for fp32).
+    diffuse = xp.maximum(F32(0.25), xp.sum(n * l, -1))
+    shininess = xp.clip(F32(2.0) / xp.maximum(r * r, F32(1e-3)),
+                        F32(2.0), F32(2048.0))
+    spec = xp.power(ndh, shininess) * (shininess + F32(8.0)) * F32(1 / 8.0)
+    f0 = F32(0.04) * (F32(1.0) - m[..., None]) + albedo * m[..., None]
+
+    light_rgb = uniforms["light_color"][..., :3]
+    lit = (albedo * (F32(1.0) - m[..., None])
+           * (F32(0.1) + F32(0.9) * diffuse[..., None])
+           + f0 * (spec * ndl)[..., None]) * light_rgb + emissive
+
+    depth = frag["clip_position"][..., 2]
+    fog = xp.clip((uniforms["fog_end"] - depth)
+                  / (uniforms["fog_end"] - uniforms["fog_start"]),
+                  F32(0.0), F32(1.0))
+    fog = fog * fog * (F32(3.0) - F32(2.0) * fog)
+    rgb = uniforms["fog_color"][..., :3] \
+        + (lit - uniforms["fog_color"][..., :3]) * fog[..., None]
+    return xp.concatenate([rgb, base[..., 3:4]], axis=-1)
+
+
+pbr_scene_fragment_shader.varyings = (
+    "color", "uv", "data.world_normal", "data.world_position")
+pbr_scene_fragment_shader.tri_extras = (
+    "tex_oy", "tex_ox", "tex_h", "tex_w",
+    "mat_m256", "mat_r256", "mat_er256", "mat_eg256", "mat_eb256",
+    "mat_br256", "mat_bg256", "mat_bb256")
