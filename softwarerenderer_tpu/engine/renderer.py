@@ -244,6 +244,9 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         # is supersampled too.
         from softwarerenderer_tpu.ops import sky
         u2 = {k: v for k, v in uniforms.items() if k != "sky_panorama"}
+        # Shaders can still sample the environment (e.g. the PBR metals'
+        # reflections) through this alias — only the recursion key moves.
+        u2["env_panorama"] = uniforms["sky_panorama"]
         color, depth = render_frame(scene, u2, params,
                                     vertex_shader=vertex_shader,
                                     fragment_shader=fragment_shader,

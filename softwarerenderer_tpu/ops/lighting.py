@@ -211,6 +211,17 @@ def pbr_scene_fragment_shader(frag, uniforms, xp):
            * (F32(0.1) + F32(0.9) * diffuse[..., None])
            + f0 * (spec * ndl)[..., None]) * light_rgb + emissive
 
+    if "env_panorama" in uniforms:
+        # Environment reflections: when the frame has a sky panorama
+        # (engine aliases it as env_panorama inside the sky branch),
+        # metals mirror it along the reflected view ray, faded by
+        # roughness.  One extra bilinear panorama fetch per pixel.
+        from softwarerenderer_tpu.ops.sky import sample_panorama
+        refl = F32(2.0) * xp.sum(n * v, -1, keepdims=True) * n - v
+        env = sample_panorama(uniforms["env_panorama"], refl, xp=xp)
+        gloss = xp.clip(F32(1.0) - r, 0.0, 1.0) * m
+        lit = lit + f0 * env[..., :3] * gloss[..., None]
+
     depth = frag["clip_position"][..., 2]
     fog = xp.clip((uniforms["fog_end"] - depth)
                   / (uniforms["fog_end"] - uniforms["fog_start"]),

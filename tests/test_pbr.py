@@ -88,3 +88,38 @@ def test_emissive_glows_with_no_light():
     covered = d0 != float(DEPTH_CLEAR)
     assert c0[covered][..., 1].max() < 0.05          # pitch dark
     assert np.median(c1[covered][..., 1]) > 0.8      # green glow
+
+
+def test_metal_reflects_sky_panorama():
+    """With a sky panorama, glossy metals mirror the environment: a
+    sphere under a red-top/blue-bottom sky shows both hues in its
+    reflection; without the panorama it stays dark off-highlight."""
+    pano = np.zeros((32, 64, 4), F32)
+    pano[:16] = [1, 0, 0, 1]
+    pano[16:] = [0, 0, 1, 1]
+    shiny = scene_mod.Material(base_color=(1, 1, 1, 1.0),
+                               metallic=1.0, roughness=0.05)
+    insts = [scene_mod.MeshInstance(
+        primitives.uv_sphere(1.0, rings=24, sectors=48),
+        ml.translation([0, 0, -3.0]), material=shiny)]
+    sc = scene_mod.build_scene_buffers(insts)
+    u = default_frame_uniforms(W, H)
+    u["light_color"] = np.zeros(4, F32)            # reflections only
+    u["fog_start"], u["fog_end"] = np.float32(900.0), np.float32(1000.0)
+    params = RenderParams(width=W, height=H, use_pallas=False)
+    fn = jax.jit(functools.partial(
+        render_frame, params=params,
+        vertex_shader=lit_scene_vertex_shader,
+        fragment_shader=pbr_scene_fragment_shader))
+    c0, d = map(np.asarray, fn(sc, u))
+    u2 = dict(u)
+    u2["sky_panorama"] = pano
+    c1, _ = map(np.asarray, fn(sc, u2))
+    covered = d != float(DEPTH_CLEAR)
+    assert c0[covered][..., :3].max() < 0.05       # unlit metal: black
+    red = c1[..., 0] * covered
+    blue = c1[..., 2] * covered
+    assert red.max() > 0.5 and blue.max() > 0.5    # both hues mirrored
+    # upper hemisphere reflects the red sky top
+    ys, xs = np.nonzero(red > 0.5)
+    assert ys.mean() < np.nonzero(covered)[0].mean()
