@@ -126,6 +126,9 @@ class RenderParams:
     # a depth-only crease-darkening post pass in the same program.  Off
     # by default (the parity mode).
     ssao: bool = False
+    # Bloom post pass (ops/bloom.py, beyond the reference): bright-pass +
+    # shift-based separable blur, additive.  Off by default.
+    bloom: bool = False
     # Supersampled anti-aliasing (beyond the reference, which has none):
     # render every pass at ssaa× in each axis, then box-filter colors back
     # to (height, width).  Returned depth is the supersample-grid's

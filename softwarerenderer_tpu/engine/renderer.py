@@ -225,6 +225,18 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         color = color.reshape(H, f, W, f, 4).mean(axis=(1, 3))
         depth = depth[::f, ::f]
         return color, depth
+    if params.bloom:
+        # Bloom runs LAST (over sky and SSAO output) so emissives and the
+        # sun glow across geometry edges.
+        from softwarerenderer_tpu.ops import bloom as bloom_mod
+        color, depth = render_frame(scene, uniforms,
+                                    params.replace(bloom=False),
+                                    vertex_shader=vertex_shader,
+                                    fragment_shader=fragment_shader,
+                                    chunk=chunk, fb=fb)
+        return bloom_mod.apply_bloom(
+            color, threshold=uniforms.get("bloom_threshold", 0.8),
+            strength=uniforms.get("bloom_strength", 0.7), xp=jnp), depth
     if params.ssao:
         # SSAO post pass (ops/ssao.py): render normally (sky included),
         # then darken covered pixels by the depth-derived occlusion term.

@@ -341,3 +341,42 @@ def test_ssao_darkens_creases_only():
     # darkening concentrates near depth discontinuities: most covered
     # pixels are (nearly) unchanged
     assert (dark[covered] < 0.05).mean() > 0.5
+
+
+def test_bloom_spreads_bright_pixels():
+    """Bloom: an emissive-bright region bleeds light past its geometry
+    edge; dark frames are unchanged; depth untouched."""
+    from softwarerenderer_tpu.engine import Engine
+    from softwarerenderer_tpu.ops import bloom as bloom_mod
+
+    # unit check: a single hot pixel spreads into its neighborhood
+    img = np.zeros((32, 32, 4), np.float32)
+    img[16, 16] = [4.0, 4.0, 4.0, 1.0]
+    out = bloom_mod.apply_bloom(img)
+    assert out[16, 22, 0] > img[16, 22, 0]      # glow reaches +6 px
+    dark = np.zeros((8, 8, 4), np.float32)
+    np.testing.assert_array_equal(bloom_mod.apply_bloom(dark), dark)
+
+    white = np.ones((8, 8, 4), np.float32) * 3.0     # overbright texture
+    insts = [scene_mod.MeshInstance(primitives.cube(1.0),
+                                    ml.translation([0, 0, -3.0]),
+                                    texture=white)]
+    sc = scene_mod.build_scene_buffers(insts)
+    p = RenderParams(width=128, height=96, use_pallas=False)
+    e0 = Engine(sc, p)
+    e1 = Engine(sc, p.replace(bloom=True))
+    e1.scene = e0.scene
+    u = dict(e0.uniforms)
+    u["clear_color"] = np.zeros(4, np.float32)
+    u["fog_start"], u["fog_end"] = np.float32(900.0), np.float32(1000.0)
+    u["light_color"] = np.float32([3.0, 3.0, 3.0, 1.0])
+    u["bloom_threshold"] = np.float32(0.2)
+    u["bloom_strength"] = np.float32(1.5)
+    c0, d0 = map(np.asarray, e0.render(u))
+    c1, d1 = map(np.asarray, e1.render(u))
+    np.testing.assert_array_equal(d0, d1)
+    from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR
+    sky = d0 == float(DEPTH_CLEAR)
+    # glow bleeds onto sky pixels adjacent to the cube
+    assert (c1[sky][..., :3].max(-1) > 0.02).sum() > 20
+    assert (c0[sky][..., :3].max(-1) > 0.02).sum() == 0
