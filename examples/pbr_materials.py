@@ -57,7 +57,11 @@ def main(out="/tmp/pbr_materials.png"):
     u["light_direction"] = ld / np.linalg.norm(ld)
     u["fog_start"], u["fog_end"] = np.float32(900.0), np.float32(1000.0)
     u["camera_position"] = np.float32([0, 0.3, 0.5])
-    u["sky_panorama"] = sunset_panorama()
+    pano = sunset_panorama()
+    u["sky_panorama"] = pano
+    # image-based diffuse ambient from the same sky (host-side, once)
+    from softwarerenderer_tpu.ops.sky import irradiance_panorama
+    u["env_irradiance"] = irradiance_panorama(pano)
     c, _ = jax.jit(functools.partial(
         render_frame, params=RenderParams(width=W, height=H),
         vertex_shader=lit_scene_vertex_shader,

@@ -221,6 +221,13 @@ def pbr_scene_fragment_shader(frag, uniforms, xp):
         env = sample_panorama(uniforms["env_panorama"], refl, xp=xp)
         gloss = xp.clip(F32(1.0) - r, 0.0, 1.0) * m
         lit = lit + f0 * env[..., :3] * gloss[..., None]
+    if "env_irradiance" in uniforms:
+        # Image-based diffuse ambient: the cosine-convolved panorama
+        # (sky.irradiance_panorama, computed once host-side) sampled by
+        # the surface NORMAL lights the diffuse lobe.
+        from softwarerenderer_tpu.ops.sky import sample_panorama
+        irr = sample_panorama(uniforms["env_irradiance"], n, xp=xp)
+        lit = lit + albedo * (F32(1.0) - m[..., None]) * irr[..., :3]
 
     depth = frag["clip_position"][..., 2]
     fog = xp.clip((uniforms["fog_end"] - depth)

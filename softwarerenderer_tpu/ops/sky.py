@@ -68,6 +68,46 @@ def sample_panorama(panorama, directions, xp=np):
         xp.stack([u, v], axis=-1), xp=xp)
 
 
+def irradiance_panorama(panorama, out_h: int = 16) -> np.ndarray:
+    """Cosine-convolved (diffuse) irradiance map from an equirect
+    panorama — host-side, run once at scene setup (numpy only).
+
+    Returns a small (out_h, 2·out_h, 4) lat-long map: entry (v, u) is
+    the cosine-weighted average of the environment over the hemisphere
+    around that direction.  Sample it with ops/sky.sample_panorama by
+    the surface NORMAL for image-based diffuse ambient
+    (ops/lighting.pbr_scene_fragment_shader)."""
+    pano = np.asarray(panorama, np.float32)
+    if pano.dtype == np.uint8:
+        pano = pano.astype(np.float32) / 255.0
+    # Downsample the source for the O(out · in) convolution.
+    sh, sw = 16, 32
+    ys = (np.linspace(0, pano.shape[0] - 1, sh)).astype(int)
+    xs = (np.linspace(0, pano.shape[1] - 1, sw)).astype(int)
+    src = pano[np.ix_(ys, xs)][..., :3]                   # (sh, sw, 3)
+
+    def dirs(h, w):
+        v = (np.arange(h) + 0.5) / h
+        u = (np.arange(w) + 0.5) / w
+        theta = v * np.pi                     # 0 at +y
+        phi = (u - 0.5) * 2 * np.pi           # u=0.5 faces -z
+        st = np.sin(theta)[:, None]
+        d = np.stack([np.broadcast_to(np.sin(phi)[None, :] * st, (h, w)),
+                      np.broadcast_to(np.cos(theta)[:, None], (h, w)),
+                      np.broadcast_to(-np.cos(phi)[None, :] * st, (h, w))],
+                     axis=-1)
+        return d, st
+
+    sd, s_sin = dirs(sh, sw)                  # source dirs + solid angle
+    od, _ = dirs(out_h, out_h * 2)
+    cos = np.einsum("hwc,ijc->hwij", od, sd)  # (oh, ow, sh, sw)
+    w = np.maximum(cos, 0.0) * s_sin[None, None]
+    w = w / np.maximum(w.sum(axis=(2, 3), keepdims=True), 1e-9)
+    out = np.einsum("hwij,ijc->hwc", w, src).astype(np.float32)
+    return np.concatenate(
+        [out, np.ones(out.shape[:2] + (1,), np.float32)], axis=-1)
+
+
 def composite_sky(color, depth, uniforms, xp=np):
     """Replace clear-depth pixels with the panorama sample (alpha from the
     frame's clear color is preserved in spirit: sky alpha = 1)."""

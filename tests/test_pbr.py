@@ -123,3 +123,46 @@ def test_metal_reflects_sky_panorama():
     # upper hemisphere reflects the red sky top
     ys, xs = np.nonzero(red > 0.5)
     assert ys.mean() < np.nonzero(covered)[0].mean()
+
+
+def test_irradiance_ambient_lights_diffuse():
+    """sky.irradiance_panorama + env_irradiance: a dielectric sphere
+    under a red-top sky picks up red ambient on upward-facing surfaces
+    even with the direct light off; the irradiance map itself is a
+    normalized cosine average (uniform sky → uniform irradiance)."""
+    from softwarerenderer_tpu.ops.sky import irradiance_panorama
+
+    uni = np.full((16, 32, 4), 0.5, np.float32)
+    irr = irradiance_panorama(uni)
+    np.testing.assert_allclose(irr[..., :3], 0.5, atol=1e-3)
+
+    pano = np.zeros((32, 64, 4), F32)
+    pano[:16] = [1, 0, 0, 1]               # red upper hemisphere
+    irr = irradiance_panorama(pano)
+    # straight-up direction: almost all cosine weight in the red half
+    assert irr[0, 16, 0] > 0.75 and irr[0, 16, 2] < 0.1
+    # straight-down: red contributes ~nothing
+    assert irr[-1, 16, 0] < 0.25
+
+    mat = scene_mod.Material(base_color=(1, 1, 1, 1.0), metallic=0.0,
+                             roughness=1.0)
+    insts = [scene_mod.MeshInstance(
+        primitives.uv_sphere(1.0, rings=24, sectors=48),
+        ml.translation([0, 0, -3.0]), material=mat)]
+    sc = scene_mod.build_scene_buffers(insts)
+    u = default_frame_uniforms(W, H)
+    u["light_color"] = np.zeros(4, F32)
+    u["fog_start"], u["fog_end"] = np.float32(900.0), np.float32(1000.0)
+    u["env_irradiance"] = irr
+    params = RenderParams(width=W, height=H, use_pallas=False)
+    c, d = map(np.asarray, jax.jit(functools.partial(
+        render_frame, params=params,
+        vertex_shader=lit_scene_vertex_shader,
+        fragment_shader=pbr_scene_fragment_shader))(sc, u))
+    covered = d != float(DEPTH_CLEAR)
+    ys, xs = np.nonzero(covered)
+    top = ys < np.median(ys)
+    r_top = c[ys[top], xs[top], 0]
+    r_bot = c[ys[~top], xs[~top], 0]
+    assert r_top.mean() > r_bot.mean() + 0.1      # lit from above, red
+    assert c[covered][..., 2].max() < 0.15        # no blue anywhere
