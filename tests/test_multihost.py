@@ -88,24 +88,34 @@ def test_two_process_dcn_render(tmp_path):
                     SRT_COORD=f"127.0.0.1:{port}", SRT_NUM_PROCS="2",
                     SRT_REPO=REPO, SRT_OUT=out)
 
-    procs = []
-    for pid in range(2):
-        env = dict(env_base, SRT_PROC_ID=str(pid))
-        procs.append(subprocess.Popen(
-            [sys.executable, str(worker_py)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        try:
-            o, _ = p.communicate(timeout=300)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(o)
-    for pid, (p, o) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {pid} failed:\n{o[-3000:]}"
-        assert f"WORKER_DONE {pid}" in o
+    # One retry: the 2-process jax.distributed bootstrap occasionally
+    # times out when the full suite loads this 1-CPU host.
+    for attempt in range(2):
+        procs = []
+        for pid in range(2):
+            env = dict(env_base, SRT_PROC_ID=str(pid))
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker_py)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        outs = []
+        for p in procs:
+            try:
+                o, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                o = "(timeout)"
+            outs.append(o)
+        ok = all(p.returncode == 0 and f"WORKER_DONE {pid}" in o
+                 for pid, (p, o) in enumerate(zip(procs, outs)))
+        if ok:
+            break
+        if attempt == 1:
+            for pid, (p, o) in enumerate(zip(procs, outs)):
+                assert p.returncode == 0 \
+                    and f"WORKER_DONE {pid}" in o, \
+                    f"proc {pid} failed:\n{o[-3000:]}"
 
     # parity vs a single-process render of the same scene
     import jax
