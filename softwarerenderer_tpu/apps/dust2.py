@@ -575,6 +575,10 @@ class Dust2Game:
                 # SSAO toggle (beyond reference)
                 p = self.engine.params
                 self._swap_params(p.replace(ssao=not p.ssao))
+            elif ch == "j":
+                # bloom toggle (beyond reference)
+                p = self.engine.params
+                self._swap_params(p.replace(bloom=not p.bloom))
             elif ch == "m":
                 # mip-mapped sampling toggle (beyond reference)
                 p = self.engine.params
@@ -927,7 +931,7 @@ class Dust2Game:
                          f"{bool(p.use_mipmaps)}   wire [p]: "
                          f"{self.wireframe}   nmap [n]: "
                          f"{getattr(self, 'normal_mapped', False)}   "
-                         f"ssao [k]: {p.ssao}")
+                         f"ssao [k]: {p.ssao}   bloom [j]: {p.bloom}")
             lines.append("-- tunables ([ ] select, -/= adjust) --")
             for i, (name, kind, *_rest) in enumerate(self.TUNABLES):
                 mark = ">" if i == self._tune_idx else " "

@@ -336,3 +336,20 @@ def test_bullet_hole_decals():
         assert g._decal_used == g.n_decals
     finally:
         g.close()
+
+
+def test_ssao_and_bloom_toggles():
+    g = make_game(offline=True)
+    try:
+        inp = {"keys": set(), "mouse_delta": (0.0, 0.0),
+               "mouse_down": False, "chars": "kj", "quit": False}
+        g.step(1 / 60, inp)
+        assert g.engine.params.ssao is True
+        assert g.engine.params.bloom is True
+        assert g.window.last_frame is not None
+        inp["chars"] = "kj"
+        g.step(1 / 60, inp)
+        assert g.engine.params.ssao is False
+        assert g.engine.params.bloom is False
+    finally:
+        g.close()
