@@ -129,6 +129,10 @@ class RenderParams:
     # Bloom post pass (ops/bloom.py, beyond the reference): bright-pass +
     # shift-based separable blur, additive.  Off by default.
     bloom: bool = False
+    # Tone mapping (ops/tonemap.py): None (raw clip, the parity mode) |
+    # "reinhard" | "aces".  Runs outermost, after bloom; exposure is the
+    # traced uniforms["exposure"].
+    tonemap: object = None
     # Supersampled anti-aliasing (beyond the reference, which has none):
     # render every pass at ssaa× in each axis, then box-filter colors back
     # to (height, width).  Returned depth is the supersample-grid's

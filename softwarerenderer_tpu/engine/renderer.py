@@ -225,6 +225,17 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         color = color.reshape(H, f, W, f, 4).mean(axis=(1, 3))
         depth = depth[::f, ::f]
         return color, depth
+    if params.tonemap:
+        # Tone mapping runs outermost so bloom/SSAO/sky output compresses
+        # through the same curve.
+        from softwarerenderer_tpu.ops import tonemap as tm
+        color, depth = render_frame(scene, uniforms,
+                                    params.replace(tonemap=None),
+                                    vertex_shader=vertex_shader,
+                                    fragment_shader=fragment_shader,
+                                    chunk=chunk, fb=fb)
+        return tm.apply_tonemap(color, params.tonemap, uniforms,
+                                xp=jnp), depth
     if params.bloom:
         # Bloom runs LAST (over sky and SSAO output) so emissives and the
         # sun glow across geometry edges.

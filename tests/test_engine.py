@@ -380,3 +380,38 @@ def test_bloom_spreads_bright_pixels():
     # glow bleeds onto sky pixels adjacent to the cube
     assert (c1[sky][..., :3].max(-1) > 0.02).sum() > 20
     assert (c0[sky][..., :3].max(-1) > 0.02).sum() == 0
+
+
+def test_tonemap_compresses_highlights():
+    """tonemap='reinhard'/'aces': monotone, bounded in [0,1), exposure
+    traced; a rendered frame's bright pixels compress while order is
+    preserved; depth untouched."""
+    from softwarerenderer_tpu.engine import Engine
+    from softwarerenderer_tpu.ops import tonemap as tm
+
+    x = np.linspace(0, 8, 100, dtype=np.float32)
+    for mode in ("reinhard", "aces"):
+        y = tm._OPERATORS[mode](x)
+        assert (np.diff(y) >= -1e-6).all()           # monotone
+        assert y.max() <= 1.0 and y[0] <= 1e-6
+
+    white = np.ones((8, 8, 4), np.float32)
+    insts = [scene_mod.MeshInstance(primitives.cube(1.0),
+                                    ml.translation([0, 0, -3.0]),
+                                    texture=white)]
+    sc = scene_mod.build_scene_buffers(insts)
+    p = RenderParams(width=96, height=64, use_pallas=False)
+    e0 = Engine(sc, p)
+    e1 = Engine(sc, p.replace(tonemap="aces"))
+    e1.scene = e0.scene
+    u = dict(e0.uniforms)
+    u["light_color"] = np.float32([4.0, 4.0, 4.0, 1.0])   # overbright
+    u["exposure"] = np.float32(1.0)
+    c0, d0 = map(np.asarray, e0.render(u))
+    c1, d1 = map(np.asarray, e1.render(u))
+    np.testing.assert_array_equal(d0, d1)
+    assert c1[..., :3].max() <= 1.0
+    # exposure is live (traced): lower exposure darkens without recompile
+    u["exposure"] = np.float32(0.25)
+    c2, _ = map(np.asarray, e1.render(u))
+    assert c2[..., :3].mean() < c1[..., :3].mean()

@@ -301,3 +301,29 @@ def test_resample_channel_modes():
     qv = np.asarray([[0, 0, 0, 1.0], [0, 0, 0, -1.0]])
     qq = _resample_channel(qt, qv, np.asarray([0.5]), "LINEAR", True)
     np.testing.assert_allclose(np.abs(qq[0, 3]), 1.0, atol=1e-6)
+
+
+def test_multiple_skins_pack_and_animate_independently():
+    """Three skinned instances with separate skeletons: global joint ids
+    offset correctly and a PER-SKIN anim_time vector drives each clip
+    independently (the crowd pattern)."""
+    meshes = [arm_mesh() for _ in range(3)]
+    skins = [two_bone_skin(m["position"]) for m in meshes]
+    scene = build_scene_buffers(
+        [MeshInstance(m, skin=s) for m, s in zip(meshes, skins)])
+    assert scene["joint_parent"].tolist() == [-1, 0, -1, 2, -1, 4]
+    assert scene["skin_n_frames"].tolist() == [2, 2, 2]
+
+    vin = {k: jnp.asarray(scene[k])
+           for k in ("position", "uv", "normal", "color")}
+    times = np.asarray([0.0, 0.5, 1.0], np.float32)   # per-skin clocks
+
+    out = skinning.apply_skinning(
+        vin, {k: jnp.asarray(v) for k, v in scene.items()
+              if k.startswith(("skin_", "joint_"))},
+        {"anim_time": times}, xp=jnp)["position"]
+    out = np.asarray(out)
+    for i, (m, s) in enumerate(zip(meshes, skins)):
+        ref = skinning.skinned_positions_np(s, m["position"],
+                                            float(times[i]) * s.rate)
+        np.testing.assert_allclose(out[i * 4:(i + 1) * 4], ref, atol=1e-5)
