@@ -200,3 +200,52 @@ def test_clipper_invariants(seed):
             assert (z >= near * w - 5e-4 * np.abs(w) - 1e-4).all(), \
                 (t, z - near * w)
             assert (v >= lo).all() and (v <= hi).all(), (t, v)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1))
+def test_random_skin_device_matches_host(seed):
+    """Random skeleton/weights/tracks: the jitted skinning path equals
+    the numpy reference at arbitrary times (ops/skinning.py)."""
+    import jax.numpy as jnp
+    from softwarerenderer_tpu.models.scene import (MeshInstance, Skin,
+                                                   build_scene_buffers)
+    from softwarerenderer_tpu.ops import skinning
+
+    rng = np.random.default_rng(seed)
+    J = int(rng.integers(1, 6))
+    V = int(rng.integers(3, 12))
+    F = int(rng.integers(1, 5))
+    parent = np.asarray([-1] + [int(rng.integers(0, j))
+                                for j in range(1, J)], np.int32)
+    joints = rng.integers(0, J, (V, 4)).astype(np.int32)
+    w = rng.random((V, 4)).astype(np.float32) + 1e-3
+    w /= w.sum(1, keepdims=True)
+    q = rng.normal(size=(F, J, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    inv_bind = np.broadcast_to(np.eye(4, dtype=np.float32),
+                               (J, 4, 4)).copy()
+    skin = Skin(joints=joints, weights=w, parent=parent,
+                inverse_bind=inv_bind,
+                trans=rng.normal(size=(F, J, 3)).astype(np.float32),
+                rot=q,
+                scale=rng.uniform(0.5, 2.0, (F, J, 3)).astype(np.float32),
+                rate=float(rng.uniform(1.0, 60.0)))
+    mesh = {
+        "position": rng.normal(size=(V, 3)).astype(np.float32),
+        "uv": np.zeros((V, 2), np.float32),
+        "normal": np.tile(np.float32([[0, 0, 1]]), (V, 1)),
+        "color": np.ones((V, 4), np.float32),
+        "indices": np.asarray([[0, 1, 2]], np.int32),
+    }
+    scene = build_scene_buffers([MeshInstance(mesh, skin=skin)])
+    vin = {k: jnp.asarray(scene[k])
+           for k in ("position", "uv", "normal", "color")}
+    t = float(rng.uniform(0.0, 5.0))
+    got = np.asarray(skinning.apply_skinning(
+        vin, {k: jnp.asarray(v) for k, v in scene.items()
+              if k.startswith(("skin_", "joint_"))},
+        {"anim_time": np.float32(t)}, xp=jnp)["position"])
+    ref = skinning.skinned_positions_np(skin, mesh["position"],
+                                        t * skin.rate)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
