@@ -398,7 +398,14 @@ class Dust2Game:
                                        float(params[2])], F32)
                 dist = float(np.linalg.norm(self.cam_position - shot_pos))
                 wav = os.path.join(self.assets_dir, "pistol.wav")
-                audio.play_sound(wav, audio.shot_volume(dist))
+                # stereo pan by the shot's bearing (beyond the
+                # reference's mono distance attenuation)
+                right = np.asarray(ml.quat_rotate(
+                    np.asarray([1, 0, 0], F32), self.cam_rotation), F32)
+                audio.play_sound(
+                    wav, audio.shot_volume(dist),
+                    pan=audio.direction_pan(self.cam_position, right,
+                                            shot_pos))
         except (ValueError, IndexError):
             pass
 

@@ -47,9 +47,12 @@ def _ensure_mixer() -> bool:
         return False
 
 
-def play_sound(path: str, volume: float = 1.0, loop: bool = False
-               ) -> Optional[int]:
-    """Start a WAV; returns a sound id (Sounds.cs:58-211) or None."""
+def play_sound(path: str, volume: float = 1.0, loop: bool = False,
+               pan: float = 0.0) -> Optional[int]:
+    """Start a WAV; returns a sound id (Sounds.cs:58-211) or None.
+
+    pan ∈ [-1 (left), +1 (right)]: constant-power stereo panning
+    (beyond the reference, whose SDL path is mono volume only)."""
     global _next_id
     if not _ensure_mixer():
         # silent backend still hands out ids so game logic proceeds
@@ -65,7 +68,9 @@ def play_sound(path: str, volume: float = 1.0, loop: bool = False
                 _sound_cache[path] = snd
         ch = snd.play(loops=-1 if loop else 0)
         if ch is not None:
-            ch.set_volume(max(0.0, min(1.0, float(volume))))
+            l, r = pan_gains(pan)
+            v = max(0.0, min(1.0, float(volume)))
+            ch.set_volume(v * l, v * r)
         with _lock:
             sid = _next_id
             _next_id += 1
@@ -110,6 +115,29 @@ def cleanup() -> None:
         except Exception:
             pass
         _mixer = None
+
+
+def pan_gains(pan: float) -> tuple:
+    """Constant-power stereo gains for pan ∈ [-1, 1]: equal loudness at
+    any angle (l² + r² = 1), hard left/right at the extremes."""
+    import math
+    pan = max(-1.0, min(1.0, float(pan)))
+    a = (pan + 1.0) * (math.pi / 4.0)     # 0 → left, π/2 → right
+    return math.cos(a), math.sin(a)
+
+
+def direction_pan(listener_pos, listener_right, source_pos) -> float:
+    """Pan from the horizontal angle of the source relative to the
+    listener's right axis (the camera's right vector)."""
+    import numpy as _np
+    d = _np.asarray(source_pos, _np.float32) \
+        - _np.asarray(listener_pos, _np.float32)
+    n = float(_np.linalg.norm(d))
+    if n < 1e-6:
+        return 0.0
+    return float(_np.clip(_np.dot(d / n,
+                                  _np.asarray(listener_right,
+                                              _np.float32)), -1.0, 1.0))
 
 
 def shot_volume(distance: float) -> float:

@@ -104,3 +104,23 @@ def test_slog_kv_and_logger(capsys):
     assert slog.kv(a=1, b="x") == "a=1 b=x"
     log = slog.get_logger("test")
     log.info("hello %s", slog.kv(n=2))
+
+
+def test_audio_pan_gains_constant_power():
+    from softwarerenderer_tpu.io_host import audio
+    import numpy as np
+    for pan in (-1.0, -0.5, 0.0, 0.5, 1.0):
+        l, r = audio.pan_gains(pan)
+        assert abs(l * l + r * r - 1.0) < 1e-6
+    assert audio.pan_gains(-1.0)[1] < 1e-6     # hard left: no right
+    assert audio.pan_gains(1.0)[0] < 1e-6      # hard right: no left
+    c = audio.pan_gains(0.0)
+    assert abs(c[0] - c[1]) < 1e-6             # centered
+
+    # direction_pan: source on the listener's right → pan +1
+    p = audio.direction_pan([0, 0, 0], [1, 0, 0], [5, 0, 0])
+    assert abs(p - 1.0) < 1e-6
+    assert abs(audio.direction_pan([0, 0, 0], [1, 0, 0], [-5, 0, 0])
+               + 1.0) < 1e-6
+    assert audio.direction_pan([0, 0, 0], [1, 0, 0], [0, 0, -5]) == 0.0
+    assert audio.direction_pan([0, 0, 0], [1, 0, 0], [0, 0, 0]) == 0.0
