@@ -7,12 +7,21 @@
 #   3. bench smoke     (tiny frame through the full engine, one JSON line)
 #   4. multichip dryrun (the driver's artifact, self-sanitizing)
 #
-# Usage: scripts/ci.sh [--full]
+# Usage: scripts/ci.sh [--full] [--tpu]
+#   --tpu: additionally run the on-TPU Mosaic verification tier
+#          (scripts/tpu_ci.py; needs the real chip) — gates kernel↔fused
+#          parity, K-buffer parity, Mesh((1,1)) sharded overhead, and a
+#          golden subset through the Mosaic compilation; writes
+#          TPUCHECK.json.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 FULL=${CI_FULL:-0}
-[ "${1:-}" = "--full" ] && FULL=1
+TPU=0
+for a in "$@"; do
+  [ "$a" = "--full" ] && FULL=1
+  [ "$a" = "--tpu" ] && TPU=1
+done
 
 echo "== fast test tier =="
 python -m pytest tests/ -m "not slow" -q
@@ -36,5 +45,10 @@ import __graft_entry__ as g
 g.dryrun_multichip(8)
 print("dryrun_multichip(8) ok")
 EOF
+
+if [ "$TPU" = "1" ]; then
+  echo "== on-TPU Mosaic tier =="
+  python scripts/tpu_ci.py
+fi
 
 echo "CI OK"

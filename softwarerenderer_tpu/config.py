@@ -122,6 +122,12 @@ class RenderParams:
     # ON.  Engages only on the TPU backend with LESS_EQUAL depth; every
     # other configuration falls back to the XLA fused path automatically.
     use_pallas: bool = True
+    # Run the Pallas routes in interpret mode on any backend (tests /
+    # debugging: the kernel code path without Mosaic hardware).  The
+    # interpret compilation can differ from the XLA fused path by an FMA
+    # ulp on borderline edge pixels — compare interpret against
+    # interpret, not against fused, for exact asserts.
+    pallas_interpret: bool = False
     # Screen-space ambient occlusion (ops/ssao.py, beyond the reference):
     # a depth-only crease-darkening post pass in the same program.  Off
     # by default (the parity mode).
@@ -139,6 +145,15 @@ class RenderParams:
     # top-left sample per output pixel (a real rendered sample, not an
     # average of unrelated depths).  1 = off (the parity mode).
     ssaa: int = 1
+    # Post-FX pipeline AS DATA: the order effects apply to the finished
+    # (color, depth) frame.  Each entry runs only when its own switch is
+    # on (sky: uniforms["sky_panorama"] present; ssao/bloom: the flags
+    # above; tonemap: the mode above), so this tuple is pure ordering.
+    # The default reproduces the round-2 fixed nesting exactly (goldens
+    # stable); reordering is a real visual choice — e.g. bloom AFTER
+    # tonemap glows from display-referred values and clips differently
+    # than the default scene-referred bloom.
+    post_fx: tuple = ("sky", "ssao", "bloom", "tonemap")
 
     def replace(self, **kw) -> "RenderParams":
         return dataclasses.replace(self, **kw)

@@ -197,6 +197,47 @@ def camera_matrices(uniforms: Dict, width: int, height: int, xp=jnp):
     return view, proj
 
 
+def _enabled_post_fx(params: RenderParams, uniforms: Dict):
+    """The params.post_fx entries whose switches are on, in order.
+
+    Each effect applies to the finished (color, depth) frame: "sky" fills
+    clear-depth pixels from uniforms["sky_panorama"], "ssao" darkens
+    creases from depth, "bloom" adds the bright-pass glow, "tonemap"
+    compresses through params.tonemap.  The default order (sky → ssao →
+    bloom → tonemap) reproduces the round-2 fixed nesting exactly.
+    """
+    on = {"sky": "sky_panorama" in uniforms,
+          "ssao": bool(params.ssao),
+          "bloom": bool(params.bloom),
+          "tonemap": bool(params.tonemap)}
+    unknown = [f for f in params.post_fx if f not in on]
+    if unknown:
+        raise ValueError(f"unknown post_fx entries {unknown!r}; "
+                         f"valid: {sorted(on)}")
+    for f in on:
+        if on[f] and f not in params.post_fx:
+            raise ValueError(f"post-fx {f!r} is enabled but absent from "
+                             f"params.post_fx {params.post_fx!r}")
+    return tuple(f for f in params.post_fx if on[f])
+
+
+def _apply_post_fx(fx: str, color, depth, uniforms: Dict,
+                   params: RenderParams):
+    if fx == "sky":
+        from softwarerenderer_tpu.ops import sky
+        return sky.composite_sky(color, depth, uniforms, xp=jnp)
+    if fx == "ssao":
+        from softwarerenderer_tpu.ops import ssao as ssao_mod
+        return ssao_mod.apply_ssao(color, depth, uniforms, xp=jnp)
+    if fx == "bloom":
+        from softwarerenderer_tpu.ops import bloom as bloom_mod
+        return bloom_mod.apply_bloom(
+            color, threshold=uniforms.get("bloom_threshold", 0.8),
+            strength=uniforms.get("bloom_strength", 0.7), xp=jnp), depth
+    from softwarerenderer_tpu.ops import tonemap as tm
+    return tm.apply_tonemap(color, params.tonemap, uniforms, xp=jnp), depth
+
+
 def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                  vertex_shader: Callable = scene_vertex_shader,
                  fragment_shader: Callable = scene_fragment_shader,
@@ -225,56 +266,29 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         color = color.reshape(H, f, W, f, 4).mean(axis=(1, 3))
         depth = depth[::f, ::f]
         return color, depth
-    if params.tonemap:
-        # Tone mapping runs outermost so bloom/SSAO/sky output compresses
-        # through the same curve.
-        from softwarerenderer_tpu.ops import tonemap as tm
-        color, depth = render_frame(scene, uniforms,
-                                    params.replace(tonemap=None),
+    fx_chain = _enabled_post_fx(params, uniforms)
+    if fx_chain:
+        # Post-FX pipeline as DATA (params.post_fx; config.py): render the
+        # base frame with every effect stripped, then apply the enabled
+        # effects in the configured order — all inside the same jitted
+        # program.  Runs inside the ssaa branch's inner call, so every
+        # effect (sky included) is supersampled too.
+        base = params.replace(tonemap=None, bloom=False, ssao=False)
+        u2 = uniforms
+        if "sky" in fx_chain:
+            u2 = {k: v for k, v in uniforms.items() if k != "sky_panorama"}
+            # Shaders can still sample the environment (e.g. the PBR
+            # metals' reflections) through this alias — only the
+            # post-step key moves.
+            u2["env_panorama"] = uniforms["sky_panorama"]
+        color, depth = render_frame(scene, u2, base,
                                     vertex_shader=vertex_shader,
                                     fragment_shader=fragment_shader,
                                     chunk=chunk, fb=fb)
-        return tm.apply_tonemap(color, params.tonemap, uniforms,
-                                xp=jnp), depth
-    if params.bloom:
-        # Bloom runs LAST (over sky and SSAO output) so emissives and the
-        # sun glow across geometry edges.
-        from softwarerenderer_tpu.ops import bloom as bloom_mod
-        color, depth = render_frame(scene, uniforms,
-                                    params.replace(bloom=False),
-                                    vertex_shader=vertex_shader,
-                                    fragment_shader=fragment_shader,
-                                    chunk=chunk, fb=fb)
-        return bloom_mod.apply_bloom(
-            color, threshold=uniforms.get("bloom_threshold", 0.8),
-            strength=uniforms.get("bloom_strength", 0.7), xp=jnp), depth
-    if params.ssao:
-        # SSAO post pass (ops/ssao.py): render normally (sky included),
-        # then darken covered pixels by the depth-derived occlusion term.
-        # Under ssaa the outer branch runs this at the supersampled size.
-        from softwarerenderer_tpu.ops import ssao as ssao_mod
-        color, depth = render_frame(scene, uniforms,
-                                    params.replace(ssao=False),
-                                    vertex_shader=vertex_shader,
-                                    fragment_shader=fragment_shader,
-                                    chunk=chunk, fb=fb)
-        return ssao_mod.apply_ssao(color, depth, uniforms, xp=jnp)
-    if "sky_panorama" in uniforms:
-        # Equirect sky (ops/sky.py, beyond the reference's flat clear
-        # color): render without it, then fill clear-depth pixels by
-        # per-pixel view-direction panorama sampling — all in the same
-        # program.  Runs inside the ssaa branch's inner call, so the sky
-        # is supersampled too.
-        from softwarerenderer_tpu.ops import sky
-        u2 = {k: v for k, v in uniforms.items() if k != "sky_panorama"}
-        # Shaders can still sample the environment (e.g. the PBR metals'
-        # reflections) through this alias — only the recursion key moves.
-        u2["env_panorama"] = uniforms["sky_panorama"]
-        color, depth = render_frame(scene, u2, params,
-                                    vertex_shader=vertex_shader,
-                                    fragment_shader=fragment_shader,
-                                    chunk=chunk, fb=fb)
-        return sky.composite_sky(color, depth, uniforms, xp=jnp)
+        for fx in fx_chain:
+            color, depth = _apply_post_fx(fx, color, depth, uniforms,
+                                          params)
+        return color, depth
     H, W = params.height, params.width
     view, proj = camera_matrices(uniforms, W, H)
     view_proj = ml.transform(view, proj, xp=jnp)          # row-vector V·P
@@ -452,7 +466,8 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
             # 509-523) at binned cost.
             if params.use_pallas \
                     and params.depth_test == DepthTest.LESS_EQUAL \
-                    and jax.default_backend() == "tpu":
+                    and (jax.default_backend() == "tpu"
+                         or params.pallas_interpret):
                 # Depth-peeled kernel passes: ~K× the opaque kernel cost
                 # instead of the XLA K-slot fold's ~95 ms/layer replay.
                 from softwarerenderer_tpu.ops.pallas_tile import (
@@ -460,7 +475,8 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                 )
                 return render_tile_pallas_kbuffer(
                     tris, fragment_shader, u, params, fb_color, fb_depth,
-                    per_tri_extra=per_tri)
+                    per_tri_extra=per_tri,
+                    interpret=params.pallas_interpret)
             from softwarerenderer_tpu.ops.kbuffer import (
                 render_binned_kbuffer,
             )
@@ -468,16 +484,19 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                                          fb_color, fb_depth,
                                          per_tri_extra=per_tri)
         if params.use_pallas and params.depth_test == DepthTest.LESS_EQUAL \
-                and jax.default_backend() == "tpu":
+                and (jax.default_backend() == "tpu"
+                     or params.pallas_interpret):
             # Mosaic kernels need real TPU hardware; every other backend
             # (CPU tests, virtual meshes) takes the XLA fused path, which
-            # is pixel-exact with the kernel (tests/test_pallas_raster.py).
+            # is pixel-exact with the kernel (tests/test_pallas_raster.py)
+            # — unless pallas_interpret forces the kernel code path.
             from softwarerenderer_tpu.ops.pallas_tile import (
                 render_tile_pallas,
             )
             return render_tile_pallas(tris, fragment_shader, u, params,
                                       fb_color, fb_depth,
-                                      per_tri_extra=per_tri)
+                                      per_tri_extra=per_tri,
+                                      interpret=params.pallas_interpret)
         # Fully fused tile renderer: visibility + one-hot-matmul attribute
         # resolve + shading inside one per-tile loop (no full-screen
         # per-pixel gathers).

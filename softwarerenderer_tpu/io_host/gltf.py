@@ -358,6 +358,17 @@ def _build_skins(doc: dict, buffers: List[bytes], animation_index: int,
                                 xp=np) @ anc
                 trans[f, i], rot[f, i], scl[f, i] = _decompose_trs_row(m)
 
+        # The resample grid spans F = round(duration·rate)+1 rows and
+        # includes BOTH t=0 and t=duration.  sample_tracks treats the row
+        # count as the loop length (interval [F-1, F) wraps toward row 0),
+        # so keeping the duplicated endpoint would stretch each loop one
+        # frame interval past the authored duration and hold the end pose
+        # for it.  Drop it: F-1 rows loop with exactly the authored
+        # period, and the final interval crossfades last→first (identical
+        # poses for loop-authored clips).
+        if F > 1:
+            trans, rot, scl = trans[:-1], rot[:-1], scl[:-1]
+
         if "inverseBindMatrices" in skin:
             ibm = _read_accessor(doc, buffers,
                                  skin["inverseBindMatrices"]) \

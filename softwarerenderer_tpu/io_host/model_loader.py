@@ -282,9 +282,37 @@ def load_ply(path: str) -> Dict:
             else:
                 r += count
     else:
+        def _skip_records(off, count, props):
+            """Advance past `count` records of an element that may contain
+            variable-length list properties (a fixed dtype cannot skip
+            those — a wrong itemsize would corrupt the byte offsets of
+            every element that follows)."""
+            walk = [((np.dtype("<" + _PLY_NP[p[1]]),
+                      np.dtype("<" + _PLY_NP[p[2]]))
+                     if p[0] == "list"
+                     else np.dtype("<" + _PLY_NP[p[0]]).itemsize)
+                    for p in props]
+            if all(isinstance(w, int) for w in walk):
+                return off + sum(walk) * count
+            for _ in range(count):
+                for w in walk:             # properties in declared order
+                    if isinstance(w, int):
+                        off += w
+                    else:
+                        cnt_dt, item_dt = w
+                        k = int(np.frombuffer(body, cnt_dt, 1, off)[0])
+                        off += cnt_dt.itemsize + item_dt.itemsize * k
+            return off
+
         off = 0
         for name, count, props in elements:
             if name == "vertex":
+                if any(p[0] == "list" for p in props):
+                    # Interleaved scalar/list vertex records can't map to
+                    # one fixed dtype; no common exporter emits them.
+                    raise ValueError(
+                        "PLY: list properties on the vertex element are "
+                        "not supported")
                 dt = np.dtype([(p[1], "<" + _PLY_NP[p[0]]) for p in props])
                 arr = np.frombuffer(body, dt, count, off)
                 off += dt.itemsize * count
@@ -302,10 +330,8 @@ def load_ply(path: str) -> Dict:
                     off += idx_dt.itemsize * k
                     faces.append(tuple(int(x) for x in ix))
             else:
-                # skip fixed-size foreign elements
-                dt = np.dtype([(p[1], "<" + _PLY_NP[p[0]]) for p in props
-                               if p[0] != "list"])
-                off += dt.itemsize * count
+                # foreign elements: walk records (handles list properties)
+                off = _skip_records(off, count, props)
 
     n_v = len(vdata.get("x", ()))
     pos = np.stack([vdata["x"], vdata["y"], vdata["z"]], -1)

@@ -90,6 +90,18 @@ class Networking:
         self._send_seq = 0
         self._pending: Dict[int, dict] = {}         # seq → delivery state
         self._seen_seqs: Dict[Tuple[str, int], set] = {}
+        # Delivery-failure surface: called as cb(seq, targets) from the
+        # receive thread when a reliable message exhausts its resends with
+        # peers still unacked ("exactly-once" otherwise degraded to
+        # "maybe-never" with only a debug log).
+        self.on_delivery_failed: List[
+            Callable[[int, set], None]] = []
+        # Coalesced acks: receipts queue per peer and flush as ONE
+        # "ack:s1,s2,…" datagram once per flush interval (or when the
+        # socket goes idle) instead of one datagram per reliable receipt.
+        self.ack_flush_interval: float = 0.05
+        self._ack_queue: Dict[Optional[Tuple[str, int]], set] = {}
+        self._last_ack_flush = 0.0
 
     # -- connection lifecycle ------------------------------------------------
 
@@ -106,6 +118,7 @@ class Networking:
                 handshake_timeout: float = 1.0,
                 id_timeout: float = 5.0) -> bool:
         """Host election + join (Networking.cs:71-184)."""
+        self._reset_reliable_state()
         self.listening_port = port
         try:
             addr = socket.getaddrinfo(host, port, socket.AF_INET,
@@ -164,6 +177,7 @@ class Networking:
                 self.send_rpc("Disconnect", [str(self.client_id)])
         except OSError:
             pass
+        self._flush_acks()
         self._running = False
         if self._sock is not None:
             try:
@@ -174,6 +188,20 @@ class Networking:
         if self._recv_thread is not None:
             self._recv_thread.join(timeout=1.0)
             self._recv_thread = None
+        self._reset_reliable_state()
+
+    def _reset_reliable_state(self) -> None:
+        """Drop reliable-delivery state (seq counter, pending resends,
+        seen-seq dedup sets, queued acks) — run on close() AND at the
+        start of connect().  Without this, a restarted peer reusing low
+        seq numbers would match stale _seen_seqs entries and its new
+        reliable RPCs (join/hit/chat) would be silently dropped as
+        duplicates."""
+        with self._lock:
+            self._send_seq = 0
+            self._pending.clear()
+            self._seen_seqs.clear()
+            self._ack_queue.clear()
 
     # -- sending -------------------------------------------------------------
 
@@ -285,6 +313,8 @@ class Networking:
             if p["attempts"] > self.max_resend_attempts or not p["targets"]:
                 if p["targets"]:
                     self.log(f"reliable seq {seq} gave up on {p['targets']}")
+                    for cb in list(self.on_delivery_failed):
+                        cb(seq, set(p["targets"]))
                 continue
             for ep in list(p["targets"]):
                 if current is not None and ep not in current:
@@ -294,29 +324,28 @@ class Networking:
                                ep if self.is_host else None)
 
     def _handle_ack(self, msg: str, sender: Tuple[str, int]) -> None:
-        sid = msg[len("ack:"):]
-        if not sid.isdigit():
-            return
-        seq = int(sid)
+        # Coalesced wire format: "ack:s1,s2,…" (a single seq is the
+        # degenerate one-element case).
+        body = msg[len("ack:"):]
+        seqs = [int(s) for s in body.split(",") if s.isdigit()]
         with self._lock:
-            p = self._pending.get(seq)
-            if p is None:
-                return
-            p["targets"].discard(sender)
-            if not self.is_host:
-                p["targets"].clear()     # only the host is ever addressed
-            if not p["targets"]:
-                del self._pending[seq]
+            for seq in seqs:
+                p = self._pending.get(seq)
+                if p is None:
+                    continue
+                p["targets"].discard(sender)
+                if not self.is_host:
+                    p["targets"].clear()  # only the host is ever addressed
+                if not p["targets"]:
+                    del self._pending[seq]
 
     def _note_reliable_receipt(self, seq: int,
                                sender: Tuple[str, int]) -> bool:
-        """Ack a tagged message; True when it is new (deliver it),
-        False for a resend duplicate (ack only)."""
-        # Acks ride _send_raw so fault injection exercises ack loss too
-        # (the resend path must converge even when acks drop).
-        self._send_raw(f"ack:{seq}".encode(),
-                       sender if self.is_host else None)
+        """Queue an ack for a tagged message; True when it is new
+        (deliver it), False for a resend duplicate (ack only)."""
         with self._lock:
+            self._ack_queue.setdefault(
+                sender if self.is_host else None, set()).add(seq)
             seen = self._seen_seqs.setdefault(sender, set())
             if seq in seen:
                 return False
@@ -325,6 +354,22 @@ class Networking:
                 cutoff = max(seen) - 2048
                 self._seen_seqs[sender] = {s for s in seen if s > cutoff}
             return True
+
+    def _flush_acks(self) -> None:
+        """Send one coalesced "ack:s1,s2,…" datagram per peer with queued
+        receipts.  Acks still ride _send_raw so fault injection exercises
+        ack loss too (the resend path must converge when acks drop)."""
+        with self._lock:
+            if not self._ack_queue:
+                return
+            queued = self._ack_queue
+            self._ack_queue = {}
+        for target, seqs in queued.items():
+            ordered = sorted(seqs)
+            # stay well under the datagram size cap
+            for i in range(0, len(ordered), 1000):
+                body = ",".join(str(s) for s in ordered[i:i + 1000])
+                self._send_raw(f"ack:{body}".encode(), target)
 
     def clear_buffered_rpcs(self) -> None:
         with self._lock:
@@ -351,6 +396,8 @@ class Networking:
                 if self.peer_timeout > 0:
                     self._check_timeouts(now)
                 self._pump_resends(now)
+                self._flush_acks()       # socket idle: drain queued acks
+                self._last_ack_flush = now
                 continue
             except OSError:
                 break
@@ -364,6 +411,12 @@ class Networking:
             if self.peer_timeout > 0:
                 self._check_timeouts(now)
             self._pump_resends(now)
+            if now - self._last_ack_flush >= self.ack_flush_interval:
+                # Under load, acks coalesce across every datagram that
+                # arrived within the flush window — one ack datagram per
+                # interval instead of one per reliable receipt.
+                self._flush_acks()
+                self._last_ack_flush = now
             if msg.startswith("ack:"):
                 self._handle_ack(msg, sender)
                 continue
@@ -380,6 +433,10 @@ class Networking:
                 continue
             if msg.startswith("RPC:"):
                 self._parse_and_invoke(msg, sender)
+                if time.monotonic() - self._last_ack_flush \
+                        >= self.ack_flush_interval:
+                    self._flush_acks()
+                    self._last_ack_flush = time.monotonic()
 
     def _check_timeouts(self, now: float) -> None:
         """Expire silent peers (heartbeat-style failure detection)."""

@@ -28,7 +28,7 @@ no capacity knobs to overflow and no dynamic shapes.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -676,6 +676,295 @@ def render_binned_fused(tris: Dict, fragment_shader, uniforms: Dict,
 def _fused_blend(src, dst, mode):
     from softwarerenderer_tpu.ops.raster import _blend
     return _blend(src, dst, mode)
+
+
+def _pack_payload(tris: Dict, per_tri_extra: Optional[Dict]):
+    """Flatten varyings + screen + inv_area + per-tri extras to (N+1, 3·Kp)
+    (row N = zero target for masked one-hot slots) — the resolve payload
+    shared by render_binned_fused and shade_binned_fused."""
+    screen = tris["screen"]
+    inv_area = tris["inv_area"]
+    n = screen.shape[0]
+    keys = sorted(tris["attrs"].keys())
+    slices, parts, off = {}, [], 0
+    for k in keys:
+        arr = tris["attrs"][k]
+        parts.append(arr)
+        slices[k] = (off, off + arr.shape[-1])
+        off += arr.shape[-1]
+    parts.append(screen)
+    sl_screen = (off, off + 2); off += 2
+    parts.append(jnp.broadcast_to(inv_area[:, None, None], (n, 3, 1)))
+    sl_ia = off; off += 1
+    extra_slices = {}
+    if per_tri_extra:
+        for k in sorted(per_tri_extra.keys()):
+            v = jnp.asarray(per_tri_extra[k], jnp.float32)[:, None, None]
+            parts.append(jnp.broadcast_to(v, (n, 3, 1)))
+            extra_slices[k] = off
+            off += 1
+    kp = off
+    payload = jnp.concatenate(parts, axis=-1).reshape(n, 3 * kp)
+    # Invalid slots carry NaN screen/inv_area; they never win the fold,
+    # but 0·NaN = NaN would poison the one-hot matmul — zero them.
+    payload = jnp.where(tris["valid"][:, None], payload, 0.0)
+    payload = jnp.concatenate([payload, jnp.zeros((1, 3 * kp), F32)],
+                              axis=0)
+    return payload, keys, slices, sl_screen, sl_ia, extra_slices, kp
+
+
+def shade_binned_fused(tris: Dict, best_depth, best_tri, fragment_shader,
+                       uniforms: Dict, params: RenderParams,
+                       fb_color, fb_depth,
+                       per_tri_extra: Optional[Dict] = None,
+                       row_offset=0, tile_row_map=None, full_height=None,
+                       tile_map=None):
+    """Deferred shading of a precomputed winner map WITHOUT per-pixel
+    gathers: stream each tile's bins a second time and resolve the
+    winner's packed payload with one-hot matmuls on the MXU, then
+    interpolate + shade in the same per-tile-group loop — the fused
+    path's pass B applied to an external (best_depth, best_tri).
+
+    Same contract as raster.shade_deferred (frag dict, discard, blend,
+    depth-write semantics) but HBM traffic ∝ triangle-tile overlap
+    instead of ~60 gathered floats × H·W.  This is what the multi-chip
+    path shades through (parallel/sharding.py): the sharded winner index
+    comes from the lexicographic all-reduce, masked to this shard's
+    triangles.
+
+    Layout modes mirror visibility_binned: contiguous rows at
+    ``row_offset``; ``tile_row_map`` (+ full_height) — the input/output
+    pseudo-image's row block r//tile_h is GLOBAL tile row
+    tile_row_map[r//tile_h]; ``tile_map`` — one owned GLOBAL tile per
+    (tile_h, tile_w) block of the pseudo-image (ids == ntiles are dummy
+    padding tiles).  best_tri/best_depth/fb_color/fb_depth all share the
+    mode's layout.
+    """
+    from softwarerenderer_tpu.ops.geometry import unflatten_varyings
+    from softwarerenderer_tpu.config import DepthTest
+    tile_h, tile_w = params.tile_h, params.tile_w
+    span_cap, tile_group = params.span_cap, params.tile_group
+    chunk = params.chunk
+    H, W = params.height, params.width
+
+    if tile_map is not None:
+        bins = bin_triangles(tris, params, tile_h, tile_w, span_cap, 0)
+        n_tiles_full = bins["ntx"] * bins["nty"]
+        ntx = bins["ntx"]
+        n_owned = tile_map.shape[0]
+        ntiles = n_owned
+    elif tile_row_map is not None:
+        if H % tile_h:
+            raise ValueError("height must be a tile_h multiple for "
+                             "tile_row_map mode")
+        bins = bin_triangles(tris, params.replace(height=full_height),
+                             tile_h, tile_w, span_cap, 0)
+        ntx = bins["ntx"]
+        nty = H // tile_h
+        ntiles = ntx * nty
+    else:
+        bins = bin_triangles(tris, params, tile_h, tile_w, span_cap,
+                             row_offset)
+        ntx, nty = bins["ntx"], bins["nty"]
+        ntiles = ntx * nty
+    ngroups = _cdiv(ntiles, tile_group)
+    ntiles_pad = ngroups * tile_group
+    tpx = tile_h * tile_w
+
+    screen = tris["screen"]
+    n = screen.shape[0]
+    (payload, keys, slices, sl_screen, sl_ia,
+     extra_slices, kp) = _pack_payload(tris, per_tri_extra)
+    clo, chi = slices["clip_position"]
+
+    # ---- inputs in tile layout ------------------------------------------
+    if tile_map is not None:
+        def tile_in(a, fill):
+            a = a.reshape((n_owned, tpx) + a.shape[2:])
+            pad_cfg = ((0, ntiles_pad - ntiles), (0, 0)) \
+                + ((0, 0),) * (a.ndim - 2)
+            return jnp.pad(a, pad_cfg, constant_values=fill)
+    else:
+        a_h = fb_depth.shape[0]
+        Hp, Wp = _cdiv(a_h, tile_h) * tile_h, ntx * tile_w
+
+        def tile_in(a, fill):
+            a = jnp.pad(a, ((0, Hp - a_h), (0, Wp - W))
+                        + ((0, 0),) * (a.ndim - 2), constant_values=fill)
+            a = a.reshape((Hp // tile_h, tile_h, ntx, tile_w) + a.shape[2:])
+            a = jnp.moveaxis(a, 2, 1).reshape((ntiles, tpx) + a.shape[4:])
+            pad_cfg = ((0, ntiles_pad - ntiles), (0, 0)) \
+                + ((0, 0),) * (a.ndim - 2)
+            return jnp.pad(a, pad_cfg, constant_values=fill)
+
+    d0 = tile_in(fb_depth, DEPTH_CLEAR)
+    c0 = tile_in(fb_color, 0.0)
+    bd = tile_in(best_depth, DEPTH_CLEAR)
+    bi = tile_in(best_tri, NO_TRI)
+
+    # ---- per-tile segments + global pixel bases (visibility_binned) -----
+    if tile_map is not None:
+        tm = jnp.asarray(tile_map, jnp.int32)
+        dummy = tm >= n_tiles_full
+        tmc = jnp.clip(tm, 0, n_tiles_full - 1)
+        starts = jnp.pad(jnp.take(bins["starts"], tmc),
+                         (0, ntiles_pad - ntiles))
+        counts = jnp.pad(jnp.where(dummy, 0,
+                                   jnp.take(bins["counts"], tmc)),
+                         (0, ntiles_pad - ntiles))
+        ty_base = jnp.pad((tmc // ntx) * tile_h, (0, ntiles_pad - ntiles))
+        tx_base = jnp.pad((tmc % ntx) * tile_w, (0, ntiles_pad - ntiles))
+    elif tile_row_map is not None:
+        trm = jnp.asarray(tile_row_map, jnp.int32)
+        gids = (trm[:, None] * ntx
+                + jnp.arange(ntx, dtype=jnp.int32)[None, :]).reshape(-1)
+        starts = jnp.pad(jnp.take(bins["starts"], gids),
+                         (0, ntiles_pad - ntiles))
+        counts = jnp.pad(jnp.take(bins["counts"], gids),
+                         (0, ntiles_pad - ntiles))
+        ty_base = jnp.pad(jnp.repeat(trm, ntx) * tile_h,
+                          (0, ntiles_pad - ntiles))
+        tx_base = (jnp.arange(ntiles_pad, dtype=jnp.int32) % ntx) * tile_w
+    else:
+        starts = jnp.pad(bins["starts"], (0, ntiles_pad - ntiles))
+        counts = jnp.pad(bins["counts"], (0, ntiles_pad - ntiles))
+        ty_base = (jnp.arange(ntiles_pad, dtype=jnp.int32) // ntx) \
+            * tile_h + jnp.asarray(row_offset, jnp.int32)
+        tx_base = (jnp.arange(ntiles_pad, dtype=jnp.int32) % ntx) * tile_w
+
+    sorted_tri = bins["sorted_tri"]
+    order = bins["order"]
+    n_global = bins["n_global"]
+    c_off = jnp.arange(chunk, dtype=jnp.int32)
+    px_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+                  .reshape(tpx))
+    py_in_tile = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+                  .reshape(tpx))
+
+    def group_body(g, carry):
+        all_c, all_d = carry
+        base = g * tile_group
+        g_starts = jax.lax.dynamic_slice_in_dim(starts, base, tile_group)
+        g_counts = jax.lax.dynamic_slice_in_dim(counts, base, tile_group)
+        g_ty = jax.lax.dynamic_slice_in_dim(ty_base, base, tile_group)
+        g_tx = jax.lax.dynamic_slice_in_dim(tx_base, base, tile_group)
+        px = g_tx[:, None] + px_in_tile[None, :]
+        py = g_ty[:, None] + py_in_tile[None, :]
+
+        best_i = jax.lax.dynamic_slice_in_dim(bi, base, tile_group)
+        best_d = jax.lax.dynamic_slice_in_dim(bd, base, tile_group)
+
+        n_glob_chunks = _cdiv(n_global, chunk)
+
+        def glob_ids(c):
+            pos = c * chunk + c_off
+            ok = pos < n_global
+            ids = jnp.take(order, jnp.clip(pos, 0, order.shape[0] - 1))
+            return (jnp.broadcast_to(ids[None, :], (tile_group, chunk)),
+                    jnp.broadcast_to(ok[None, :], (tile_group, chunk)))
+
+        def seg_ids(c):
+            pos = g_starts[:, None] + c * chunk + c_off[None, :]
+            ok = (c * chunk + c_off)[None, :] < g_counts[:, None]
+            ids = jnp.take(sorted_tri,
+                           jnp.clip(pos, 0, sorted_tri.shape[0] - 1))
+            return ids, ok
+
+        # ---- winner payload resolve via one-hot matmul ----
+        def resolve(ids_fn):
+            def body(c, acc):
+                ids, ok = ids_fn(c)
+                t = jnp.where(ok, jnp.clip(ids, 0, n - 1), n)  # n = zero row
+                pl = jnp.take(payload, t, axis=0)        # (G, C, 3Kp)
+                onehot = ((best_i[..., None] == t[:, None, :])
+                          & ok[:, None, :]).astype(F32)  # (G, tpx, C)
+                return acc + jax.lax.dot_general(
+                    onehot, pl, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+            return body
+        acc0 = jnp.zeros((tile_group, tpx, 3 * kp), F32)
+        max_count = jnp.max(g_counts)
+        acc = jax.lax.fori_loop(0, n_glob_chunks, resolve(glob_ids), acc0)
+        acc = jax.lax.fori_loop(0, _cdiv(max_count, chunk),
+                                resolve(seg_ids), acc)
+        av = acc.reshape(tile_group, tpx, 3, kp)
+
+        covered = best_i != NO_TRI
+        fb_c = jax.lax.dynamic_slice_in_dim(c0, base, tile_group)
+        fb_d = jax.lax.dynamic_slice_in_dim(d0, base, tile_group)
+
+        # ---- interpolate (Rasterizer.cs:566-640) + shade in-loop ----
+        s = av[..., sl_screen[0]:sl_screen[1]]
+        ia = av[..., 0, sl_ia]
+        clip_w = av[..., chi - 1]
+        pxf = px.astype(F32)
+        pyf = py.astype(F32)
+        s0x, s0y = s[..., 0, 0], s[..., 0, 1]
+        s1x, s1y = s[..., 1, 0], s[..., 1, 1]
+        s2x, s2y = s[..., 2, 0], s[..., 2, 1]
+        w0 = ((s1y - s2y) * (pxf - s1x) + (s2x - s1x) * (pyf - s1y)) * ia
+        w1 = ((s2y - s0y) * (pxf - s2x) + (s0x - s2x) * (pyf - s2y)) * ia
+        w2 = ((s0y - s1y) * (pxf - s0x) + (s1x - s0x) * (pyf - s0y)) * ia
+        rcp_wa = w0 / jnp.where(clip_w[..., 0] == 0, F32(1),
+                                clip_w[..., 0])
+        rcp_wb = w1 / jnp.where(clip_w[..., 1] == 0, F32(1),
+                                clip_w[..., 1])
+        rcp_wc = w2 / jnp.where(clip_w[..., 2] == 0, F32(1),
+                                clip_w[..., 2])
+        wsum = rcp_wa + rcp_wb + rcp_wc
+        wgt = F32(1.0) / jnp.where(wsum == 0, F32(1), wsum)
+        wa, wb, wc = rcp_wa * wgt, rcp_wb * wgt, rcp_wc * wgt
+        a0, a1, a2 = av[..., 0, :], av[..., 1, :], av[..., 2, :]
+        pc = (a0 * rcp_wa[..., None] + a1 * rcp_wb[..., None]
+              + a2 * rcp_wc[..., None]) * wgt[..., None]
+        pw = a0 * wa[..., None] + a1 * wb[..., None] + a2 * wc[..., None]
+
+        flat = {}
+        for k in keys:
+            lo, hi = slices[k]
+            if k.startswith("data."):
+                val = pw[..., lo:hi]
+                if hi - lo == 3:
+                    lsq = jnp.sum(val * val, axis=-1, keepdims=True)
+                    nrm = val / jnp.sqrt(jnp.where(lsq > 0, lsq, F32(1)))
+                    val = jnp.where(lsq > F32(1e-6), nrm, val)
+            else:
+                val = pc[..., lo:hi]
+            flat[k] = val
+        frag = unflatten_varyings(flat)
+        frag["barycentric"] = jnp.stack([wa, wb, wc], axis=-1)
+        if extra_slices:
+            frag["tri"] = {k: av[..., 0, i].astype(jnp.int32)
+                           for k, i in extra_slices.items()}
+
+        color = fragment_shader(frag, uniforms, jnp)
+        written = covered & (color[..., 3] > 0)
+        out_c = jnp.where(written[..., None],
+                          _fused_blend(color, fb_c, params.blend_mode),
+                          fb_c)
+        if params.depth_test == DepthTest.DISABLED:
+            out_d = fb_d
+        else:
+            out_d = jnp.where(written, best_d, fb_d)
+
+        all_c = jax.lax.dynamic_update_slice_in_dim(all_c, out_c, base, 0)
+        all_d = jax.lax.dynamic_update_slice_in_dim(all_d, out_d, base, 0)
+        return all_c, all_d
+
+    all_c, all_d = jax.lax.fori_loop(0, ngroups, group_body, (c0, d0))
+
+    if tile_map is not None:
+        def untile(a):
+            return a[:ntiles].reshape((n_owned * tile_h, tile_w)
+                                      + a.shape[2:])
+    else:
+        def untile(a):
+            a = a[:ntiles].reshape((Hp // tile_h, ntx, tile_h, tile_w)
+                                   + a.shape[2:])
+            a = jnp.moveaxis(a, 1, 2).reshape((Hp, Wp) + a.shape[4:])
+            return a[:a_h, :W]
+
+    return untile(all_c), untile(all_d)
 
 
 def make_binned_visibility(tile_h: int = 32, tile_w: int = 128,

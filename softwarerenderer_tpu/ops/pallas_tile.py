@@ -78,10 +78,11 @@ SUB = 32          # sub-chunk width (predicated evaluation granularity)
 GLOB_RESIDENT = 256   # global triangles kept in VMEM (dust2 @1080p: 49)
 
 
-def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kp3_dma,
+def _kernel(ntx, nty, tile_h, tile_w, chunk, kp, kp3, kp3_dma,
             kpi, interp_plan, sl_screen, sl_ia, clip_w_off, interpret, peel,
-            # scalar prefetch
-            starts_ref, counts_ref, nglob_ref,
+            # scalar prefetch (row_offset rides SMEM so the sharded path
+            # can pass its traced per-shard band offset)
+            starts_ref, counts_ref, nglob_ref, rowoff_ref,
             # inputs (prevd/previ present only when peel — depth peeling)
             fbd_ref, *rest):
     if peel:
@@ -104,7 +105,7 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, row_offset, kp, kp3, kp3_dma,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
     px = (lane % tile_w + tx * tile_w).astype(F32)
-    py = (lane // tile_w + ty * tile_h + row_offset).astype(F32)
+    py = (lane // tile_w + ty * tile_h + rowoff_ref[0]).astype(F32)
 
     n_global = nglob_ref[0]
     start = starts_ref[i]
@@ -449,6 +450,7 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
         sl_ia=sl_ia, clip_w_off=clip_w_off, row_offset=row_offset,
         starts=bins["starts"], counts=bins["counts"],
         n_global=jnp.asarray([bins["n_global"]], jnp.int32),
+        row_offset_arr=jnp.asarray(row_offset, jnp.int32).reshape(1),
         fbd=fbd, globres=globres, globres_pl=globres_pl,
         glob_s=glob_s, seg_s=seg_s, glob_p=glob_p, seg_p=seg_p)
 
@@ -478,7 +480,7 @@ def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None):
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(ntiles,),
         in_specs=in_specs,
         out_specs=[
@@ -498,7 +500,7 @@ def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None):
         ],
     )
     kernel = functools.partial(
-        _kernel, ntx, nty, tile_h, tile_w, ctx["chunk"], ctx["row_offset"],
+        _kernel, ntx, nty, tile_h, tile_w, ctx["chunk"],
         ctx["kp"], ctx["kp3"], kp3_dma, kpi, ctx["interp_plan"],
         ctx["sl_screen"], ctx["sl_ia"], ctx["clip_w_off"], interpret, peel)
     inputs = [ctx["fbd"]]
@@ -513,7 +515,8 @@ def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None):
                    jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
                    jax.ShapeDtypeStruct((Hp, Wp), jnp.int32)],
         interpret=interpret,
-    )(ctx["starts"], ctx["counts"], ctx["n_global"], *inputs)
+    )(ctx["starts"], ctx["counts"], ctx["n_global"],
+      ctx["row_offset_arr"], *inputs)
 
     planes = gbuf[:, :H, :W]       # planar output: no untile transpose
     gb_slices = ctx["gb_slices"]

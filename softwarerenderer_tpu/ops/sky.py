@@ -38,10 +38,14 @@ def pixel_ray_directions(uniforms, width: int, height: int, xp=np):
         * F32(np.pi / 180.0)
     th = xp.tan(fov * F32(0.5))
     tw = th * F32(width / height)
-    xs = (xp.arange(width, dtype=xp.float32) + F32(0.5)) \
-        / F32(width) * F32(2.0) - F32(1.0)
-    ys = F32(1.0) - (xp.arange(height, dtype=xp.float32) + F32(0.5)) \
-        / F32(height) * F32(2.0)
+    # Integer pixel coords (no +0.5 center offset): the rasterizer
+    # evaluates coverage at integer screen coords (SURVEY.md §6 note 5;
+    # geometry's NDC→screen map is x_ndc = px/W·2-1), so the sky sample
+    # grid must match or the background shifts half a pixel vs geometry.
+    xs = xp.arange(width, dtype=xp.float32) / F32(width) * F32(2.0) \
+        - F32(1.0)
+    ys = F32(1.0) - xp.arange(height, dtype=xp.float32) / F32(height) \
+        * F32(2.0)
     d = (front[None, None]
          + xs[None, :, None] * tw * right[None, None]
          + ys[:, None, None] * th * up[None, None])

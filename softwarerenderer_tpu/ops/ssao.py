@@ -37,10 +37,16 @@ def linear_view_distance(depth, near, far, xp=np):
     near = xp.asarray(near, xp.float32)
     far = xp.asarray(far, xp.float32)
     s = xp.asarray(depth, xp.float32)
+    clear = s == DEPTH_CLEAR
+    # Replace clear entries (-FLT_MAX) with a finite stand-in BEFORE the
+    # linearization: -2·(-FLT_MAX) overflows f32 to +inf (a NumPy
+    # RuntimeWarning on every golden run) even though the value is masked
+    # out below.
+    s = xp.where(clear, F32(-0.5), s)
     ndc = -F32(2.0) * s - F32(1.0)
     den = far + ndc * (near - far)
     d = far * near / xp.where(den == 0, F32(1e-9), den)
-    return xp.where(s == DEPTH_CLEAR, far, xp.clip(d, near, far))
+    return xp.where(clear, far, xp.clip(d, near, far))
 
 
 def _shift(a, dy, dx, xp):

@@ -186,9 +186,24 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
         parts.append(jnp.broadcast_to(tris["inv_area"][:, None, None],
                                       (nloc, 3, 1)))
         sl_ia = off; off += 1
+        # Pre-resolved atlas regions ride the payload (pruned by the
+        # shader's tri_extras registry) so band-local shading is
+        # gather-lean — same plumbing as the single-chip engine.
+        tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+        aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
+        asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
+        per_tri = {"tex_id": tid2,
+                   "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
+                   "tex_oy": jnp.take(aoff[:, 0], tid2),
+                   "tex_ox": jnp.take(aoff[:, 1], tid2),
+                   "tex_h": jnp.take(asiz[:, 0], tid2),
+                   "tex_w": jnp.take(asiz[:, 1], tid2)}
+        tri_extras = getattr(fragment_shader, "tri_extras", None)
+        if tri_extras is not None:
+            per_tri = {k: v for k, v in per_tri.items() if k in tri_extras}
         extra_slices = {}
-        for k in ("tri_texture_id", "tri_mesh_id"):
-            v = jnp.repeat(scene[k], 2).astype(F32)[:, None, None]
+        for k in sorted(per_tri):
+            v = jnp.asarray(per_tri[k], F32)[:, None, None]
             parts.append(jnp.broadcast_to(v, (nloc, 3, 1)))
             extra_slices[k] = off; off += 1
         kp = off
@@ -280,10 +295,8 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
             flat[k] = val
         frag = unflatten_varyings(flat)
         frag["barycentric"] = jnp.stack([wa, wb, wc], axis=-1)
-        frag["tri"] = {"tex_id": av[..., 0, extra_slices["tri_texture_id"]]
-                       .astype(jnp.int32),
-                       "mesh_id": av[..., 0, extra_slices["tri_mesh_id"]]
-                       .astype(jnp.int32)}
+        frag["tri"] = {k: av[..., 0, i].astype(jnp.int32)
+                       for k, i in extra_slices.items()}
 
         color = fragment_shader(frag, uu, jnp)
         written = covered & (color[..., 3] > 0)

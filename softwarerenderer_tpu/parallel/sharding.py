@@ -20,6 +20,16 @@ CPU threads (SURVEY.md §2.2 P2) — the TPU-native scale-out (SURVEY.md §5
 Collectives used: pmax/pmin/psum on ("tri",) only — everything on the "fb"
 axis is local, so ICI traffic is O(pixels·tri_shards), independent of
 triangle count.
+
+Per-shard work runs the SAME fast architecture as single chip (round 3;
+VERDICT r2 #1): on TPU with contiguous row bands, each shard launches the
+single-pass Pallas tile kernel (fold + one-hot resolve + interpolation
+in-kernel, ops/pallas_tile.py) and shades its interpolated G-buffer with
+one XLA pass; the balanced/row-mapped and CPU-mesh modes fold visibility
+with the XLA binned reducer and resolve the all-reduced winner through
+the fused one-hot path (ops/binning.shade_binned_fused).  The round-1
+per-pixel row-gather resolve (raster.shade_deferred) survives only behind
+the brute-force (binned=False) debug path.
 """
 
 from __future__ import annotations
@@ -34,7 +44,12 @@ from softwarerenderer_tpu.parallel._compat import shard_map_unchecked
 
 from softwarerenderer_tpu.config import DepthTest, RenderParams
 from softwarerenderer_tpu.ops import culling, geometry, raster
-from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR, NO_TRI, _REDUCE_RULES
+from softwarerenderer_tpu.ops.raster import (
+    DEPTH_CLEAR,
+    NO_TRI,
+    _REDUCE_RULES,
+    _blend,
+)
 
 F32 = jnp.float32
 
@@ -211,6 +226,24 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
             width=W, height=H, cull_mode=params.cull_mode,
             near_clip=u["near_clip"], tri_mask=tri_mask)
 
+        # Per-triangle material plumbing (×2 for the clipper's fan slots),
+        # pruned by the shader's tri_extras registry like the single-chip
+        # engine — built BEFORE visibility because the Pallas kernel path
+        # folds it into its winner payload.
+        tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+        aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
+        asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
+        per_tri_in = {"tex_id": tid2,
+                      "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
+                      "tex_oy": jnp.take(aoff[:, 0], tid2),
+                      "tex_ox": jnp.take(aoff[:, 1], tid2),
+                      "tex_h": jnp.take(asiz[:, 0], tid2),
+                      "tex_w": jnp.take(asiz[:, 1], tid2)}
+        tri_extras = getattr(fragment_shader, "tri_extras", None)
+        if tri_extras is not None:
+            per_tri_in = {k: v for k, v in per_tri_in.items()
+                          if k in tri_extras}
+
         clear = jnp.asarray(uniforms["clear_color"], dtype=F32)
         if balanced_mode == "tiles":
             pseudo_h = tiles_per_dev * th_t
@@ -220,7 +253,20 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
             fb_color = jnp.broadcast_to(clear, (shard_h, W, 4))
             fb_depth = jnp.full((shard_h, W), DEPTH_CLEAR, dtype=F32)
 
-        # Local visibility over this shard's triangles and rows.
+        # Local visibility over this shard's triangles and rows.  On the
+        # contiguous-band TPU path the Pallas tile kernel produces BOTH
+        # the local winner maps and the interpolated G-buffer in one
+        # kernel launch (the single-chip flagship architecture, now per
+        # shard); every other mode folds visibility with the XLA binned
+        # reducer and resolves the winner payload with the fused one-hot
+        # path (shade_binned_fused) — never shade_deferred's per-pixel
+        # row-gathers.
+        use_pallas_kernel = (
+            params.use_pallas and params.binned
+            and params.depth_test == DepthTest.LESS_EQUAL
+            and balanced_mode is None
+            and (jax.default_backend() == "tpu"
+                 or params.pallas_interpret))
         if params.binned:
             from softwarerenderer_tpu.ops.binning import (
                 make_binned_visibility,
@@ -327,6 +373,24 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
             depth_l, tri_l = vis(tris, shard_params, params.chunk,
                                  init_depth=fb_depth, tile_row_map=my_rows,
                                  full_height=H)
+        elif use_pallas_kernel:
+            from softwarerenderer_tpu.ops.pallas_tile import (
+                _gb_keep,
+                _prepare_ctx,
+                _run_pass,
+            )
+            row_map_px = row_offset + jnp.arange(shard_h, dtype=jnp.int32)
+            row_offset_arr = row_offset
+            # The shard's traced band offset rides the kernel's scalar
+            # prefetch (SMEM), so per-shard pixel rows are GLOBAL and the
+            # edge/interp arithmetic is bit-identical to single-chip.
+            pl_ctx = _prepare_ctx(tris, shard_params, fb_depth,
+                                  per_tri_in, row_offset,
+                                  gb_keep=_gb_keep(fragment_shader))
+            pl_frag, bd_p, bi_p = _run_pass(
+                pl_ctx, interpret=params.pallas_interpret)
+            depth_l = bd_p[:shard_h, :W]
+            tri_l = bi_p[:shard_h, :W]
         else:
             row_map_px = row_offset + jnp.arange(shard_h, dtype=jnp.int32)
             row_offset_arr = row_offset
@@ -342,19 +406,35 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         mine = covered & (istar >= tri_offset) \
             & (istar < tri_offset + 2 * t_local)
         local_best = jnp.where(mine, istar - tri_offset, NO_TRI)
-        tid2 = jnp.repeat(scene["tri_texture_id"], 2)
-        aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
-        asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
-        per_tri = {"tex_id": tid2,
-                   "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
-                   "tex_oy": jnp.take(aoff[:, 0], tid2),
-                   "tex_ox": jnp.take(aoff[:, 1], tid2),
-                   "tex_h": jnp.take(asiz[:, 0], tid2),
-                   "tex_w": jnp.take(asiz[:, 1], tid2)}
-        color_s, depth_s = raster.shade_deferred(
-            tris, dstar, local_best, fragment_shader, u, shard_params,
-            fb_color, fb_depth, per_tri_extra=per_tri,
-            row_offset=row_offset_arr, col_offset=col_offset_arr)
+        if use_pallas_kernel:
+            # The kernel already interpolated this shard's winner
+            # G-buffer; shade it with one full-frame XLA pass and
+            # composite only the pixels the global winner assigns here.
+            color = fragment_shader(pl_frag, u, jnp)
+            shaded = mine & (color[..., 3] > 0)
+            color_s = jnp.where(shaded[..., None],
+                                _blend(color, fb_color,
+                                       params.blend_mode), fb_color)
+            depth_s = jnp.where(shaded, dstar, fb_depth)
+        elif params.binned:
+            # Fused one-hot resolve of the (all-reduced) winner — the
+            # single-chip fast resolve, never per-pixel row-gathers.
+            from softwarerenderer_tpu.ops.binning import shade_binned_fused
+            if balanced_mode == "tiles":
+                sp, kw = params, dict(tile_map=my_tiles)
+            elif balanced_mode == "rows":
+                sp, kw = shard_params, dict(tile_row_map=my_rows,
+                                            full_height=H)
+            else:
+                sp, kw = shard_params, dict(row_offset=row_offset)
+            color_s, depth_s = shade_binned_fused(
+                tris, dstar, local_best, fragment_shader, u, sp,
+                fb_color, fb_depth, per_tri_extra=per_tri_in, **kw)
+        else:
+            color_s, depth_s = raster.shade_deferred(
+                tris, dstar, local_best, fragment_shader, u, shard_params,
+                fb_color, fb_depth, per_tri_extra=per_tri_in,
+                row_offset=row_offset_arr, col_offset=col_offset_arr)
         # shade_deferred composited the owner's fragments onto the clear
         # background; exactly one shard owns each covered pixel, so masked
         # contributions sum exclusively across the 'tri' axis.  (A shader

@@ -108,3 +108,44 @@ def test_empty_scene():
     mesh = primitives.random_triangle_soup(4, seed=1, z_range=(5.0, 8.0))
     db, ib, dn, i_n = run_both(mesh)  # fully behind camera
     assert (i_n == -1).all() and (ib == -1).all()
+
+
+def test_shade_binned_fused_matches_render_binned_fused():
+    """visibility_binned + shade_binned_fused (the sharded shading path)
+    == render_binned_fused's fused fold+resolve, pixel for pixel."""
+    mesh = primitives.uv_sphere(1.0, rings=10, sectors=14)
+    u = make_uniforms()
+    u["light_direction"] = np.float32([0.5, -1.0, -0.3])
+    u["light_color"] = np.ones(4, np.float32)
+    u["fog_color"] = np.float32([0.4, 0.5, 0.6, 1.0])
+    u["fog_start"] = np.float32(40.0)
+    u["fog_end"] = np.float32(100.0)
+    params = RenderParams(width=W, height=H, cull_mode=0,
+                          tile_h=16, tile_w=32, span_cap=6, tile_group=4)
+    vin = shaders.make_vertex_input(mesh["position"], mesh["uv"],
+                                    mesh["normal"], mesh["color"])
+    fb_c = jnp.broadcast_to(jnp.float32([0.1, 0.2, 0.3, 1.0]), (H, W, 4))
+    fb_d = jnp.full((H, W), raster.DEPTH_CLEAR, jnp.float32)
+    extra = {"tag": np.arange(2 * mesh["indices"].shape[0],
+                              dtype=np.int32) % 7}
+
+    def both(vin, idx, u):
+        tris = geometry.build_triangles(
+            shaders.default_vertex_shader, vin, idx, u,
+            width=W, height=H, cull_mode=params.cull_mode)
+        c1, d1 = binning.render_binned_fused(
+            tris, shaders.default_fragment_shader, u, params, fb_c, fb_d,
+            per_tri_extra=extra)
+        dv, iv = binning.visibility_binned(
+            tris, params, params.chunk, tile_h=params.tile_h,
+            tile_w=params.tile_w, span_cap=params.span_cap,
+            tile_group=params.tile_group)
+        c2, d2 = binning.shade_binned_fused(
+            tris, dv, iv, shaders.default_fragment_shader, u, params,
+            fb_c, fb_d, per_tri_extra=extra)
+        return c1, d1, c2, d2
+
+    c1, d1, c2, d2 = map(np.asarray,
+                         jax.jit(both)(vin, mesh["indices"], u))
+    np.testing.assert_allclose(c2, c1, atol=2e-6)
+    np.testing.assert_allclose(d2, d1, atol=2e-6)

@@ -415,3 +415,42 @@ def test_tonemap_compresses_highlights():
     u["exposure"] = np.float32(0.25)
     c2, _ = map(np.asarray, e1.render(u))
     assert c2[..., :3].mean() < c1[..., :3].mean()
+
+
+def test_post_fx_order_is_configurable():
+    """params.post_fx is the pipeline: bloom-after-tonemap differs from
+    the default bloom-before-tonemap (display- vs scene-referred glow),
+    while restating the default order changes nothing."""
+    from softwarerenderer_tpu.engine import render_frame
+
+    insts = make_instances()
+    sc = scene_mod.build_scene_buffers(insts)
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.5, 2.0])
+    u["exposure"] = np.float32(2.0)
+
+    base = RenderParams(width=W, height=H, bloom=True, tonemap="aces",
+                        use_pallas=False)
+    c_default, _ = jax.jit(render_frame, static_argnums=2)(sc, u, base)
+    c_same, _ = jax.jit(render_frame, static_argnums=2)(
+        sc, u, base.replace(post_fx=("sky", "ssao", "bloom", "tonemap")))
+    np.testing.assert_array_equal(np.asarray(c_default), np.asarray(c_same))
+
+    c_swapped, _ = jax.jit(render_frame, static_argnums=2)(
+        sc, u, base.replace(post_fx=("sky", "ssao", "tonemap", "bloom")))
+    assert np.abs(np.asarray(c_swapped) - np.asarray(c_default)).max() > 0.01
+
+
+def test_post_fx_validation():
+    import pytest
+
+    from softwarerenderer_tpu.engine import render_frame
+
+    sc = scene_mod.build_scene_buffers(make_instances())
+    u = default_frame_uniforms(W, H)
+    with pytest.raises(ValueError, match="unknown post_fx"):
+        render_frame(sc, u, RenderParams(width=W, height=H, bloom=True,
+                                         post_fx=("bloom", "vignette")))
+    with pytest.raises(ValueError, match="absent from"):
+        render_frame(sc, u, RenderParams(width=W, height=H, bloom=True,
+                                         post_fx=("tonemap",)))

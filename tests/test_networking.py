@@ -302,3 +302,84 @@ def test_reliable_gives_up_after_max_attempts(port):
     finally:
         client.close()
         host.close()
+
+
+def test_delivery_failure_callback_fires(port):
+    """A partitioned peer exhausts the resend budget: on_delivery_failed
+    must report the seq and the unacked targets (not just a debug log)."""
+    host = make_peer(port)
+    client = make_peer(port)
+    try:
+        failures = []
+        host.on_delivery_failed.append(
+            lambda seq, targets: failures.append((seq, set(targets))))
+        host.resend_interval = 0.02
+        host.max_resend_attempts = 3
+        host.drop_rate = 1.0          # full partition
+        host.send_rpc("Never", [], reliable=True)
+        wait_for(lambda: failures, timeout=10.0)
+        assert len(failures) == 1
+        seq, targets = failures[0]
+        assert seq == 1 and len(targets) == 1
+    finally:
+        client.close()
+        host.close()
+
+
+def test_acks_coalesce_under_burst(port):
+    """A burst of reliable RPCs produces a few coalesced "ack:s1,s2,…"
+    datagrams, not one ack datagram per receipt (~10× fewer on a
+    30-message burst)."""
+    host = make_peer(port)
+    client = make_peer(port)
+    try:
+        acks = []
+        orig = client._send_raw
+
+        def counting(data, target=None):
+            if data.startswith(b"ack:"):
+                acks.append(data)
+            return orig(data, target)
+
+        client._send_raw = counting
+        host.resend_interval = 0.5    # no resend noise during the burst
+        for i in range(30):
+            host.send_rpc("Tick", [str(i)], reliable=True)
+        got = []
+        assert wait_for(lambda: got.extend(
+            x for x in client.poll_rpcs() if x[0] == "Tick")
+            or len(got) >= 30, timeout=5.0)
+        assert wait_for(lambda: not host._pending, timeout=5.0)
+        # every receipt acked, but coalesced: ≥30 seqs in ≤6 datagrams
+        assert sum(len(a[4:].split(b",")) for a in acks) >= 30
+        assert len(acks) <= 6
+    finally:
+        client.close()
+        host.close()
+
+
+def test_reliable_state_resets_on_reconnect(port):
+    """ADVICE r2: after a host restart, the peer's reused low seq numbers
+    must not be dropped as stale duplicates — close()/connect() clear the
+    reliable-delivery state (seq counter, pending table, seen-seq sets)."""
+    host = make_peer(port)
+    client = make_peer(port)
+    try:
+        host.send_rpc("Phase", ["1"], reliable=True)
+        assert wait_for(lambda: any(x[0] == "Phase"
+                                    for x in client.poll_rpcs()))
+        assert client._seen_seqs
+        host.close()
+        host = make_peer(port)        # restarted host: seq counter at 1
+        client.close()
+        assert not client._seen_seqs and client._send_seq == 0 \
+            and not client._pending
+        assert client.connect("127.0.0.1", port, handshake_timeout=0.3)
+        host.send_rpc("Phase", ["2"], reliable=True)   # seq 1 AGAIN
+        got = []
+        assert wait_for(lambda: got.extend(
+            x for x in client.poll_rpcs()
+            if x[0] == "Phase" and x[1] == ["2"]) or got)
+    finally:
+        client.close()
+        host.close()

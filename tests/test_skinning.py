@@ -128,8 +128,10 @@ def test_build_rejects_unordered_joints():
 
 def _simple_skin_gltf(tmp_path):
     """Handcrafted minimal skinned glTF: a 6-vertex strip bound to two
-    joints (root + child at y=1), child animated 0° → 90° about z over
-    1 s.  Matrices/quats use glTF's column-major / xyzw conventions."""
+    joints (root + child at y=1), child animated 0° → 90° → 0° about z
+    over 2 s (loop-authored: end pose == start pose, so the importer's
+    endpoint-drop resampling keeps every authored key an exact interior
+    row).  Matrices/quats use glTF's column-major / xyzw conventions."""
     import base64
     import json
 
@@ -146,9 +148,10 @@ def _simple_skin_gltf(tmp_path):
     ibm[0] = np.eye(4, dtype=np.float32).reshape(-1)
     ibm[1] = np.eye(4, dtype=np.float32).reshape(-1)
     ibm[1, 13] = -1.0                      # translation y = -1 (col-major)
-    times = np.asarray([0.0, 1.0], np.float32)
+    times = np.asarray([0.0, 1.0, 2.0], np.float32)
     s, c = np.sin(np.pi / 4), np.cos(np.pi / 4)
-    quats = np.asarray([[0, 0, 0, 1], [0, 0, s, c]], np.float32)
+    quats = np.asarray([[0, 0, 0, 1], [0, 0, s, c], [0, 0, 0, 1]],
+                       np.float32)
 
     blob = b"".join(a.tobytes() for a in
                     (pos, idx, joints, weights, ibm, times, quats))
@@ -190,9 +193,9 @@ def _simple_skin_gltf(tmp_path):
              "type": "VEC4"},
             {"bufferView": 4, "componentType": 5126, "count": 2,
              "type": "MAT4"},
-            {"bufferView": 5, "componentType": 5126, "count": 2,
-             "type": "SCALAR", "min": [0.0], "max": [1.0]},
-            {"bufferView": 6, "componentType": 5126, "count": 2,
+            {"bufferView": 5, "componentType": 5126, "count": 3,
+             "type": "SCALAR", "min": [0.0], "max": [2.0]},
+            {"bufferView": 6, "componentType": 5126, "count": 3,
              "type": "VEC4"},
         ],
         "bufferViews": [
@@ -226,8 +229,18 @@ def test_gltf_skin_import(tmp_path):
     p0 = skinning.skinned_positions_np(skin, mesh["position"], 0.0)
     np.testing.assert_allclose(p0, pos, atol=1e-5)
 
-    # t=1 s: the child joint is rotated 90° about z; the fully-bound top
-    # vertex (0.5, 2, 0) pivots about (0, 1, 0) → (-1, 1.5, 0).
+    # The loop period equals the authored duration (2 s): sampling at
+    # exactly t=2 s wraps to the start pose (ADVICE r2: wrapping modulo
+    # the endpoint-inclusive ROW count would stretch the loop one frame
+    # interval and hold the duplicated end pose).
+    assert skin.trans.shape[0] == int(round(skin.rate * 2.0))
+    ploop = skinning.skinned_positions_np(skin, mesh["position"],
+                                          skin.rate * 2.0)
+    np.testing.assert_allclose(ploop, p0, atol=1e-5)
+
+    # t=1 s (an interior authored key, exactly resampled): the child
+    # joint is rotated 90° about z; the fully-bound top vertex (0.5, 2, 0)
+    # pivots about (0, 1, 0) → (-1, 1.5, 0).
     p1 = skinning.skinned_positions_np(skin, mesh["position"],
                                        skin.rate * 1.0)
     np.testing.assert_allclose(p1[5], [-1.0, 1.5, 0.0], atol=1e-4)
