@@ -6,9 +6,10 @@ by name) become flip-book animation frames advanced at a fixed FPS
 (ModelLoader.cs:331-348).  Models and decoded textures are cached by
 normalized path (ModelLoader.cs:62-63, Renderer.cs:15).
 
-Formats: glTF/GLB via the first-party importer (io_host.gltf) and a small
-OBJ parser (the reference reaches OBJ through Assimp; BASELINE config 2
-uses one).
+Formats: glTF/GLB via the first-party importer (io_host.gltf), OBJ, STL,
+PLY, COLLADA .dae (io_host.collada) and binary FBX (io_host.fbx) — the
+common subset of what the reference reaches through Assimp
+(ModelLoader.cs:144-150).
 """
 
 from __future__ import annotations
@@ -32,7 +33,8 @@ F32 = np.float32
 _MODEL_CACHE: Dict[str, "Model"] = {}
 _TEXTURE_CACHE: Dict[str, Optional[np.ndarray]] = {}
 
-SUPPORTED_EXTENSIONS = {".gltf", ".glb", ".obj", ".stl", ".ply"}
+SUPPORTED_EXTENSIONS = {".gltf", ".glb", ".obj", ".stl", ".ply",
+                        ".dae", ".fbx"}
 
 
 @dataclasses.dataclass
@@ -372,6 +374,12 @@ def _load_single(path: str) -> Model:
         doc = load_stl(path)
     elif ext == ".ply":
         doc = load_ply(path)
+    elif ext == ".dae":
+        from softwarerenderer_tpu.io_host.collada import load_dae
+        doc = load_dae(path)
+    elif ext == ".fbx":
+        from softwarerenderer_tpu.io_host.fbx import load_fbx
+        doc = load_fbx(path)
     else:
         raise ValueError(f"unsupported model format: {ext}")
     return Model(meshes=doc["meshes"], lights=doc["lights"])
