@@ -301,6 +301,10 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         # the Dust2 demo) ANDed with the frustum test.
         visible = visible & jnp.asarray(uniforms["mesh_visible"], bool)
     tri_mask = jnp.take(visible, scene["tri_mesh_id"])
+    if "tri_lod_level" in scene:
+        # Mesh LOD: keep only each mesh's active level (ops/lod.py).
+        from softwarerenderer_tpu.ops import lod
+        tri_mask = tri_mask & lod.lod_tri_mask(scene, uniforms, H, xp=jnp)
 
     model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"], axis=0)
     u = dict(uniforms)

@@ -321,6 +321,7 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     tex_id_of = {}
     metallics, roughnesses, emissives = [], [], []
     tangents, tri_nm_id = [], []
+    tri_lod, mesh_lod_px = [], []
     any_normal_map = any(inst.normal_texture is not None
                          for inst in instances)
     # 1×1 neutral tangent-space normal (+z): instances without a normal
@@ -383,6 +384,19 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         normals.append(np.asarray(mesh["normal"], dtype=F32))
         colors.append(np.asarray(mesh["color"], dtype=F32))
         idx = np.asarray(mesh["indices"], dtype=np.int32).reshape(-1, 3)
+        if mesh.get("lod_indices"):
+            # Mesh LOD (ops/lod.py): every level's triangles pack into
+            # the soup; the jitted frame masks to the active level.
+            levels = [idx] + [np.asarray(s, np.int32).reshape(-1, 3)
+                              for s in mesh["lod_indices"]]
+            tri_lod.append(np.concatenate(
+                [np.full(lv.shape[0], li, np.int32)
+                 for li, lv in enumerate(levels)]))
+            idx = np.concatenate(levels)
+            mesh_lod_px.append([float(p) for p in mesh["lod_px"]])
+        else:
+            tri_lod.append(np.zeros(idx.shape[0], np.int32))
+            mesh_lod_px.append([])
         all_indices.append(idx + v_off)
         t = idx.shape[0]
         tri_mesh_id.append(np.full(t, mi, dtype=np.int32))
@@ -467,6 +481,13 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     if any_normal_map:
         out["tangent"] = np.concatenate(tangents, axis=0)
         out["tri_normal_tex_id"] = np.concatenate(tri_nm_id, axis=0)
+    if any(mesh_lod_px):
+        # LOD level per triangle + per-mesh pixel thresholds ((M, Lmax),
+        # -inf padding never activates — ops/lod.lod_tri_mask).
+        l_max = max(len(p) for p in mesh_lod_px)
+        out["tri_lod_level"] = np.concatenate(tri_lod)
+        out["mesh_lod_px"] = np.asarray(
+            [p + [-np.inf] * (l_max - len(p)) for p in mesh_lod_px], F32)
     if anim["nf"]:
         # Frame stacks concatenated on the vertex axis, frame axis padded to
         # the longest animation (selection is per-mesh modulo n_frames, so

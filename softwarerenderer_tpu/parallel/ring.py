@@ -142,7 +142,8 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
     t_pad = scene["indices"].shape[0]
     t_local = t_pad // n
 
-    tri_sharded = {"indices", "tri_mesh_id", "tri_texture_id", "tri_valid"}
+    tri_sharded = {"indices", "tri_mesh_id", "tri_texture_id", "tri_valid",
+                   "tri_lod_level"}
     in_specs = ({k: (P(AXIS) if k in tri_sharded else P())
                  for k in scene}, P())
 
@@ -157,6 +158,9 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
             scene["mesh_matrices"], view_proj, xp=jnp)
         tri_mask = jnp.take(visible, scene["tri_mesh_id"]) \
             & scene["tri_valid"]
+        if "tri_lod_level" in scene:
+            from softwarerenderer_tpu.ops import lod
+            tri_mask = tri_mask & lod.lod_tri_mask(scene, u, H, xp=jnp)
         model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
                             axis=0)
         uu = dict(u)

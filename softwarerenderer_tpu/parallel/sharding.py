@@ -75,9 +75,11 @@ def shard_scene_triangles(scene: Dict, n_tri: int) -> Dict:
     out = dict(scene)
     pad = t_pad - t
     if pad:
-        for k in ("indices", "tri_mesh_id", "tri_texture_id"):
-            cfg = [(0, pad)] + [(0, 0)] * (scene[k].ndim - 1)
-            out[k] = np.pad(np.asarray(scene[k]), cfg)
+        for k in ("indices", "tri_mesh_id", "tri_texture_id",
+                  "tri_lod_level"):
+            if k in scene:
+                cfg = [(0, pad)] + [(0, 0)] * (scene[k].ndim - 1)
+                out[k] = np.pad(np.asarray(scene[k]), cfg)
     out["tri_valid"] = np.arange(t_pad, dtype=np.int32) < t
     return out
 
@@ -192,7 +194,8 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
     t_local = t_pad // n_tri
     n_total = 2 * t_pad  # post-clip global submission slots
 
-    tri_sharded = {"indices", "tri_mesh_id", "tri_texture_id", "tri_valid"}
+    tri_sharded = {"indices", "tri_mesh_id", "tri_texture_id", "tri_valid",
+                   "tri_lod_level"}
     in_specs = ({k: (P("tri") if k in tri_sharded else P())
                  for k in scene}, P())
     out_specs = (P("fb"), P("fb"))
@@ -210,6 +213,10 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
             scene["mesh_matrices"], view_proj, xp=jnp)
         tri_mask = jnp.take(visible, scene["tri_mesh_id"]) \
             & scene["tri_valid"]
+        if "tri_lod_level" in scene:
+            from softwarerenderer_tpu.ops import lod
+            tri_mask = tri_mask & lod.lod_tri_mask(scene, uniforms, H,
+                                                   xp=jnp)
 
         model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
                             axis=0)

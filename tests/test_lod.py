@@ -1,0 +1,90 @@
+"""Mesh LOD tests (ROADMAP r3 / VERDICT r2 #9): screen-size-driven index
+selection — near view bit-identical to the LOD-less scene, far view on
+decimated index sets with ≥2× less triangle work."""
+
+import numpy as np
+
+import jax
+
+from softwarerenderer_tpu import RenderParams
+from softwarerenderer_tpu.engine import default_frame_uniforms, render_frame
+from softwarerenderer_tpu.models import primitives, scene as scene_mod
+from softwarerenderer_tpu.ops import lod
+from softwarerenderer_tpu.utils import mathlib as ml
+
+W, H = 160, 120
+F32 = np.float32
+
+
+def _sphere_scene(with_lods, z=-1.5):
+    base = primitives.uv_sphere(0.8, rings=12, sectors=18)
+    mesh = lod.add_lods(base, cells=(6, 3), px=(40.0, 15.0)) \
+        if with_lods else base
+    return scene_mod.build_scene_buffers(
+        [scene_mod.MeshInstance(mesh, ml.translation([0.0, 0.0, z]))])
+
+
+def test_decimate_indices_reduces_and_stays_valid():
+    m = primitives.uv_sphere(1.0, rings=16, sectors=24)
+    t0 = m["indices"].shape[0]
+    d1 = lod.decimate_indices(m["position"], m["indices"], cells=6)
+    d2 = lod.decimate_indices(m["position"], m["indices"], cells=3)
+    assert 0 < d2.shape[0] < d1.shape[0] < t0
+    assert d1.shape[0] <= t0 // 2
+    assert d1.min() >= 0 and d1.max() < m["position"].shape[0]
+
+
+def test_near_view_identical_to_lodless():
+    """Projected radius 0.8/1.5·60 = 32 px… > level-1 threshold? 32 < 40
+    selects level 1 — so use a closer camera: dist 1.0 → 48 px → level 0
+    → the LOD scene's frame is EXACTLY the LOD-less frame."""
+    params = RenderParams(width=W, height=H)
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.0, -0.5])   # dist 1.0
+    c0, d0 = jax.jit(lambda s, u: render_frame(s, u, params))(
+        _sphere_scene(False), u)
+    scene = _sphere_scene(True)
+    mask = np.asarray(lod.lod_tri_mask(scene, u, H, xp=np))
+    lvl = np.asarray(scene["tri_lod_level"])
+    assert (lvl[mask] == 0).all()            # full detail selected
+    c1, d1 = jax.jit(lambda s, u: render_frame(s, u, params))(scene, u)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+def test_far_view_cuts_triangle_work_2x():
+    scene = _sphere_scene(True)
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.0, 20.0])   # dist 21.5
+    mask = np.asarray(lod.lod_tri_mask(scene, u, H, xp=np))
+    lvl = np.asarray(scene["tri_lod_level"])
+    assert (lvl[mask] == 2).all()            # coarsest level selected
+    assert mask.sum() * 2 <= (lvl == 0).sum(), \
+        (mask.sum(), (lvl == 0).sum())
+    # and the decimated sphere still renders
+    params = RenderParams(width=W, height=H)
+    c, d = jax.jit(lambda s, u: render_frame(s, u, params))(scene, u)
+    assert (np.asarray(d) > -1e30).sum() > 4
+
+
+def test_mid_distance_selects_middle_level():
+    scene = _sphere_scene(True)
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.0, 0.5])    # dist 2 → 24 px
+    mask = np.asarray(lod.lod_tri_mask(scene, u, H, xp=np))
+    lvl = np.asarray(scene["tri_lod_level"])
+    assert (lvl[mask] == 1).all()
+
+
+def test_lod_jit_selection_is_traced():
+    """Moving the camera switches levels without recompiling."""
+    scene = _sphere_scene(True)
+    params = RenderParams(width=W, height=H)
+    fn = jax.jit(lambda s, u: render_frame(s, u, params))
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.0, -0.5])
+    fn(scene, u)
+    n0 = fn._cache_size()
+    u["camera_position"] = np.float32([0.0, 0.0, 30.0])
+    fn(scene, u)
+    assert fn._cache_size() == n0
