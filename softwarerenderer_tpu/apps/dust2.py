@@ -124,6 +124,11 @@ class Dust2Game:
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         self.hud = Hud()
+        # Layout persistence (the reference restores its ImGui dock layout
+        # from OutputAssets/Layouts/DefaultLayout.ini, Renderer.cs:304-308;
+        # here: positions + visibility toggles round-trip a JSON file).
+        self.layout_path = "hud_layout.json"
+        self.hud.load_layout(self.layout_path)
         self.max_players = max_players
         self.player_name = player_name or load_player_name()
         self.assets_dir = assets_dir
@@ -1013,6 +1018,10 @@ class Dust2Game:
         self.char_params = jax.device_put(st["char_params"])
 
     def close(self):
+        try:
+            self.hud.save_layout(self.layout_path)
+        except OSError:
+            pass
         if self.net.is_connected:
             self.net.send_rpc("DisconnectedPlayer",
                               [str(self.net.client_id)])

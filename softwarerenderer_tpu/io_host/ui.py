@@ -65,11 +65,68 @@ def project_nametag(world_pos, view, projection, width: int, height: int
     return float(x), float(y)
 
 
+@dataclasses.dataclass
+class HudLayout:
+    """Persisted HUD layout/visibility (the analog of the reference's
+    ImGui dock layout restored from OutputAssets/Layouts/DefaultLayout.ini
+    — /root/reference/Renderer.cs:304-308).  Negative coordinates anchor
+    from the right/bottom edge."""
+
+    chat_pos: Tuple[int, int] = (16, 16)
+    health_pos: Tuple[int, int] = (16, -40)
+    killfeed_pos: Tuple[int, int] = (-12, 28)
+    perf_pos: Tuple[int, int] = (-330, 8)
+    show_crosshair: bool = True
+    show_health: bool = True
+    show_chat: bool = True
+    show_killfeed: bool = True
+    show_perf: bool = True
+    show_debug: bool = False
+    max_chat_lines: int = 8
+
+
+def _anchor(pos, w: int, h: int) -> Tuple[int, int]:
+    x, y = pos
+    return (x if x >= 0 else w + x), (y if y >= 0 else h + y)
+
+
 class Hud:
     def __init__(self):
         self.state = HudState()
+        self.layout = HudLayout()
         self._font = None
         self._t_last = time.monotonic()
+
+    def load_layout(self, path: str) -> bool:
+        """Restore layout/visibility from a JSON file (unknown keys
+        ignored, missing file → defaults).  Mirrors the reference's
+        startup layout restore; returns True when a file was loaded."""
+        import json
+        import os
+        if not os.path.isfile(path):
+            return False
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            return False
+        fields = {f.name for f in dataclasses.fields(HudLayout)}
+        for k, v in data.items():
+            if k in fields:
+                cur = getattr(self.layout, k)
+                setattr(self.layout, k,
+                        tuple(v) if isinstance(cur, tuple) else v)
+        self.state.show_debug = self.layout.show_debug
+        self.state.max_chat_lines = self.layout.max_chat_lines
+        return True
+
+    def save_layout(self, path: str) -> None:
+        """Persist the current layout + live visibility toggles."""
+        import json
+        self.layout.show_debug = self.state.show_debug
+        self.layout.max_chat_lines = self.state.max_chat_lines
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self.layout), f, indent=1)
 
     def tick(self, dt: float) -> None:
         self.state.fps = 1.0 / dt if dt > 0 else 0.0
@@ -89,33 +146,39 @@ class Hud:
     def __call__(self, screen, pg) -> None:
         """Overlay callback for window.present."""
         s = self.state
+        lay = self.layout
         if self._font is None:
             self._font = pg.font.SysFont("monospace", 14)
         w, h = screen.get_size()
         white = (255, 255, 255)
 
         # Crosshair (Renderer.cs:310-335): two centered lines.
-        cx, cy = w // 2, h // 2
-        pg.draw.line(screen, white, (cx - 8, cy), (cx + 8, cy), 2)
-        pg.draw.line(screen, white, (cx, cy - 8), (cx, cy + 8), 2)
+        if lay.show_crosshair:
+            cx, cy = w // 2, h // 2
+            pg.draw.line(screen, white, (cx - 8, cy), (cx + 8, cy), 2)
+            pg.draw.line(screen, white, (cx, cy - 8), (cx, cy + 8), 2)
 
         # Health bar (Renderer.cs:336-356).
-        frac = max(0.0, min(1.0, s.health / 100.0))
-        bar_w = 180
-        pg.draw.rect(screen, (40, 40, 40), (16, h - 40, bar_w, 18))
-        pg.draw.rect(screen, (200, 40, 40),
-                     (16, h - 40, int(bar_w * frac), 18))
-        screen.blit(self._font.render(f"{s.health:.0f}", True, white),
-                    (16 + bar_w + 8, h - 40))
+        if lay.show_health:
+            hx, hy = _anchor(lay.health_pos, w, h)
+            frac = max(0.0, min(1.0, s.health / 100.0))
+            bar_w = 180
+            pg.draw.rect(screen, (40, 40, 40), (hx, hy, bar_w, 18))
+            pg.draw.rect(screen, (200, 40, 40),
+                         (hx, hy, int(bar_w * frac), 18))
+            screen.blit(self._font.render(f"{s.health:.0f}", True, white),
+                        (hx + bar_w + 8, hy))
 
         # Chat (Renderer.cs:587-656): last lines + input row.
-        y = 16
-        for line in s.chat_messages[-s.max_chat_lines:]:
-            screen.blit(self._font.render(line[:80], True, white), (16, y))
-            y += 16
-        if s.chat_active:
-            screen.blit(self._font.render("> " + s.chat_input, True,
-                                          (255, 255, 0)), (16, y))
+        if lay.show_chat:
+            chx, y = _anchor(lay.chat_pos, w, h)
+            for line in s.chat_messages[-s.max_chat_lines:]:
+                screen.blit(self._font.render(line[:80], True, white),
+                            (chx, y))
+                y += 16
+            if s.chat_active:
+                screen.blit(self._font.render("> " + s.chat_input, True,
+                                              (255, 255, 0)), (chx, y))
 
         # Nametags (Renderer.cs:544-585).
         for x, ny, name in s.nametags:
@@ -125,11 +188,12 @@ class Hud:
         # Kill feed (top-right, below perf) — expired entries drop out.
         now = time.monotonic()
         s.kill_feed[:] = [(t, line) for t, line in s.kill_feed if t > now]
-        ky = 28
-        for _, line in s.kill_feed:
-            t = self._font.render(line, True, (255, 120, 120))
-            screen.blit(t, (w - t.get_width() - 12, ky))
-            ky += 16
+        if lay.show_killfeed:
+            kx, ky = _anchor(lay.killfeed_pos, w, h)
+            for _, line in s.kill_feed:
+                t = self._font.render(line, True, (255, 120, 120))
+                screen.blit(t, (kx - t.get_width(), ky))
+                ky += 16
 
         # Scoreboard overlay (hold Tab).
         if s.show_scoreboard and s.scoreboard:
@@ -161,13 +225,15 @@ class Hud:
             screen.blit(t, ((w - t.get_width()) // 2, h - 70))
 
         # Performance + debug panel (Renderer.cs:662-668, 658-820).
-        perf = f"{s.fps:5.1f} fps  {s.frame_ms:6.2f} ms  " \
-               f"meshes {s.rendered_meshes}"
-        screen.blit(self._font.render(perf, True, (255, 255, 0)),
-                    (w - 330, 8))
+        px_, py_ = _anchor(lay.perf_pos, w, h)
+        if lay.show_perf:
+            perf = f"{s.fps:5.1f} fps  {s.frame_ms:6.2f} ms  " \
+                   f"meshes {s.rendered_meshes}"
+            screen.blit(self._font.render(perf, True, (255, 255, 0)),
+                        (px_, py_))
         if s.show_debug:
-            y = 32
+            y = py_ + 24
             for line in s.debug_lines:
                 screen.blit(self._font.render(line, True, (0, 255, 128)),
-                            (w - 330, y))
+                            (px_, y))
                 y += 16

@@ -91,3 +91,32 @@ def test_game_loop_on_pygame_backend():
         assert any(sum(p) > 30 for p in px)     # something was drawn
     finally:
         g.close()
+
+
+def test_hud_layout_roundtrip(tmp_path):
+    """HUD layout persistence (the reference's DefaultLayout.ini analog,
+    Renderer.cs:304-308): save → load restores positions + visibility."""
+    from softwarerenderer_tpu.io_host.ui import Hud
+
+    hud = Hud()
+    hud.layout.chat_pos = (40, 60)
+    hud.layout.show_killfeed = False
+    hud.state.show_debug = True
+    hud.state.max_chat_lines = 5
+    path = str(tmp_path / "layout.json")
+    hud.save_layout(path)
+
+    hud2 = Hud()
+    assert hud2.load_layout(path)
+    assert hud2.layout.chat_pos == (40, 60)
+    assert hud2.layout.show_killfeed is False
+    assert hud2.state.show_debug is True       # toggle restored
+    assert hud2.state.max_chat_lines == 5
+
+    # missing / corrupt files fall back to defaults
+    hud3 = Hud()
+    assert not hud3.load_layout(str(tmp_path / "absent.json"))
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert not hud3.load_layout(str(bad))
+    assert hud3.layout.chat_pos == (16, 16)
