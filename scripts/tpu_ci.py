@@ -131,6 +131,13 @@ def main():
           unsharded_ms=round(spf_p * 1e3, 2), ratio=round(ratio, 3))
 
     # ---- 4. golden subset through the Mosaic kernel ---------------------
+    # Gate: Mosaic vs the XLA fused path ON THE SAME DEVICE (tight —
+    # borderline edge pixels may flip between programs, so allow a tiny
+    # fraction), plus a LOOSE sanity diff against the checked-in PNG
+    # (rendered by the CPU backend: cross-backend edge flips at these
+    # small resolutions put ~0.4-1% of pixels off by more than 2/255 —
+    # measured r3; catching gross regressions is the PNG's job, exactness
+    # is the on-device A/B's).
     from PIL import Image
 
     from scripts.make_goldens import GOLDEN_SIZES
@@ -139,19 +146,25 @@ def main():
         w, h = GOLDEN_SIZES[n]
         insts, _, _, ufn, ekw = bench.config_workload(n)
         sc = scene_mod.build_scene_buffers(insts)
-        eng = Engine(sc, RenderParams(width=w, height=h), **ekw)
-        uu = dict(eng.uniforms)
+        engm = Engine(sc, RenderParams(width=w, height=h), **ekw)
+        engf = Engine(sc, RenderParams(width=w, height=h,
+                                       use_pallas=False), **ekw)
+        uu = dict(engm.uniforms)
         if ufn:
             ufn(uu, sc)
-        got = np.asarray(eng.present(uu))
+        cm, dm = map(np.asarray, engm.render(uu))
+        cf, df = map(np.asarray, engf.render(uu))
+        ab_frac = float((np.abs(cm - cf).max(axis=-1) > 1e-5).mean())
+        got = np.asarray(engm.present(uu))
         golden = np.asarray(Image.open(
             os.path.join(GOLDEN_DIR, f"config{n}.png")))
         diff = np.abs(got.astype(np.int32) - golden.astype(np.int32))
         frac_off = float(np.mean(np.any(diff > 2, axis=-1)))
         mean = float(np.mean(diff))
         check(f"mosaic_golden_config{n}",
-              frac_off < 2e-3 and mean < 0.5,
-              frac_off=round(frac_off, 6), mean_diff=round(mean, 4))
+              ab_frac <= 2e-3 and frac_off < 2e-2 and mean < 2.0,
+              mosaic_vs_fused_frac=round(ab_frac, 6),
+              png_frac_off=round(frac_off, 6), png_mean=round(mean, 4))
 
     ok = all(c["ok"] for c in checks)
     out = {"ok": ok, "device": str(jax.devices()[0].device_kind),

@@ -117,6 +117,12 @@ class RenderParams:
     # binned cost (exact while each pixel's contributing fragments fit in
     # K).  0/1 = winner-only deferred shading (the opaque fast path).
     kbuffer: int = 0
+    # With kbuffer > 1: ALSO return a stats dict {"kbuffer_saturated_px"}
+    # — the runtime K-overflow indicator (pixels whose K-th layer holds a
+    # fragment; exactness may have degraded only among those).  Changes
+    # render_frame's return to (color, depth, stats); incompatible with
+    # ssaa/post-fx recursion (ValueError).
+    kbuffer_stats: bool = False
     # Run fold+resolve+interp as one Pallas tile kernel (ops/pallas_tile)
     # with shading as a single full-frame pass — the fastest path, default
     # ON.  Engages only on the TPU backend with LESS_EQUAL depth; every

@@ -248,6 +248,12 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     Jit-friendly: call under jax.jit with `params`/`chunk` static.  Returns
     (color (H, W, 4) f32, depth (H, W) f32).
     """
+    if params.kbuffer_stats and (params.ssaa > 1 or params.kbuffer <= 1
+                                 or not (params.binned and params.deferred)
+                                 or _enabled_post_fx(params, uniforms)):
+        raise ValueError("kbuffer_stats needs kbuffer > 1 and no "
+                         "ssaa/post-fx (the stats dict is a third return "
+                         "value the recursive wrappers don't thread)")
     if params.ssaa > 1:
         # Supersampled AA: render the whole frame at ssaa× and box-filter
         # down (beyond the reference — it has no AA at all).  fb seeds are
@@ -480,13 +486,15 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                 return render_tile_pallas_kbuffer(
                     tris, fragment_shader, u, params, fb_color, fb_depth,
                     per_tri_extra=per_tri,
-                    interpret=params.pallas_interpret)
+                    interpret=params.pallas_interpret,
+                    with_stats=params.kbuffer_stats)
             from softwarerenderer_tpu.ops.kbuffer import (
                 render_binned_kbuffer,
             )
             return render_binned_kbuffer(tris, fragment_shader, u, params,
                                          fb_color, fb_depth,
-                                         per_tri_extra=per_tri)
+                                         per_tri_extra=per_tri,
+                                         with_stats=params.kbuffer_stats)
         if params.use_pallas and params.depth_test == DepthTest.LESS_EQUAL \
                 and (jax.default_backend() == "tpu"
                      or params.pallas_interpret):

@@ -59,8 +59,14 @@ F32 = jnp.float32
 def render_binned_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
                           params: RenderParams, fb_color, fb_depth,
                           per_tri_extra: Optional[Dict] = None,
-                          row_offset=0):
-    """Same contract as binning.render_binned_fused with K-layer replay."""
+                          row_offset=0, with_stats: bool = False):
+    """Same contract as binning.render_binned_fused with K-layer replay.
+
+    with_stats=True additionally returns {"kbuffer_saturated_px": n} —
+    the number of pixels whose LAST (K-th) slot holds a fragment, i.e. a
+    conservative upper bound on pixels where the exactness contract may
+    have degraded (a pixel with exactly K contributing fragments is
+    counted but still exact; one with more dropped the overflow)."""
     mode = params.depth_test
     if mode not in _REDUCE_RULES:
         raise NotImplementedError(
@@ -187,7 +193,12 @@ def render_binned_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
 
         for _ in range(K):
             cd = pick(dm, axis=1)                          # (G, tpx)
-            at = mask & (dm == cd[:, None, :])
+            # `dm == bad` entries are exhausted picks, not fragments — a
+            # chunk with fewer than K fragments must not re-pick them
+            # (the phantom (±inf, idx) duplicates would occupy lower
+            # slots: saturation over-counts, and under ALWAYS-mode depth
+            # tests a duplicate could double-blend its fragment).
+            at = mask & (dm == cd[:, None, :]) & (dm != bad)
             if later_wins:
                 ci = jnp.max(jnp.where(at, idxb, F32(NO_TRI)), axis=1)
                 has = ci != F32(NO_TRI)
@@ -215,7 +226,7 @@ def render_binned_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
         return slots_d, slots_i
 
     def group_body(g, carry):
-        all_c, all_d = carry
+        all_c, all_d, all_s = carry
         base = g * tile_group
         tiles = jax.lax.dynamic_slice_in_dim(tile_ids_all, base, tile_group)
         g_starts = jax.lax.dynamic_slice_in_dim(starts, base, tile_group)
@@ -354,13 +365,21 @@ def render_binned_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
 
         all_c = jax.lax.dynamic_update_slice_in_dim(all_c, cur_c, base, 0)
         all_d = jax.lax.dynamic_update_slice_in_dim(all_d, cur_d, base, 0)
-        return all_c, all_d
+        all_s = jax.lax.dynamic_update_slice_in_dim(
+            all_s, (slots_i[K - 1] != F32(NO_TRI)).astype(jnp.int32),
+            base, 0)
+        return all_c, all_d, all_s
 
-    all_c, all_d = jax.lax.fori_loop(0, ngroups, group_body, (c0, d0))
+    s0_ = jnp.zeros((ntiles_pad, tpx), jnp.int32)
+    all_c, all_d, all_s = jax.lax.fori_loop(0, ngroups, group_body,
+                                            (c0, d0, s0_))
 
     def untile(a):
         a = a[:ntiles].reshape((nty, ntx, tile_h, tile_w) + a.shape[2:])
         a = jnp.moveaxis(a, 1, 2).reshape((Hp, Wp) + a.shape[4:])
         return a[:H, :W]
 
+    if with_stats:
+        return untile(all_c), untile(all_d), {
+            "kbuffer_saturated_px": jnp.sum(untile(all_s))}
     return untile(all_c), untile(all_d)

@@ -573,7 +573,8 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
 def render_tile_pallas_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
                                params: RenderParams, fb_color, fb_depth,
                                per_tri_extra: Optional[Dict] = None,
-                               row_offset=0, *, interpret: bool = False):
+                               row_offset=0, *, interpret: bool = False,
+                               with_stats: bool = False):
     """K-buffer via depth peeling: K single-winner kernel passes, each
     folding only fragments strictly worse-ranked than the previous pass's
     winner, then the reference's sequential shade-blend replayed over the
@@ -628,4 +629,11 @@ def render_tile_pallas_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
         cur_c = jnp.where(written[..., None],
                           _blend(sel_c, cur_c, params.blend_mode), cur_c)
         cur_d = jnp.where(written, sel_d, cur_d)
+    if with_stats:
+        # Saturation: the K-th (deepest peeled) layer found a fragment —
+        # the conservative K-overflow indicator (see
+        # kbuffer.render_binned_kbuffer with_stats).
+        return cur_c, cur_d, {
+            "kbuffer_saturated_px": jnp.sum(
+                (indices[-1] >= 0).astype(jnp.int32))}
     return cur_c, cur_d

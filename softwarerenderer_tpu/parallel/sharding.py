@@ -405,14 +405,25 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
                                  init_depth=fb_depth, row_offset=row_offset)
 
         covered_l = tri_l != NO_TRI
-        gidx = jnp.where(covered_l, tri_l + tri_offset, NO_TRI)
-        covered, dstar, istar = _lex_allreduce(
-            depth_l, gidx, covered_l, params.depth_test, n_total)
+        if n_tri == 1:
+            # Triangles are replicated: the local winner IS the global
+            # winner — skip the allreduce and the psum compositing below
+            # (statically: the axis size is part of the mesh shape).
+            # This is what makes a Mesh((1,1)) sharded frame run within
+            # a few percent of the unsharded kernel frame.
+            mine = covered_l
+            dstar = depth_l
+            local_best = tri_l
+        else:
+            gidx = jnp.where(covered_l, tri_l + tri_offset, NO_TRI)
+            covered, dstar, istar = _lex_allreduce(
+                depth_l, gidx, covered_l, params.depth_test, n_total)
 
-        # Shade only the pixels THIS shard's winner owns; combine by psum.
-        mine = covered & (istar >= tri_offset) \
-            & (istar < tri_offset + 2 * t_local)
-        local_best = jnp.where(mine, istar - tri_offset, NO_TRI)
+            # Shade only the pixels THIS shard's winner owns; combine by
+            # psum.
+            mine = covered & (istar >= tri_offset) \
+                & (istar < tri_offset + 2 * t_local)
+            local_best = jnp.where(mine, istar - tri_offset, NO_TRI)
         if use_pallas_kernel:
             # The kernel already interpolated this shard's winner
             # G-buffer; shade it with one full-frame XLA pass and
@@ -442,20 +453,25 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
                 tris, dstar, local_best, fragment_shader, u, shard_params,
                 fb_color, fb_depth, per_tri_extra=per_tri_in,
                 row_offset=row_offset_arr, col_offset=col_offset_arr)
-        # shade_deferred composited the owner's fragments onto the clear
-        # background; exactly one shard owns each covered pixel, so masked
-        # contributions sum exclusively across the 'tri' axis.  (A shader
-        # discard leaves color_s == background there, which still resolves
-        # to the background after the psum — consistent with the deferred
-        # path's documented discard semantics.)
-        written = mine
-        contrib_c = jnp.where(written[..., None], color_s, 0.0)
-        contrib_d = jnp.where(written, depth_s, 0.0)
-        any_written = jax.lax.psum(written.astype(jnp.int32), "tri") > 0
-        sum_c = jax.lax.psum(contrib_c, "tri")
-        sum_d = jax.lax.psum(contrib_d, "tri")
-        out_c = jnp.where(any_written[..., None], sum_c, fb_color)
-        out_d = jnp.where(any_written, sum_d, fb_depth)
+        if n_tri == 1:
+            out_c, out_d = color_s, depth_s
+        else:
+            # The shading path composited the owner's fragments onto the
+            # clear background; exactly one shard owns each covered
+            # pixel, so masked contributions sum exclusively across the
+            # 'tri' axis.  (A shader discard leaves color_s == background
+            # there, which still resolves to the background after the
+            # psum — consistent with the deferred path's documented
+            # discard semantics.)
+            written = mine
+            contrib_c = jnp.where(written[..., None], color_s, 0.0)
+            contrib_d = jnp.where(written, depth_s, 0.0)
+            any_written = jax.lax.psum(written.astype(jnp.int32),
+                                       "tri") > 0
+            sum_c = jax.lax.psum(contrib_c, "tri")
+            sum_d = jax.lax.psum(contrib_d, "tri")
+            out_c = jnp.where(any_written[..., None], sum_c, fb_color)
+            out_d = jnp.where(any_written, sum_d, fb_depth)
         if balanced_mode == "tiles":
             return out_c, out_d, my_tiles
         if balanced_mode == "rows":
