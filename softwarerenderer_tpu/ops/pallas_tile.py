@@ -544,6 +544,376 @@ def _gb_keep(fragment_shader):
     return None if v is None else frozenset(v)
 
 
+def _kernel_kdeep(ntx, nty, tile_h, tile_w, chunk, kp, kp3, kp3_dma, kpi,
+                  interp_plan, sl_screen, sl_ia, clip_w_off, interpret, K,
+                  # scalar prefetch
+                  starts_ref, counts_ref, nglob_ref, rowoff_ref,
+                  # inputs
+                  fbd_ref, globres_ref, globres_pl_ref,
+                  glob_ref, seg_ref, glob_pl_ref, seg_pl_ref,
+                  # outputs
+                  gbuf_ref, outd_ref, outi_ref,
+                  # scratch
+                  ld_ref, li_ref, pl_ref, buf_ref, plbuf_ref, sem_ref,
+                  plsem_ref):
+    """Single-pass K-deep fold (VERDICT r2 #3): keep the K best
+    (depth, index) winners per pixel in kernel scratch during ONE
+    streaming fold, then resolve all K payloads in a second in-kernel
+    stream — the stream is DMA'd twice total instead of K times, and the
+    fold does no payload merging at all (the peel kernel's dominant VMEM
+    traffic).
+
+    Phase A per sub-chunk: extract the sub-chunk's top-K candidates in
+    rank order (K masked maxes) and bubble each through the sorted
+    (K, tpx) scratch lists — (1, tpx)-row compare/swap chains, no
+    payload.  Phase B per sub-chunk: for each layer, one-hot-match the
+    layer's winner INDEX (unique within a tile's stream) and accumulate
+    its payload row block — accumulation needs no where-merge because
+    each winner index matches exactly one stream position.  Phase C
+    interpolates each layer into its kpi-channel G-buffer block.
+
+    LESS_EQUAL only (lexicographic later-wins, like the peel path)."""
+    i = pl.program_id(0)
+    ty = i // ntx
+    tx = i % ntx
+    tpx = tile_h * tile_w
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
+    px = (lane % tile_w + tx * tile_w).astype(F32)
+    py = (lane // tile_w + ty * tile_h + rowoff_ref[0]).astype(F32)
+
+    n_global = nglob_ref[0]
+    start = starts_ref[i]
+    count = counts_ref[i]
+    fbd = fbd_ref[...].reshape(1, tpx)
+
+    ld_ref[...] = jnp.full((K, tpx), F32(-jnp.inf), F32)
+    li_ref[...] = jnp.full((K, tpx), -1.0, F32)
+    pl_ref[...] = jnp.zeros((K * kp3, tpx), F32)
+
+    def eval_common(cols, base_pos, lo, hi):
+        col = lambda k: cols[k, :][:, None]                    # (SUB, 1)
+        s0x, s0y, s1x, s1y = col(0), col(1), col(2), col(3)
+        s2x, s2y = col(4), col(5)
+        d0, d1, d2, ia, idx = col(6), col(7), col(8), col(9), col(10)
+        w0 = (s1y - s2y) * (px - s1x) + (s2x - s1x) * (py - s1y)
+        w1 = (s2y - s0y) * (px - s2x) + (s0x - s2x) * (py - s2y)
+        w2 = (s0y - s1y) * (px - s0x) + (s1x - s0x) * (py - s0y)
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
+                 ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+        pos = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0) + base_pos
+        ok = inside & (pos >= lo) & (pos < hi)
+        d = d0 * (w0 * ia) + d1 * (w1 * ia) + d2 * (w2 * ia)
+        return ok, d, idx
+
+    def eval_kfold(cols, pl_rows, base_pos, lo, hi):
+        ok, d, idx = eval_common(cols, base_pos, lo, hi)
+        # admission vs the frame's initial depth: the reference's
+        # "new >= old" against the clear/seeded buffer
+        ok = ok & (d >= fbd)
+        dm = jnp.where(ok, d, F32(-jnp.inf))
+        if interpret:
+            dm = jax.lax.optimization_barrier(dm)
+        for _ in range(K):
+            cand_d = jnp.max(dm, axis=0, keepdims=True)        # (1, tpx)
+            has = cand_d > F32(-jnp.inf)
+            at = (dm == cand_d) & has
+            cand_i = jnp.max(jnp.where(at, idx, F32(-1.0)), axis=0,
+                             keepdims=True)
+            has = has & (cand_i > F32(-1.0))
+            # remove exactly the picked fragment, then bubble it through
+            # the sorted scratch lists (slot 0 = highest rank)
+            dm = jnp.where(at & (idx == cand_i), F32(-jnp.inf), dm)
+            carry_d = jnp.where(has, cand_d, F32(-jnp.inf))
+            carry_i = jnp.where(has, cand_i, F32(-1.0))
+            for s in range(K):
+                sd = ld_ref[s:s + 1, :]
+                si = li_ref[s:s + 1, :]
+                go = (carry_i > F32(-1.0)) & (
+                    (carry_d > sd) | ((carry_d == sd) & (carry_i > si)))
+                ld_ref[s:s + 1, :] = jnp.where(go, carry_d, sd)
+                li_ref[s:s + 1, :] = jnp.where(go, carry_i, si)
+                carry_d = jnp.where(go, sd, carry_d)
+                carry_i = jnp.where(go, si, carry_i)
+
+    def eval_kresolve(cols, pl_rows, base_pos, lo, hi):
+        # Index-only match: within one tile's processed stream every
+        # triangle id appears exactly once, so accumulation resolves each
+        # layer's payload without a merge.
+        col = lambda k: cols[k, :][:, None]
+        idx = col(10)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0) + base_pos
+        live = (pos >= lo) & (pos < hi)
+        for k in range(K):
+            onehot = ((idx == li_ref[k:k + 1, :]) & live).astype(F32)
+            cand_pl = jax.lax.dot_general(
+                pl_rows[:, :kp3], onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (kp3, tpx)
+            pl_ref[k * kp3:(k + 1) * kp3, :] = \
+                pl_ref[k * kp3:(k + 1) * kp3, :] + cand_pl
+
+    def fold_stream(eval_fn, stream_ref, pl_stream_ref, offset, length):
+        abase = (offset // chunk) * chunk
+        lead = offset - abase
+        total = lead + length
+        n_chunks = (total + chunk - 1) // chunk
+
+        def get_dmas(slot, c):
+            s0 = pl.multiple_of(abase + c * chunk, chunk)
+            return (pltpu.make_async_copy(
+                        stream_ref.at[:, pl.ds(s0, chunk)],
+                        buf_ref.at[slot], sem_ref.at[slot]),
+                    pltpu.make_async_copy(
+                        pl_stream_ref.at[pl.ds(s0, chunk), :],
+                        plbuf_ref.at[slot], plsem_ref.at[slot]))
+
+        @pl.when(n_chunks > 0)
+        def _():
+            for dma in get_dmas(0, 0):
+                dma.start()
+
+        def body(c, carry):
+            slot = c % 2
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in get_dmas((c + 1) % 2, c + 1):
+                    dma.start()
+            d1, d2 = get_dmas(slot, c)
+            d1.wait()
+            d2.wait()
+            for s in range(chunk // SUB):
+                base_pos = c * chunk + s * SUB
+                live = (base_pos < total) & (base_pos + SUB > lead)
+
+                @pl.when(live)
+                def _(s=s, base_pos=base_pos, slot=slot):
+                    eval_fn(buf_ref[slot][:, s * SUB:(s + 1) * SUB],
+                            plbuf_ref[slot][s * SUB:(s + 1) * SUB, :],
+                            base_pos, lead, total)
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    def run_phase(eval_fn):
+        n_res = jnp.minimum(n_global, GLOB_RESIDENT)
+        for k in range(GLOB_RESIDENT // SUB):
+            @pl.when(k * SUB < n_res)
+            def _(k=k):
+                eval_fn(globres_ref[:, k * SUB:(k + 1) * SUB],
+                        globres_pl_ref[k * SUB:(k + 1) * SUB, :],
+                        k * SUB, 0, n_res)
+
+        @pl.when(n_global > GLOB_RESIDENT)
+        def _():
+            fold_stream(eval_fn, glob_ref, glob_pl_ref, GLOB_RESIDENT,
+                        n_global - GLOB_RESIDENT)
+
+        @pl.when(count > 0)
+        def _():
+            fold_stream(eval_fn, seg_ref, seg_pl_ref, start, count)
+
+    run_phase(eval_kfold)
+    run_phase(eval_kresolve)
+
+    # ---- phase C: per-layer perspective-correct interpolation -----------
+    for layer in range(K):
+        base = layer * kp3
+
+        def row(v, f):
+            o = base + v * kp + f
+            return pl_ref[o:o + 1, :]                          # (1, tpx)
+
+        ia = row(0, sl_ia)
+        s0x, s0y = row(0, sl_screen), row(0, sl_screen + 1)
+        s1x, s1y = row(1, sl_screen), row(1, sl_screen + 1)
+        s2x, s2y = row(2, sl_screen), row(2, sl_screen + 1)
+        w0 = ((s1y - s2y) * (px - s1x) + (s2x - s1x) * (py - s1y)) * ia
+        w1 = ((s2y - s0y) * (px - s2x) + (s0x - s2x) * (py - s2y)) * ia
+        w2 = ((s0y - s1y) * (px - s0x) + (s1x - s0x) * (py - s0y)) * ia
+        cw0, cw1, cw2 = (row(0, clip_w_off), row(1, clip_w_off),
+                         row(2, clip_w_off))
+        rcp_a = w0 / jnp.where(cw0 == 0, F32(1), cw0)
+        rcp_b = w1 / jnp.where(cw1 == 0, F32(1), cw1)
+        rcp_c = w2 / jnp.where(cw2 == 0, F32(1), cw2)
+        wsum = rcp_a + rcp_b + rcp_c
+        wgt = F32(1.0) / jnp.where(wsum == 0, F32(1), wsum)
+        wa, wb, wc = rcp_a * wgt, rcp_b * wgt, rcp_c * wgt
+
+        def pc(f):
+            return (row(0, f) * rcp_a + row(1, f) * rcp_b
+                    + row(2, f) * rcp_c) * wgt
+
+        def pw(f):
+            return row(0, f) * wa + row(1, f) * wb + row(2, f) * wc
+
+        def out(c, val):
+            gbuf_ref[layer * kpi + c:layer * kpi + c + 1, :, :] = \
+                val.reshape(1, tile_h, tile_w)
+
+        j = 0
+        for kind, lo, hi in interp_plan:
+            width = hi - lo
+            if kind == "pw3":
+                v0, v1, v2 = pw(lo), pw(lo + 1), pw(lo + 2)
+                lsq = v0 * v0 + v1 * v1 + v2 * v2
+                den = jnp.sqrt(jnp.where(lsq > 0, lsq, F32(1)))
+                keep = lsq > F32(1e-6)
+                out(j, jnp.where(keep, v0 / den, v0))
+                out(j + 1, jnp.where(keep, v1 / den, v1))
+                out(j + 2, jnp.where(keep, v2 / den, v2))
+            elif kind == "pw":
+                for f in range(lo, hi):
+                    out(j + f - lo, pw(f))
+            elif kind == "pc":
+                for f in range(lo, hi):
+                    out(j + f - lo, pc(f))
+            elif kind == "bary":
+                out(j, wa)
+                out(j + 1, wb)
+                out(j + 2, wc)
+                width = 3
+            elif kind == "v0":
+                out(j, row(0, lo))
+                width = 1
+            j += width
+        for c in range(j, kpi):
+            out(c, jnp.zeros((1, tpx), F32))
+
+        outd_ref[layer] = ld_ref[layer:layer + 1, :].reshape(tile_h,
+                                                            tile_w)
+        outi_ref[layer] = li_ref[layer:layer + 1, :].reshape(
+            tile_h, tile_w).astype(jnp.int32)
+
+
+def _run_pass_kdeep(ctx: Dict, K: int, interpret: bool):
+    """One K-deep kernel invocation: returns (frags list of K frag dicts,
+    bd (K, Hp, Wp), bi (K, Hp, Wp))."""
+    (tile_h, tile_w, ntx, nty, ntiles, tpx, kpi, kp3_dma, Hp, Wp, H, W) = (
+        ctx["tile_h"], ctx["tile_w"], ctx["ntx"], ctx["nty"], ctx["ntiles"],
+        ctx["tpx"], ctx["kpi"], ctx["kp3_dma"], ctx["Hp"], ctx["Wp"],
+        ctx["H"], ctx["W"])
+    tile_spec = pl.BlockSpec((tile_h, tile_w),
+                             lambda i, *_: (i // ntx, i % ntx))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ntiles,),
+        in_specs=[
+            tile_spec,
+            pl.BlockSpec((N_FIELDS, GLOB_RESIDENT), lambda i, *_: (0, 0)),
+            pl.BlockSpec((GLOB_RESIDENT, kp3_dma), lambda i, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((K * kpi, tile_h, tile_w),
+                         lambda i, *_: (0, i // ntx, i % ntx)),
+            pl.BlockSpec((K, tile_h, tile_w),
+                         lambda i, *_: (0, i // ntx, i % ntx)),
+            pl.BlockSpec((K, tile_h, tile_w),
+                         lambda i, *_: (0, i // ntx, i % ntx)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, tpx), jnp.float32),            # layer depths
+            pltpu.VMEM((K, tpx), jnp.float32),            # layer indices
+            pltpu.VMEM((K * ctx["kp3"], tpx), jnp.float32),
+            pltpu.VMEM((2, N_FIELDS, ctx["chunk"]), jnp.float32),
+            pltpu.VMEM((2, ctx["chunk"], kp3_dma), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_kdeep, ntx, nty, tile_h, tile_w, ctx["chunk"],
+        ctx["kp"], ctx["kp3"], kp3_dma, kpi, ctx["interp_plan"],
+        ctx["sl_screen"], ctx["sl_ia"], ctx["clip_w_off"], interpret, K)
+    gbuf, bd, bi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((K * kpi, Hp, Wp), jnp.float32),
+                   jax.ShapeDtypeStruct((K, Hp, Wp), jnp.float32),
+                   jax.ShapeDtypeStruct((K, Hp, Wp), jnp.int32)],
+        interpret=interpret,
+    )(ctx["starts"], ctx["counts"], ctx["n_global"], ctx["row_offset_arr"],
+      ctx["fbd"], ctx["globres"], ctx["globres_pl"], ctx["glob_s"],
+      ctx["seg_s"], ctx["glob_p"], ctx["seg_p"])
+
+    frags = []
+    gb_slices = ctx["gb_slices"]
+    for layer in range(K):
+        planes = gbuf[layer * kpi:(layer + 1) * kpi, :H, :W]
+        flat = {k: jnp.moveaxis(planes[lo:hi], 0, -1)
+                for k, (lo, hi) in gb_slices.items()
+                if not k.startswith("tri.")}
+        if "clip_z" in flat:
+            z = flat.pop("clip_z")[..., 0]
+            zero = jnp.zeros_like(z)
+            flat["clip_position"] = jnp.stack([zero, zero, z, zero],
+                                              axis=-1)
+        frag = unflatten_varyings(
+            {k: v for k, v in flat.items() if k != "barycentric"})
+        if "barycentric" in flat:
+            frag["barycentric"] = flat["barycentric"]
+        if ctx["extra_keys"]:
+            frag["tri"] = {
+                k: planes[gb_slices["tri." + k][0]].astype(jnp.int32)
+                for k in ctx["extra_keys"]}
+        frags.append(frag)
+    return frags, bd, bi
+
+
+def render_tile_pallas_kbuffer_single(tris: Dict, fragment_shader,
+                                      uniforms: Dict, params: RenderParams,
+                                      fb_color, fb_depth,
+                                      per_tri_extra: Optional[Dict] = None,
+                                      row_offset=0, *,
+                                      interpret: bool = False,
+                                      with_stats: bool = False):
+    """K-buffer via the single-pass K-deep kernel: ONE kernel invocation
+    (streams DMA'd twice in-kernel) instead of K peeled passes, then the
+    same per-layer shading + submission-order replay as the peel path —
+    identical exactness contract (kbuffer.render_binned_kbuffer
+    docstring), LESS_EQUAL only."""
+    if params.depth_test != DepthTest.LESS_EQUAL:
+        raise NotImplementedError("pallas K-buffer supports LESS_EQUAL "
+                                  "only")
+    K = params.kbuffer
+    assert K >= 1
+    ctx = _prepare_ctx(tris, params, fb_depth, per_tri_extra, row_offset,
+                       gb_keep=_gb_keep(fragment_shader))
+    H, W = ctx["H"], ctx["W"]
+    frags, bd, bi = _run_pass_kdeep(ctx, K, interpret)
+
+    src = jnp.stack([fragment_shader(f, uniforms, jnp)
+                     for f in frags])               # (K, H, W, 4)
+    sd = bd[:, :H, :W]                              # (K, H, W)
+    si_i = bi[:, :H, :W]
+    si = jnp.where(si_i >= 0, si_i.astype(F32), F32(jnp.inf))
+
+    # ---- replay in submission order (identical to the peel path) --------
+    cur_c, cur_d = fb_color, fb_depth
+    used = jnp.zeros((K, H, W), bool)
+    for _ in range(K):
+        masked_i = jnp.where(used, F32(jnp.inf), si)
+        sel_i = jnp.min(masked_i, axis=0)
+        valid = jnp.isfinite(sel_i)
+        is_pick = (masked_i == sel_i[None]) & valid[None]
+        used = used | is_pick
+        sel_d = jnp.sum(jnp.where(is_pick, sd, 0.0), axis=0)
+        sel_c = jnp.sum(jnp.where(is_pick[..., None], src, 0.0), axis=0)
+        written = valid & (sel_d >= cur_d) & (sel_c[..., 3] > 0)
+        cur_c = jnp.where(written[..., None],
+                          _blend(sel_c, cur_c, params.blend_mode), cur_c)
+        cur_d = jnp.where(written, sel_d, cur_d)
+    if with_stats:
+        return cur_c, cur_d, {
+            "kbuffer_saturated_px": jnp.sum(
+                (si_i[K - 1] >= 0).astype(jnp.int32))}
+    return cur_c, cur_d
+
+
 def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
                        params: RenderParams, fb_color, fb_depth,
                        per_tri_extra: Optional[Dict] = None,

@@ -174,3 +174,69 @@ def test_tile_kernel_global_tail(monkeypatch):
     assert (np.abs(cg - cf).max(axis=-1) > 1e-5).mean() == 0
     assert (np.abs(dg - df) > 1e-5).mean() == 0
 
+
+
+def test_kdeep_kernel_matches_peel():
+    """The single-pass K-deep kernel (one invocation, K winners in
+    scratch) must reproduce the K-pass depth-peel path bit for bit —
+    both in interpret mode (VERDICT r2 #3)."""
+    import functools
+    import jax.numpy as jnp
+    from softwarerenderer_tpu.engine import (camera_matrices,
+                                             default_frame_uniforms,
+                                             scene_fragment_shader,
+                                             scene_vertex_shader)
+    from softwarerenderer_tpu.ops import culling, pallas_tile, raster
+
+    params = RenderParams(width=136, height=92, tile_h=16, tile_w=128,
+                          tile_group=4, chunk=16, span_cap=6, kbuffer=3,
+                          cull_mode=0)
+    sc = _tile_kernel_scene()
+    w, h = params.width, params.height
+    u0 = default_frame_uniforms(w, h)
+    u0["camera_position"] = np.float32([0, 0.5, 3.0])
+
+    def both(scene, u):
+        view, proj = camera_matrices(u, w, h)
+        vp = ml.transform(view, proj, xp=jnp)
+        visible = culling.spheres_in_frustum(
+            scene["bounds_center"], scene["bounds_radius"],
+            scene["mesh_matrices"], vp, xp=jnp)
+        tri_mask = jnp.take(visible, scene["tri_mesh_id"])
+        model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
+                            axis=0)
+        uu = dict(u)
+        uu.update(model=model_pv, view=view, projection=proj,
+                  atlas_data=scene["atlas_data"],
+                  atlas_offsets=scene["atlas_offsets"],
+                  atlas_sizes=scene["atlas_sizes"],
+                  base_color=scene["base_color"])
+        vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
+        tris = geometry.build_triangles(
+            scene_vertex_shader, vin, scene["indices"], uu, width=w,
+            height=h, cull_mode=params.cull_mode,
+            near_clip=uu["near_clip"], tri_mask=tri_mask,
+            keep_varyings=scene_fragment_shader.varyings)
+        tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+        aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
+        asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
+        per_tri = {"tex_oy": jnp.take(aoff[:, 0], tid2),
+                   "tex_ox": jnp.take(aoff[:, 1], tid2),
+                   "tex_h": jnp.take(asiz[:, 0], tid2),
+                   "tex_w": jnp.take(asiz[:, 1], tid2)}
+        clear = jnp.asarray(u["clear_color"], jnp.float32)
+        fbc = jnp.broadcast_to(clear, (h, w, 4))
+        fbd = jnp.full((h, w), raster.DEPTH_CLEAR, jnp.float32)
+        c1, d1, stats = pallas_tile.render_tile_pallas_kbuffer_single(
+            tris, scene_fragment_shader, uu, params, fbc, fbd,
+            per_tri_extra=per_tri, interpret=True, with_stats=True)
+        c2, d2 = pallas_tile.render_tile_pallas_kbuffer(
+            tris, scene_fragment_shader, uu, params, fbc, fbd,
+            per_tri_extra=per_tri, interpret=True)
+        return c1, d1, stats, c2, d2
+
+    c1, d1, stats, c2, d2 = jax.jit(both)(sc, u0)
+    c1, d1, c2, d2 = map(np.asarray, (c1, d1, c2, d2))
+    assert (np.abs(c1 - c2).max(axis=-1) > 1e-5).mean() == 0
+    assert (np.abs(d1 - d2) > 1e-5).mean() == 0
+    assert int(stats["kbuffer_saturated_px"]) >= 0
