@@ -478,14 +478,16 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                     and params.depth_test == DepthTest.LESS_EQUAL \
                     and (jax.default_backend() == "tpu"
                          or params.pallas_interpret):
-                # Single-pass K-deep kernel: ONE kernel invocation keeps
-                # the K best (depth, index) per pixel in scratch and
-                # resolves all K payloads in-kernel (VERDICT r2 #3) —
-                # bit-exact with the K-pass depth-peel path it replaced.
+                # Depth-peeled kernel passes.  (A single-pass K-deep
+                # kernel — K winners in scratch, streams DMA'd twice —
+                # was built and measured SLOWER on v5e: 64 vs 39 ms at
+                # K=4 @1080p; it survives as
+                # render_tile_pallas_kbuffer_single with an exactness
+                # test.  See BENCHMARKS.md negative results.)
                 from softwarerenderer_tpu.ops.pallas_tile import (
-                    render_tile_pallas_kbuffer_single,
+                    render_tile_pallas_kbuffer,
                 )
-                return render_tile_pallas_kbuffer_single(
+                return render_tile_pallas_kbuffer(
                     tris, fragment_shader, u, params, fb_color, fb_depth,
                     per_tri_extra=per_tri,
                     interpret=params.pallas_interpret,

@@ -614,6 +614,12 @@ def _kernel_kdeep(ntx, nty, tile_h, tile_w, chunk, kp, kp3, kp3_dma, kpi,
         dm = jnp.where(ok, d, F32(-jnp.inf))
         if interpret:
             dm = jax.lax.optimization_barrier(dm)
+        # K-list rows live as VALUES for the whole sub-chunk: one ref
+        # read + one ref write instead of up to 2·K² row-sized
+        # read-modify-writes (measured 67 vs 39 ms/frame at K=4 when
+        # every compare/swap went through the scratch refs).
+        rows_d = [ld_ref[s:s + 1, :] for s in range(K)]
+        rows_i = [li_ref[s:s + 1, :] for s in range(K)]
         for _ in range(K):
             cand_d = jnp.max(dm, axis=0, keepdims=True)        # (1, tpx)
             has = cand_d > F32(-jnp.inf)
@@ -622,19 +628,20 @@ def _kernel_kdeep(ntx, nty, tile_h, tile_w, chunk, kp, kp3, kp3_dma, kpi,
                              keepdims=True)
             has = has & (cand_i > F32(-1.0))
             # remove exactly the picked fragment, then bubble it through
-            # the sorted scratch lists (slot 0 = highest rank)
+            # the sorted lists (slot 0 = highest rank)
             dm = jnp.where(at & (idx == cand_i), F32(-jnp.inf), dm)
             carry_d = jnp.where(has, cand_d, F32(-jnp.inf))
             carry_i = jnp.where(has, cand_i, F32(-1.0))
             for s in range(K):
-                sd = ld_ref[s:s + 1, :]
-                si = li_ref[s:s + 1, :]
+                sd, si = rows_d[s], rows_i[s]
                 go = (carry_i > F32(-1.0)) & (
                     (carry_d > sd) | ((carry_d == sd) & (carry_i > si)))
-                ld_ref[s:s + 1, :] = jnp.where(go, carry_d, sd)
-                li_ref[s:s + 1, :] = jnp.where(go, carry_i, si)
+                rows_d[s] = jnp.where(go, carry_d, sd)
+                rows_i[s] = jnp.where(go, carry_i, si)
                 carry_d = jnp.where(go, sd, carry_d)
                 carry_i = jnp.where(go, si, carry_i)
+        ld_ref[...] = jnp.concatenate(rows_d, axis=0)
+        li_ref[...] = jnp.concatenate(rows_i, axis=0)
 
     def eval_kresolve(cols, pl_rows, base_pos, lo, hi):
         # Index-only match: within one tile's processed stream every
