@@ -248,4 +248,8 @@ def test_random_skin_device_matches_host(seed):
         {"anim_time": np.float32(t)}, xp=jnp)["position"])
     ref = skinning.skinned_positions_np(skin, mesh["position"],
                                         t * skin.rate)
-    np.testing.assert_allclose(got, ref, atol=2e-4)
+    # rtol matters: chained random scales (up to 2× per joint, ≤5 joints)
+    # put positions at O(5), where host-vs-XLA FMA reassociation leaves
+    # a few-e-4 absolute wobble (hypothesis found seed 59749 at 2.8e-4
+    # over a 5.9 coordinate — 5e-5 relative).
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=2e-4)
