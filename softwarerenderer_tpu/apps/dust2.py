@@ -120,7 +120,7 @@ class Dust2Game:
                  player_name: Optional[str] = None,
                  max_players: int = 8, out: Optional[str] = None,
                  offline: bool = False, seed: Optional[int] = None,
-                 reliable: bool = False):
+                 reliable: bool = False, migrate: bool = False):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         self.hud = Hud()
@@ -143,6 +143,14 @@ class Dust2Game:
 
         # Networking bootstrap (Renderer.cs:75-82).
         self.net = Networking()
+        if migrate:
+            # Elastic recovery (beyond the reference, which strands
+            # clients when the host dies): heartbeat failure detection +
+            # lowest-id host election; on landing in the new session,
+            # re-announce this player and let remote state rebuild.
+            self.net.peer_timeout = 2.0
+            self.net.enable_host_migration = True
+            self.net.on_migrated.append(self._on_migrated)
         if not offline:
             self.net.log = lambda s: None
             if not self.net.connect(server, port):
@@ -152,6 +160,18 @@ class Dust2Game:
                 [str(self.net.client_id), self.player_name],
                 buffer_rpc=True, reliable=self.reliable)
         self.players: List[ConnectedPlayer] = []
+
+    def _on_migrated(self, is_host: bool) -> None:
+        """Landed in the migrated session: drop the old roster (ids were
+        reassigned) and re-announce; peers reappear via their own
+        re-announcements."""
+        self.players = []
+        self.hud.add_chat("* host migrated"
+                          + (" (you are the new host)" if is_host else ""))
+        self.net.send_rpc(
+            "ConnectedPlayer",
+            [str(self.net.client_id), self.player_name],
+            buffer_rpc=True, reliable=self.reliable)
 
     # -- scene assembly -------------------------------------------------------
 
@@ -1041,6 +1061,10 @@ def main(argv=None):
     ap.add_argument("--reliable", action="store_true",
                     help="acked/resent delivery for join/hit/chat RPCs "
                          "(all peers must run this framework)")
+    ap.add_argument("--migrate", action="store_true",
+                    help="host migration: if the host vanishes, the "
+                         "lowest-id client takes over the session "
+                         "(all peers must run this framework)")
     ap.add_argument("--offline", action="store_true",
                     help="skip networking entirely")
     ap.add_argument("--frames", type=int, default=None)
@@ -1053,7 +1077,8 @@ def main(argv=None):
                      height=args.height, render_scale=args.render_scale,
                      headless=args.headless, assets_dir=args.assets,
                      player_name=args.name, out=args.out,
-                     offline=args.offline, reliable=args.reliable)
+                     offline=args.offline, reliable=args.reliable,
+                     migrate=args.migrate)
     game.run(frames=args.frames)
 
 

@@ -28,6 +28,16 @@ The reference's UPnP port mapping (Open.NAT, Networking.cs:32-69) is a
 no-op hook here (`try_enable_upnp`): this framework targets datacenter /
 LAN deployment where NAT traversal is an external concern.
 
+Beyond the reference (SURVEY.md §5 "a vanished host strands clients"):
+peer_timeout enables traffic-independent failure detection (transport
+"hb" keepalives every peer_timeout/3) and, with
+enable_host_migration=True, HOST MIGRATION — the host broadcasts the
+session roster ("__PeerList"); when clients detect host loss the
+lowest-id survivor rebinds the session port as the new host and the
+rest rejoin it (client_only handshakes, so a slow election can never
+split the session); apps re-announce state from the on_migrated(is_host)
+callback.
+
 Receive runs on a daemon thread (the analog of the reference's Task.Run
 loop, :321-375); RPCs are BOTH queued for synchronous polling
 (poll_rpcs(), recommended — the reference mutates game state from the
@@ -102,6 +112,25 @@ class Networking:
         self.ack_flush_interval: float = 0.05
         self._ack_queue: Dict[Optional[Tuple[str, int]], set] = {}
         self._last_ack_flush = 0.0
+        # --- host migration (elastic recovery; the reference strands
+        # clients when the host vanishes — SURVEY.md §5).  The host
+        # broadcasts the session's peer roster ("__PeerList"); with
+        # enable_host_migration=True a client that detects host loss
+        # (requires peer_timeout > 0) elects the LOWEST-id surviving
+        # peer: that peer rebinds the session port as the new host, the
+        # rest rejoin it.  on_migrated(is_host) fires when the local
+        # peer lands in the new session (apps re-announce state there).
+        self.enable_host_migration = False
+        self.migration_grace: float = 0.4   # new host's bind head start
+        self.migration_attempts: int = 8
+        self.known_peers: Dict[int, Tuple[str, int]] = {}
+        self.on_migrated: List[Callable[[bool], None]] = []
+        self._migrating = False
+        # Transport keepalive: with peer_timeout > 0 both sides emit "hb"
+        # datagrams every peer_timeout/3, so failure detection (and
+        # migration) is traffic-independent — an idle-but-alive session
+        # never reads as a dead one.
+        self._last_hb = 0.0
 
     # -- connection lifecycle ------------------------------------------------
 
@@ -116,9 +145,14 @@ class Networking:
 
     def connect(self, host: str = "127.0.0.1", port: int = DEFAULT_PORT,
                 handshake_timeout: float = 1.0,
-                id_timeout: float = 5.0) -> bool:
-        """Host election + join (Networking.cs:71-184)."""
+                id_timeout: float = 5.0, client_only: bool = False) -> bool:
+        """Host election + join (Networking.cs:71-184).
+
+        client_only=True skips the become-host fallback (used by the
+        migration rejoin loop, where electing a second host would split
+        the session)."""
         self._reset_reliable_state()
+        self.host_lost = False
         self.listening_port = port
         try:
             addr = socket.getaddrinfo(host, port, socket.AF_INET,
@@ -154,8 +188,16 @@ class Networking:
                 return False
             return True
 
+        if client_only:
+            self.log("No response and client_only set - not electing.")
+            return False
         self.log("No response - becoming host...")
         self.try_enable_upnp(port)
+        return self._become_host(port)
+
+    def _become_host(self, port: int) -> bool:
+        """Bind the session port and start hosting (shared by the
+        election fallback in connect() and host migration)."""
         try:
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
             self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -164,7 +206,10 @@ class Networking:
             self.log(f"Error binding to port {port}: {e}")
             self.close(send_disconnect=False)
             return False
+        self.listening_port = port
         self.is_host = True
+        self.client_id = 0
+        self.host_lost = False
         self.log(f"Listening for connections on port {port}")
         self._start_receive_loop()
         return True
@@ -393,6 +438,7 @@ class Networking:
                 data, sender = sock.recvfrom(65536)
             except socket.timeout:
                 now = time.monotonic()
+                self._maybe_heartbeat(now)
                 if self.peer_timeout > 0:
                     self._check_timeouts(now)
                 self._pump_resends(now)
@@ -400,7 +446,19 @@ class Networking:
                 self._last_ack_flush = now
                 continue
             except OSError:
-                break
+                if not self._running or self._sock is None:
+                    break
+                # ICMP port-unreachable surfaces as ECONNREFUSED/RESET on
+                # connected UDP sockets: the PEER is gone, not our
+                # socket — keep the loop alive so timeout detection (and
+                # host migration) can act on the silence.
+                time.sleep(0.05)
+                now = time.monotonic()
+                self._maybe_heartbeat(now)
+                if self.peer_timeout > 0:
+                    self._check_timeouts(now)
+                self._pump_resends(now)
+                continue
             msg = data.decode("utf-8", errors="replace").strip()
             now = time.monotonic()
             if self.is_host:
@@ -408,9 +466,12 @@ class Networking:
                     self._last_heard[sender] = now
             else:
                 self._last_host_heard = now
+            self._maybe_heartbeat(now)
             if self.peer_timeout > 0:
                 self._check_timeouts(now)
             self._pump_resends(now)
+            if msg == "hb":
+                continue                 # keepalive: already noted above
             if now - self._last_ack_flush >= self.ack_flush_interval:
                 # Under load, acks coalesce across every datagram that
                 # arrived within the flush window — one ack datagram per
@@ -438,6 +499,13 @@ class Networking:
                     self._flush_acks()
                     self._last_ack_flush = time.monotonic()
 
+    def _maybe_heartbeat(self, now: float) -> None:
+        if self.peer_timeout <= 0:
+            return
+        if now - self._last_hb >= max(self.peer_timeout / 3.0, 0.05):
+            self._last_hb = now
+            self._send_raw(b"hb")        # host: broadcast; client: to host
+
     def _check_timeouts(self, now: float) -> None:
         """Expire silent peers (heartbeat-style failure detection)."""
         if self.is_host:
@@ -451,6 +519,8 @@ class Networking:
             for ep, cid in expired:
                 self.log(f"Client {cid} timed out ({ep})")
                 self.send_rpc("ClientDisconnected", [str(cid)])
+            if expired:
+                self._broadcast_peer_list()
         else:
             if not self.host_lost and self._last_host_heard > 0 \
                     and now - self._last_host_heard > self.peer_timeout:
@@ -458,6 +528,8 @@ class Networking:
                 self.log("Host timed out")
                 for cb in list(self.on_host_lost):
                     cb()
+                if self.enable_host_migration:
+                    self._start_migration()
 
     def _handle_id_assignment(self, msg: str) -> None:
         parts = msg.split(":")
@@ -530,9 +602,78 @@ class Networking:
 
     def _deliver(self, method: str, params: List[str],
                  sender_id: int) -> None:
+        if method == "__PeerList":
+            # transport-internal roster (host migration) — consumed here,
+            # never surfaced to the app
+            peers: Dict[int, Tuple[str, int]] = {}
+            for p in params:
+                if "=" in p and "|" in p:
+                    cid, ep = p.split("=", 1)
+                    ip, prt = ep.split("|", 1)
+                    try:
+                        peers[int(cid)] = (ip, int(prt))
+                    except ValueError:
+                        pass
+            with self._lock:
+                self.known_peers = peers
+            return
         self._rpc_queue.put((method, list(params), sender_id))
         for cb in list(self.on_receive_rpc):
             cb(method, list(params))
+
+    def _broadcast_peer_list(self) -> None:
+        """Host → clients: the session roster (client id + host-observed
+        endpoint) — the shared knowledge host migration elects from."""
+        if not self.is_host or self._sock is None:
+            return
+        with self._lock:
+            entries = [f"{cid}={ep[0]}|{ep[1]}"
+                       for ep, cid in self._clients.items()]
+        self.send_rpc("__PeerList", entries)
+
+    # -- host migration --------------------------------------------------------
+
+    def _start_migration(self) -> None:
+        if self._migrating:
+            return
+        self._migrating = True
+        threading.Thread(target=self._migrate, daemon=True).start()
+
+    def _migrate(self) -> None:
+        """Elect the lowest-id surviving peer as the new host on the same
+        session port; everyone else rejoins it (client_only, so a slow
+        election can never split into two sessions)."""
+        with self._lock:
+            peers = dict(self.known_peers)
+        my_id = self.client_id
+        port = self.listening_port
+        peers.setdefault(my_id, ("127.0.0.1", 0))
+        order = sorted(peers)
+        self.log(f"host lost: migrating; roster {order}, me {my_id}")
+        self.close(send_disconnect=False)
+        try:
+            if order[0] == my_id:
+                ok = self._become_host(port)
+                is_host = True
+            else:
+                is_host = False
+                target_ip = peers[order[0]][0]
+                time.sleep(self.migration_grace)
+                ok = False
+                for _ in range(self.migration_attempts):
+                    if self.connect(target_ip, port,
+                                    handshake_timeout=0.4,
+                                    client_only=True):
+                        ok = True
+                        break
+                    time.sleep(0.25)
+        finally:
+            self._migrating = False
+        if ok:
+            for cb in list(self.on_migrated):
+                cb(is_host)
+        else:
+            self.log("host migration FAILED (no reachable candidate)")
 
     def poll_rpcs(self, max_items: int = 256
                   ) -> List[Tuple[str, List[str], int]]:
@@ -569,6 +710,7 @@ class Networking:
                 sock.sendto(f"id:{new_id}".encode(), sender)
                 for rpc in buffered:
                     sock.sendto(rpc.encode(), sender)
+            self._broadcast_peer_list()
             return
         with self._lock:
             existing = next((ep for ep, c in self._clients.items()
@@ -586,6 +728,7 @@ class Networking:
             self.log(f"Client {sender} pinged with unknown ID {cid}; "
                      f"re-assigned {new_id}")
             sock.sendto(f"id:{new_id}".encode(), sender)
+        self._broadcast_peer_list()
 
     def _handle_host_disconnect(self, params: List[str],
                                 sender: Tuple[str, int]) -> None:
@@ -601,6 +744,7 @@ class Networking:
         if entry is not None:
             self.log(f"Client {cid} disconnected from {entry}")
             self.send_rpc("ClientDisconnected", [str(cid)])
+            self._broadcast_peer_list()
 
     @property
     def connected_clients(self) -> Dict[Tuple[str, int], int]:

@@ -383,3 +383,52 @@ def test_reliable_state_resets_on_reconnect(port):
     finally:
         client.close()
         host.close()
+
+
+def test_heartbeats_keep_idle_session_alive(port):
+    """peer_timeout keepalives: an idle-but-alive session must never
+    read as a dead one (failure detection is traffic-independent)."""
+    host = make_peer(port, peer_timeout=0.4)
+    client = make_peer(port, peer_timeout=0.4)
+    try:
+        time.sleep(1.5)               # several timeout periods, no traffic
+        assert not client.host_lost
+        assert len(host.connected_clients) == 1
+    finally:
+        client.close()
+        host.close()
+
+
+def test_host_migration_elects_lowest_id(port):
+    """Elastic recovery (SURVEY §5): the host vanishes silently; the
+    lowest-id client rebinds the session port as the new host, the other
+    client rejoins it, and RPCs flow in the new session."""
+    host = make_peer(port)
+    c1 = make_peer(port, enable_host_migration=True, peer_timeout=0.5)
+    c2 = make_peer(port, enable_host_migration=True, peer_timeout=0.5)
+    migrated = []
+    c1.on_migrated.append(lambda is_host: migrated.append(("c1", is_host)))
+    c2.on_migrated.append(lambda is_host: migrated.append(("c2", is_host)))
+    try:
+        assert c1.client_id == 1 and c2.client_id == 2
+        # the roster reaches both clients on join
+        assert wait_for(lambda: len(c1.known_peers) >= 2
+                        and len(c2.known_peers) >= 2)
+        host.close(send_disconnect=False)          # vanish silently
+        assert wait_for(lambda: c1.is_host, timeout=10.0)
+        assert wait_for(lambda: (not c2.is_host) and c2.is_connected
+                        and c2.client_id > 0 and not c2._migrating,
+                        timeout=10.0)
+        assert wait_for(lambda: len(c1.connected_clients) == 1,
+                        timeout=5.0)
+        assert ("c1", True) in migrated and ("c2", False) in migrated
+        # the new session carries traffic
+        c1.send_rpc("Hello", ["again"])
+        got = []
+        assert wait_for(lambda: got.extend(
+            x for x in c2.poll_rpcs() if x[0] == "Hello") or got,
+            timeout=5.0)
+        assert got[0][1] == ["again"]
+    finally:
+        c2.close()
+        c1.close()
