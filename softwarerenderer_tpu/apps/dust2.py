@@ -148,9 +148,14 @@ class Dust2Game:
             # clients when the host dies): heartbeat failure detection +
             # lowest-id host election; on landing in the new session,
             # re-announce this player and let remote state rebuild.
+            # The callback runs on the migration thread — it only QUEUES
+            # the signal; the main loop consumes it on the poll path
+            # (players/chat are main-thread state, SURVEY §5 races).
             self.net.peer_timeout = 2.0
             self.net.enable_host_migration = True
-            self.net.on_migrated.append(self._on_migrated)
+            self._migrated_signal: Optional[bool] = None
+            self.net.on_migrated.append(
+                lambda is_host: setattr(self, "_migrated_signal", is_host))
         if not offline:
             self.net.log = lambda s: None
             if not self.net.connect(server, port):
@@ -162,9 +167,9 @@ class Dust2Game:
         self.players: List[ConnectedPlayer] = []
 
     def _on_migrated(self, is_host: bool) -> None:
-        """Landed in the migrated session: drop the old roster (ids were
-        reassigned) and re-announce; peers reappear via their own
-        re-announcements."""
+        """Landed in the migrated session (runs on the MAIN thread via
+        the queued signal): drop the old roster (ids were reassigned)
+        and re-announce; peers reappear via their own re-announcements."""
         self.players = []
         self.hud.add_chat("* host migrated"
                           + (" (you are the new host)" if is_host else ""))
@@ -380,6 +385,10 @@ class Dust2Game:
             repr(float(pos[0])), repr(float(pos[1])), repr(float(pos[2])),
             repr(float(rot[0])), repr(float(rot[1])),
             repr(float(rot[2])), repr(float(rot[3]))])
+        sig = getattr(self, "_migrated_signal", None)
+        if sig is not None:
+            self._migrated_signal = None
+            self._on_migrated(sig)       # main thread: safe to touch state
         for method, params, sender in self.net.poll_rpcs():
             self._handle_rpc(method, params)
 

@@ -222,6 +222,12 @@ def _triangulate_prim(prim, sources, vertices_map):
     pos = np.zeros((n, 3), np.float64)
     nrm = np.zeros((n, 3), np.float64)
     uv = np.zeros((n, 2), np.float64)
+    # Take the LOWEST-numbered TEXCOORD set present — some exporters
+    # (3ds Max, certain Maya configs) emit set="1" as the only UV
+    # channel, and requiring exactly set 0 would silently zero all UVs.
+    uv_sets = sorted(set_i for _, sem, set_i, src in inputs
+                     if sem == "TEXCOORD" and src in sources)
+    uv_set = uv_sets[0] if uv_sets else 0
     for off, sem, set_i, src in inputs:
         idx = rows[:, off]
         if sem == "VERTEX":
@@ -238,7 +244,7 @@ def _triangulate_prim(prim, sources, vertices_map):
                     uv = arr[idx, :2]
         elif sem == "NORMAL" and src in sources:
             nrm = sources[src][idx, :3]
-        elif sem == "TEXCOORD" and set_i == 0 and src in sources:
+        elif sem == "TEXCOORD" and set_i == uv_set and src in sources:
             uv = sources[src][idx, :2]
     indices = np.arange(n, dtype=np.int32).reshape(-1, 3)
     return pos, uv, nrm, indices, prim.get("material")

@@ -205,8 +205,11 @@ def _layer_values(geom: FbxNode, layer_name: str, value_name: str,
     idx_node = layer.find(index_name)
     if ref == "IndexToDirect" and idx_node is not None and idx_node.props:
         idx = np.asarray(idx_node.props[0], np.int64)
-        # -1 entries mean "no value"; clamp and zero later
+        # -1 entries mean "no value" (e.g. unmapped polygon corners in a
+        # partially UV-mapped mesh): zero them rather than aliasing
+        # element 0
         vals = vals[np.clip(idx, 0, vals.shape[0] - 1)]
+        vals = np.where((idx >= 0)[:, None], vals, 0.0)
     if mapping == "ByPolygonVertex":
         return vals[:n_corners]
     if mapping in ("ByVertex", "ByVertice", "ByControlPoint"):
@@ -267,29 +270,28 @@ def load_fbx(path: str, flip_uv: bool = False) -> Dict:
                 return local @ model_world_row(pid, depth + 1)
         return local
 
-    def material_of(model_id: int) -> Material:
-        for cid, node in by_id.items():
-            if node.name != "Material":
-                continue
-            if model_id in parents.get(cid, []):
-                p = _props70(node)
-                dc = p.get("DiffuseColor", (1.0, 1.0, 1.0))[-3:]
-                tex_path = None
-                for tid, _prop in op_links.get(cid, []):
-                    tnode = by_id.get(tid)
-                    if tnode is not None and tnode.name == "Texture":
-                        fn = tnode.find("RelativeFilename") \
-                            or tnode.find("FileName")
-                        if fn is not None and fn.props:
-                            tex_path = os.path.normpath(os.path.join(
-                                base_dir, str(fn.props[0]).replace(
-                                    "\\", "/")))
-                return Material(
-                    base_color=(float(dc[0]), float(dc[1]),
-                                float(dc[2]), 1.0),
-                    texture_paths=(("diffuse", tex_path),)
-                    if tex_path else ())
-        return Material()
+    # model id → Material, built ONCE (a per-geometry object scan would
+    # make import O(#geometries × #objects))
+    mat_of_model: Dict[int, Material] = {}
+    for cid, node in by_id.items():
+        if node.name != "Material":
+            continue
+        p = _props70(node)
+        dc = p.get("DiffuseColor", (1.0, 1.0, 1.0))[-3:]
+        tex_path = None
+        for tid, _prop in op_links.get(cid, []):
+            tnode = by_id.get(tid)
+            if tnode is not None and tnode.name == "Texture":
+                fn = tnode.find("RelativeFilename") \
+                    or tnode.find("FileName")
+                if fn is not None and fn.props:
+                    tex_path = os.path.normpath(os.path.join(
+                        base_dir, str(fn.props[0]).replace("\\", "/")))
+        mat = Material(
+            base_color=(float(dc[0]), float(dc[1]), float(dc[2]), 1.0),
+            texture_paths=(("diffuse", tex_path),) if tex_path else ())
+        for mid in parents.get(cid, []):
+            mat_of_model.setdefault(mid, mat)
 
     from softwarerenderer_tpu.native import bake_normals, bake_positions
 
@@ -333,7 +335,7 @@ def load_fbx(path: str, flip_uv: bool = False) -> Dict:
             p = by_id.get(pid)
             if p is not None and p.name == "Model":
                 world = model_world_row(pid)
-                mat = material_of(pid)
+                mat = mat_of_model.get(pid, Material())
                 break
         world = world @ np.diag([scale, scale, scale, 1.0])
         rot_only = world.copy()

@@ -122,9 +122,15 @@ class Networking:
         # peer lands in the new session (apps re-announce state there).
         self.enable_host_migration = False
         self.migration_grace: float = 0.4   # new host's bind head start
-        self.migration_attempts: int = 8
+        self.migration_attempts: int = 12   # total rejoin attempts, split
+                                            # across the candidate list
         self.known_peers: Dict[int, Tuple[str, int]] = {}
         self.on_migrated: List[Callable[[bool], None]] = []
+        # Fired when every candidate was exhausted; the object is then
+        # disconnected (is_connected False) and the app decides what to
+        # do — a silent log line must not be the only failure surface.
+        self.on_migration_failed: List[Callable[[], None]] = []
+        self.migration_failed = False
         self._migrating = False
         # Transport keepalive: with peer_timeout > 0 both sides emit "hb"
         # datagrams every peer_timeout/3, so failure detection (and
@@ -641,39 +647,68 @@ class Networking:
 
     def _migrate(self) -> None:
         """Elect the lowest-id surviving peer as the new host on the same
-        session port; everyone else rejoins it (client_only, so a slow
-        election can never split into two sessions)."""
+        session port; everyone else rejoins it (client_only handshakes,
+        so a slow election can never split into two sessions).
+
+        Election safety: a peer may only self-elect from a DELIVERED
+        roster (the host's __PeerList always includes its recipient) —
+        with no roster this peer cannot know whether a lower id exists,
+        so it only ever rejoins.  Candidates are tried lowest-id first;
+        if an earlier candidate is unreachable (it died with the host)
+        the next one takes over, and `me` self-elects only when every
+        LOWER id was exhausted first."""
         with self._lock:
             peers = dict(self.known_peers)
         my_id = self.client_id
         port = self.listening_port
+        have_roster = bool(peers)
+        old_host = self._remote
         peers.setdefault(my_id, ("127.0.0.1", 0))
         order = sorted(peers)
-        self.log(f"host lost: migrating; roster {order}, me {my_id}")
+        self.log(f"host lost: migrating; roster {order}, me {my_id}, "
+                 f"roster_delivered={have_roster}")
         self.close(send_disconnect=False)
+        ok = is_host = False
         try:
-            if order[0] == my_id:
-                ok = self._become_host(port)
-                is_host = True
+            if not have_roster:
+                # No roster ever arrived (lost datagram): never
+                # self-elect — only retry the old host endpoint (it may
+                # be a reboot) so a split session is impossible.
+                candidates = ([("rejoin", old_host[0])]
+                              if old_host else [])
             else:
-                is_host = False
-                target_ip = peers[order[0]][0]
+                candidates = [("host", None) if cid == my_id
+                              else ("rejoin", peers[cid][0])
+                              for cid in order]
+            per_candidate = max(1, self.migration_attempts
+                                // max(len(candidates), 1))
+            for kind, ip in candidates:
+                if kind == "host":
+                    ok = self._become_host(port)
+                    is_host = ok
+                    if ok:
+                        break
+                    continue
                 time.sleep(self.migration_grace)
-                ok = False
-                for _ in range(self.migration_attempts):
-                    if self.connect(target_ip, port,
-                                    handshake_timeout=0.4,
+                for _ in range(per_candidate):
+                    if self.connect(ip, port, handshake_timeout=0.4,
                                     client_only=True):
                         ok = True
                         break
                     time.sleep(0.25)
+                if ok:
+                    break
         finally:
             self._migrating = False
         if ok:
+            self.migration_failed = False
             for cb in list(self.on_migrated):
                 cb(is_host)
         else:
+            self.migration_failed = True
             self.log("host migration FAILED (no reachable candidate)")
+            for cb in list(self.on_migration_failed):
+                cb()
 
     def poll_rpcs(self, max_items: int = 256
                   ) -> List[Tuple[str, List[str], int]]:
@@ -719,7 +754,14 @@ class Networking:
                 del self._clients[existing]
                 self._clients[sender] = cid
                 self.log(f"Updated client {cid} endpoint to {sender}")
-                return
+                rebound = True
+            else:
+                rebound = False
+        if rebound:
+            # every peer's migration roster must see the NEW endpoint
+            self._broadcast_peer_list()
+            return
+        with self._lock:
             if existing is None:
                 new_id = self._next_client_id
                 self._next_client_id += 1

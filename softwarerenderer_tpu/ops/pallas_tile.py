@@ -895,21 +895,36 @@ def render_tile_pallas_kbuffer_single(tris: Dict, fragment_shader,
 
     src = jnp.stack([fragment_shader(f, uniforms, jnp)
                      for f in frags])               # (K, H, W, 4)
-    sd = bd[:, :H, :W]                              # (K, H, W)
-    si_i = bi[:, :H, :W]
-    si = jnp.where(si_i >= 0, si_i.astype(F32), F32(jnp.inf))
+    return _replay_layers(src, bd[:, :H, :W], bi[:, :H, :W],
+                          fb_color, fb_depth, params, with_stats)
 
-    # ---- replay in submission order (identical to the peel path) --------
+
+def _replay_layers(src, sd, si_i, fb_color, fb_depth,
+                   params: RenderParams, with_stats: bool):
+    """Submission-order replay of K shaded layers (Rasterizer.cs:509-523
+    + Blend :57-65), shared by the peel and K-deep K-buffer paths.
+
+    src (K, H, W, 4) shaded colors; sd (K, H, W) depths; si_i (K, H, W)
+    int winner indices (-1 = none).  Selection is K-way predicated
+    `where`s, NOT take_along_axis: a per-pixel gather over even a K-deep
+    axis is element-count-bound on TPU (~tens of ms per full-frame take
+    at 1080p — BENCHMARKS.md gather model; measured 508 → 46 ms at K=4).
+    with_stats adds the conservative K-overflow indicator: pixels whose
+    K-th (deepest) layer holds a fragment."""
+    K = src.shape[0]
+    si = jnp.where(si_i >= 0, si_i.astype(F32), F32(jnp.inf))
     cur_c, cur_d = fb_color, fb_depth
-    used = jnp.zeros((K, H, W), bool)
+    used = jnp.zeros(si.shape, bool)
     for _ in range(K):
         masked_i = jnp.where(used, F32(jnp.inf), si)
-        sel_i = jnp.min(masked_i, axis=0)
+        sel_i = jnp.min(masked_i, axis=0)               # (H, W)
         valid = jnp.isfinite(sel_i)
+        # distinct per-pixel indices ⇒ at most one layer matches
         is_pick = (masked_i == sel_i[None]) & valid[None]
         used = used | is_pick
         sel_d = jnp.sum(jnp.where(is_pick, sd, 0.0), axis=0)
         sel_c = jnp.sum(jnp.where(is_pick[..., None], src, 0.0), axis=0)
+        # LESS_EQUAL: reference "new >= old" (Rasterizer.cs:545-546)
         written = valid & (sel_d >= cur_d) & (sel_c[..., 3] > 0)
         cur_c = jnp.where(written[..., None],
                           _blend(sel_c, cur_c, params.blend_mode), cur_c)
@@ -980,37 +995,6 @@ def render_tile_pallas_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
         depths.append(bd[:H, :W])
         indices.append(bi[:H, :W])
         prev_d, prev_i = bd, bi.astype(F32)
-    src = jnp.stack(colors)                     # (K, H, W, 4)
-    sd = jnp.stack(depths)                      # (K, H, W)
-    si = jnp.stack(indices).astype(F32)         # (K, H, W); -1 = none
-    si = jnp.where(si >= 0, si, F32(jnp.inf))   # replay sentinel
-
-    # ---- replay in submission order (selection over the K layers) -------
-    # Selection is K-way predicated `where`s, NOT take_along_axis: a
-    # per-pixel gather over even a K-deep axis is element-count-bound on
-    # TPU (~tens of ms per full-frame take at 1080p — BENCHMARKS.md
-    # gather model; measured 508 ms → 46 ms for this replay at K=4).
-    cur_c, cur_d = fb_color, fb_depth
-    used = jnp.zeros((K, H, W), bool)
-    for _ in range(K):
-        masked_i = jnp.where(used, F32(jnp.inf), si)
-        sel_i = jnp.min(masked_i, axis=0)               # (H, W)
-        valid = jnp.isfinite(sel_i)
-        # distinct per-pixel indices ⇒ at most one layer matches
-        is_pick = (masked_i == sel_i[None]) & valid[None]
-        used = used | is_pick
-        sel_d = jnp.sum(jnp.where(is_pick, sd, 0.0), axis=0)
-        sel_c = jnp.sum(jnp.where(is_pick[..., None], src, 0.0), axis=0)
-        # LESS_EQUAL: reference "new >= old" (Rasterizer.cs:545-546)
-        written = valid & (sel_d >= cur_d) & (sel_c[..., 3] > 0)
-        cur_c = jnp.where(written[..., None],
-                          _blend(sel_c, cur_c, params.blend_mode), cur_c)
-        cur_d = jnp.where(written, sel_d, cur_d)
-    if with_stats:
-        # Saturation: the K-th (deepest peeled) layer found a fragment —
-        # the conservative K-overflow indicator (see
-        # kbuffer.render_binned_kbuffer with_stats).
-        return cur_c, cur_d, {
-            "kbuffer_saturated_px": jnp.sum(
-                (indices[-1] >= 0).astype(jnp.int32))}
-    return cur_c, cur_d
+    return _replay_layers(jnp.stack(colors), jnp.stack(depths),
+                          jnp.stack(indices), fb_color, fb_depth, params,
+                          with_stats)

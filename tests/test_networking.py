@@ -432,3 +432,43 @@ def test_host_migration_elects_lowest_id(port):
     finally:
         c2.close()
         c1.close()
+
+
+def test_migration_without_roster_never_self_elects(port):
+    """Election safety: a client whose __PeerList never arrived cannot
+    know whether a lower id exists — it must only retry the old host,
+    then surface failure, NEVER bind a second session."""
+    host = make_peer(port)
+    c1 = make_peer(port, enable_host_migration=True, peer_timeout=0.4,
+                   migration_attempts=2, migration_grace=0.1)
+    failed = []
+    c1.on_migration_failed.append(lambda: failed.append(True))
+    try:
+        c1.known_peers = {}          # the roster datagram "was dropped"
+        host.close(send_disconnect=False)
+        assert wait_for(lambda: failed, timeout=10.0)
+        assert not c1.is_host
+        assert c1.migration_failed and not c1.is_connected
+    finally:
+        c1.close()
+        host.close()
+
+
+def test_migration_skips_dead_candidate(port):
+    """If the lowest-id peer died with the host, the next survivor takes
+    over after exhausting it."""
+    host = make_peer(port)
+    c1 = make_peer(port)                                  # id 1
+    c2 = make_peer(port, enable_host_migration=True, peer_timeout=0.5,
+                   migration_attempts=4, migration_grace=0.1)  # id 2
+    try:
+        assert wait_for(lambda: len(c2.known_peers) >= 2)
+        # kill c1 AND the host silently (no Disconnect → roster keeps c1)
+        c1._running = False
+        c1._sock.close(); c1._sock = None
+        host.close(send_disconnect=False)
+        assert wait_for(lambda: c2.is_host, timeout=15.0)
+    finally:
+        c2.close()
+        c1._recv_thread = None
+        host.close()
