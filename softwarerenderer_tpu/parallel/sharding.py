@@ -174,6 +174,12 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
                          f"got {balanced!r}")
     if balanced_mode and not params.binned:
         raise ValueError("balanced fb sharding requires binned=True")
+    if params.kbuffer > 1 and (mesh.shape["tri"] != 1
+                               or balanced_mode is not None
+                               or not params.binned):
+        raise NotImplementedError(
+            "sharded K-buffer supports contiguous fb bands with "
+            "replicated triangles (n_tri == 1, binned) only")
     if balanced_mode == "rows":
         n_tile_rows = -(-H // params.tile_h)
         if H % params.tile_h or n_tile_rows % n_fb:
@@ -259,6 +265,32 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         else:
             fb_color = jnp.broadcast_to(clear, (shard_h, W, 4))
             fb_depth = jnp.full((shard_h, W), DEPTH_CLEAR, dtype=F32)
+
+        if params.kbuffer > 1:
+            # Ordered translucency at scale: triangles are replicated
+            # (n_tri == 1 enforced above), so each band's K-layer fold +
+            # submission-order replay is self-contained — the kernel
+            # peel on TPU, the XLA K-slot fold elsewhere.
+            row_offset_k = fb_idx * shard_h
+            if params.use_pallas \
+                    and params.depth_test == DepthTest.LESS_EQUAL \
+                    and (jax.default_backend() == "tpu"
+                         or params.pallas_interpret):
+                from softwarerenderer_tpu.ops.pallas_tile import (
+                    render_tile_pallas_kbuffer,
+                )
+                return render_tile_pallas_kbuffer(
+                    tris, fragment_shader, u, shard_params, fb_color,
+                    fb_depth, per_tri_extra=per_tri_in,
+                    row_offset=row_offset_k,
+                    interpret=params.pallas_interpret)
+            from softwarerenderer_tpu.ops.kbuffer import (
+                render_binned_kbuffer,
+            )
+            return render_binned_kbuffer(
+                tris, fragment_shader, u, shard_params, fb_color,
+                fb_depth, per_tri_extra=per_tri_in,
+                row_offset=row_offset_k)
 
         # Local visibility over this shard's triangles and rows.  On the
         # contiguous-band TPU path the Pallas tile kernel produces BOTH

@@ -346,3 +346,38 @@ def test_sharded_pallas_kernel_matches_single_device(n_fb, n_tri):
 
     assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
     assert (np.abs(d - ref_d) <= 1e-6).all()
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_sharded_kbuffer_matches_single_device(use_pallas):
+    """Ordered translucency under fb sharding (contiguous bands,
+    replicated triangles): K-layer replay per band == single device."""
+    params = RenderParams(width=W, height=H, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16, kbuffer=3, cull_mode=0,
+                          use_pallas=use_pallas,
+                          pallas_interpret=use_pallas)
+    scene = small_scene()
+    u = uniforms()
+
+    ref_c, ref_d = jax.jit(
+        lambda s, u: render_frame(s, u, params=params))(scene, u)
+    ref_c, ref_d = np.asarray(ref_c), np.asarray(ref_d)
+
+    sscene = shard_scene_triangles(scene, 1)
+    mesh = make_mesh(4, 1)
+    with mesh:
+        c, d = jax.jit(lambda s, u: render_frame_sharded(
+            s, u, params, mesh))(sscene, u)
+    c, d = np.asarray(c), np.asarray(d)
+
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
+
+
+def test_sharded_kbuffer_rejects_tri_sharding():
+    params = RenderParams(width=W, height=H, kbuffer=2)
+    scene = shard_scene_triangles(small_scene(), 2)
+    mesh = make_mesh(2, 2)
+    with pytest.raises(NotImplementedError, match="sharded K-buffer"):
+        with mesh:
+            render_frame_sharded(scene, uniforms(), params, mesh)
