@@ -190,3 +190,33 @@ def test_dae_zup_conversion(tmp_path):
     np.testing.assert_allclose(
         mesh["position"][mesh["indices"].reshape(-1)],
         [[1, 0, 0], [0, 0, -1], [0, 1, 0]], atol=1e-6)
+
+
+def test_importers_reject_garbage(tmp_path):
+    """Malformed inputs fail loudly (or load empty), never hang or
+    corrupt downstream state."""
+    from softwarerenderer_tpu.io_host.collada import load_dae
+    from softwarerenderer_tpu.io_host.fbx import load_fbx
+
+    notfbx = tmp_path / "x.fbx"
+    notfbx.write_bytes(b"definitely not an fbx container")
+    with pytest.raises(ValueError, match="not a binary FBX"):
+        load_fbx(str(notfbx))
+
+    truncated = tmp_path / "trunc.fbx"
+    truncated.write_bytes(
+        open(os.path.join(FIXDIR, "cube.fbx"), "rb").read()[:90])
+    with pytest.raises(Exception):
+        load_fbx(str(truncated))
+
+    empty_dae = tmp_path / "empty.dae"
+    empty_dae.write_text(
+        '<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" '
+        'version="1.4.1"></COLLADA>')
+    doc = load_dae(str(empty_dae))
+    assert doc["meshes"] == [] and doc["lights"] == []
+
+    notxml = tmp_path / "bad.dae"
+    notxml.write_text("{json, not xml}")
+    with pytest.raises(Exception):
+        load_dae(str(notxml))
