@@ -220,3 +220,61 @@ def test_importers_reject_garbage(tmp_path):
     notxml.write_text("{json, not xml}")
     with pytest.raises(Exception):
         load_dae(str(notxml))
+
+
+def test_fbx_polygon_fan_and_bycontrolpoint(tmp_path):
+    """Quads (negative-terminated polygons) fan-triangulate exactly like
+    the in-memory mesh's own fan; ByControlPoint layers follow the
+    control-point index."""
+    import struct
+    import zlib
+
+    from softwarerenderer_tpu.io_host import fbx as fbx_mod
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-1, 1, (8, 3))
+    nrm = rng.normal(size=(8, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    # hand-build a geometry with one QUAD (0,1,2,3) and one TRI (4,5,6):
+    # reuse the writer then patch PolygonVertexIndex via the writer's
+    # node builder
+    quad_pvi = np.asarray([0, 1, 2, ~3, 4, 5, ~6], np.int64)
+    geo_children = [
+        ("Vertices", (pos.reshape(-1).astype(np.float64),), ()),
+        ("PolygonVertexIndex", (quad_pvi,), ()),
+        ("LayerElementNormal", (0,), (
+            ("MappingInformationType", ("ByControlPoint",), ()),
+            ("ReferenceInformationType", ("Direct",), ()),
+            ("Normals", (nrm.reshape(-1).astype(np.float64),), ()),
+        )),
+    ]
+    top = [
+        ("Objects", (), (
+            ("Geometry", (1, "Geometry::g", "Mesh"), tuple(geo_children)),
+            ("Model", (2, "Model::m", "Mesh"), ()),
+        )),
+        ("Connections", (), (
+            ("C", ("OO", 1, 2), ()),
+            ("C", ("OO", 2, 0), ()),
+        )),
+    ]
+    out = fbx_mod._MAGIC + struct.pack("<I", 7400)
+    cursor = len(out)
+    for name, props, children in top:
+        nb = fbx_mod._w_node(name, props, children, base=cursor)
+        out += nb
+        cursor += len(nb)
+    out += b"\x00" * 13
+    path = str(tmp_path / "poly.fbx")
+    with open(path, "wb") as f:
+        f.write(out)
+
+    doc = fbx_mod.load_fbx(path, flip_uv=False)
+    (mesh,) = doc["meshes"]
+    got = mesh["position"][mesh["indices"].reshape(-1)]
+    # quad (0,1,2,3) fans to (0,1,2) (0,2,3); tri (4,5,6) stays
+    want = pos[np.asarray([0, 1, 2, 0, 2, 3, 4, 5, 6])]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    got_n = mesh["normal"][mesh["indices"].reshape(-1)]
+    np.testing.assert_allclose(
+        got_n, nrm[np.asarray([0, 1, 2, 0, 2, 3, 4, 5, 6])], atol=1e-5)

@@ -88,3 +88,31 @@ def test_lod_jit_selection_is_traced():
     u["camera_position"] = np.float32([0.0, 0.0, 30.0])
     fn(scene, u)
     assert fn._cache_size() == n0
+
+
+def test_lod_sharded_matches_single_device():
+    """The LOD mask applies identically under fb/tri sharding (the level
+    selector runs replicated per shard)."""
+    from softwarerenderer_tpu.parallel import (make_mesh,
+                                               render_frame_sharded,
+                                               shard_scene_triangles)
+
+    params = RenderParams(width=128, height=96, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16)
+    scene = _sphere_scene(True, z=-8.0)       # mid LOD at this distance
+    u = default_frame_uniforms(128, 96)
+    u["camera_position"] = np.float32([0.0, 0.0, 0.0])
+
+    ref_c, ref_d = map(np.asarray, jax.jit(
+        lambda s, u: render_frame(s, u, params.replace(width=128,
+                                                       height=96)))(
+        scene, u))
+    sscene = shard_scene_triangles(scene, 2)
+    mesh = make_mesh(2, 2)
+    with mesh:
+        c, d = map(np.asarray, jax.jit(
+            lambda s, u: render_frame_sharded(
+                s, u, params.replace(width=128, height=96), mesh))(
+            sscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
