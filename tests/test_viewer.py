@@ -1,0 +1,34 @@
+"""Model-viewer app: orbit framing, format loading, wireframe toggle."""
+
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXDIR = os.path.join(REPO, "tests", "fixtures")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["cube.fbx", "cube.dae"])
+def test_viewer_headless_renders(name, tmp_path):
+    from softwarerenderer_tpu.apps.viewer import Viewer
+    from softwarerenderer_tpu.io_host import model_loader
+
+    model_loader.clear_caches()
+    v = Viewer(os.path.join(FIXDIR, name), width=160, height=120,
+               render_scale=1.0, headless=True,
+               out=str(tmp_path / "v.png"))
+    try:
+        v.step(1 / 60)
+        v.step(1 / 60)
+        frame = v.window.last_frame
+        assert frame is not None and frame.shape == (120, 160, 3)
+        # the auto-framed model is on screen (not all clear color)
+        assert (frame.std(axis=-1) > 0).sum() > 100
+        # wireframe toggle renders through the forward path
+        v.mode = list(v.engines)[1]
+        v.step(1 / 60)
+        assert v.window.last_frame is not None
+    finally:
+        v.window.close()
