@@ -135,8 +135,26 @@ def write_fbx_fixture(path):
               diffuse_color=(0.8, 0.6, 0.4))
 
 
+def write_3ds_fixture(path):
+    """3DS stores vertices already placed in world space (no node
+    transforms in the static subset) — bake the shared fixture TRS into
+    the positions, exactly what an exporter would do."""
+    from softwarerenderer_tpu.io_host.tds import write_3ds
+    m = cube()
+    pos = np.asarray(m["position"], np.float64) * np.asarray(SCALE)
+    a = np.deg2rad(ROT_Z_DEG)
+    c, s = np.cos(a), np.sin(a)
+    rz = np.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    pos = pos @ rz.T + np.asarray(TRANSLATION)
+    uv = np.asarray(m["uv"], np.float64).copy()
+    uv[:, 1] = 1.0 - uv[:, 1]   # author V upward; importer flips back
+    write_3ds(path, pos, m["indices"], uvs=uv,
+              diffuse_color=(0.8, 0.6, 0.4))
+
+
 if __name__ == "__main__":
     os.makedirs(FIXDIR, exist_ok=True)
     write_dae(os.path.join(FIXDIR, "cube.dae"))
     write_fbx_fixture(os.path.join(FIXDIR, "cube.fbx"))
+    write_3ds_fixture(os.path.join(FIXDIR, "cube.3ds"))
     print("wrote", os.listdir(FIXDIR))

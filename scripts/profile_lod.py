@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Large-scene LOD profiling: does frame cost track ACTIVE triangles?
+
+Builds a 4K instanced crowd (~300k authored triangles, most instances
+distant) twice — with and without mesh LODs (ops/lod.py) — and measures
+the full frame plus a stage split (binning sort / kernel / shading) on
+the real chip.  The reference scales geometry only by whole-mesh frustum
+culling (/root/reference/FrustumCuller.cs:201); this script is the
+evidence ledger for BENCHMARKS.md's mesh-LOD row.
+
+JSON lines to stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def build_instances(with_lod: bool):
+    """24×24 sphere grid receding from the camera (same placement both
+    fields — LOD on/off must see identical geometry)."""
+    from softwarerenderer_tpu.models import primitives, scene as scene_mod
+    from softwarerenderer_tpu.ops import lod
+    from softwarerenderer_tpu.utils import mathlib as ml
+
+    mesh = primitives.uv_sphere(0.45, rings=14, sectors=20)  # 532 tris
+    if with_lod:
+        mesh = lod.add_lods(mesh, cells=(8, 4), px=(60.0, 24.0))
+    rng = np.random.default_rng(7)
+    insts = []
+    for gz in range(24):
+        for gx in range(24):
+            x = (gx - 11.5) * 2.2 + rng.uniform(-0.4, 0.4)
+            z = -4.0 - gz * 2.6 + rng.uniform(-0.4, 0.4)
+            y = rng.uniform(-0.5, 0.5)
+            insts.append(scene_mod.MeshInstance(
+                mesh, ml.translation([x, y, z])))
+    return insts
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--width", type=int, default=3840)
+    ap.add_argument("--height", type=int, default=2160)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from softwarerenderer_tpu import RenderParams
+    from softwarerenderer_tpu.engine import (Engine, camera_matrices,
+                                             scene_fragment_shader,
+                                             scene_vertex_shader)
+    from softwarerenderer_tpu.models import scene as scene_mod
+    from softwarerenderer_tpu.ops import binning, culling, geometry, lod, \
+        pallas_tile, raster
+    from softwarerenderer_tpu.utils import mathlib as ml
+    from softwarerenderer_tpu.utils.profiling import timed_frames
+
+    W, H = args.width, args.height
+    params = RenderParams(width=W, height=H)
+
+    def measure(tag, sc_host):
+        sc = jax.device_put(scene_mod.build_scene_buffers(sc_host))
+        eng = Engine(sc, params)
+        u0 = dict(eng.uniforms)
+        u0["camera_position"] = np.asarray([0.0, 0.3, 2.0], np.float32)
+        u0["far_clip"] = np.float32(200.0)
+        u0["fog_start"] = np.float32(150.0)
+        u0["fog_end"] = np.float32(220.0)
+
+        n_tri = int(sc["indices"].shape[0])
+        host_sc = {k: np.asarray(v) for k, v in sc.items()}
+        if "tri_lod_level" in host_sc:
+            active = int(np.sum(lod.lod_tri_mask(host_sc, u0, H, xp=np)))
+        else:
+            active = n_tri
+
+        def report(sub, fn, n=args.frames):
+            jf = jax.jit(fn)
+            t0 = time.time()
+
+            def step(i):
+                u = dict(u0)
+                u["fov_degrees"] = np.float32(90.0 + 0.01 * i)
+                return jf(sc, u)
+
+            spf = timed_frames(step, n)
+            print(json.dumps({
+                "tag": f"{tag}_{sub}", "ms": round(spf * 1e3, 2),
+                "fps": round(1 / spf, 2), "tris_packed": n_tri,
+                "tris_active": active,
+                "compile_s": round(time.time() - t0 - spf * n, 1)}),
+                flush=True)
+
+        def prep(scene, u):
+            view, proj = camera_matrices(u, W, H)
+            vp = ml.transform(view, proj, xp=jnp)
+            visible = culling.spheres_in_frustum(
+                scene["bounds_center"], scene["bounds_radius"],
+                scene["mesh_matrices"], vp, xp=jnp)
+            tri_mask = jnp.take(visible, scene["tri_mesh_id"])
+            if "tri_lod_level" in scene:
+                tri_mask = tri_mask & lod.lod_tri_mask(scene, u, H, xp=jnp)
+            model_pv = jnp.take(scene["mesh_matrices"],
+                                scene["vert_mesh_id"], axis=0)
+            uu = dict(u)
+            uu.update(model=model_pv, view=view, projection=proj,
+                      atlas_data=scene["atlas_data"],
+                      atlas_offsets=scene["atlas_offsets"],
+                      atlas_sizes=scene["atlas_sizes"],
+                      base_color=scene["base_color"])
+            vin = {k: scene[k]
+                   for k in ("position", "uv", "normal", "color")}
+            tris = geometry.build_triangles(
+                scene_vertex_shader, vin, scene["indices"], uu, width=W,
+                height=H, cull_mode=params.cull_mode,
+                near_clip=uu["near_clip"], tri_mask=tri_mask,
+                keep_varyings=scene_fragment_shader.varyings)
+            tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+            aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
+            asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
+            per_tri = {"tex_oy": jnp.take(aoff[:, 0], tid2),
+                       "tex_ox": jnp.take(aoff[:, 1], tid2),
+                       "tex_h": jnp.take(asiz[:, 0], tid2),
+                       "tex_w": jnp.take(asiz[:, 1], tid2)}
+            fb_d = jnp.full((H, W), raster.DEPTH_CLEAR, jnp.float32)
+            return tris, uu, per_tri, fb_d
+
+        def full(scene, u):
+            c, d = eng._frame(scene, u)
+            return jnp.sum(c[..., 0]) + jnp.sum(d)
+
+        def bin_only(scene, u):
+            tris, uu, per_tri, fb_d = prep(scene, u)
+            bins = binning.bin_triangles(tris, params, 32, params.tile_w,
+                                         params.span_cap, 0)
+            return (jnp.sum(bins["counts"]) + jnp.sum(bins["starts"])
+                    + bins["n_global"])
+
+        def kernel_only(scene, u):
+            tris, uu, per_tri, fb_d = prep(scene, u)
+            ctx = pallas_tile._prepare_ctx(
+                tris, params, fb_d, per_tri, 0,
+                gb_keep=pallas_tile._gb_keep(scene_fragment_shader))
+            frag, bd, bi = pallas_tile._run_pass(ctx, False)
+            return jnp.sum(bd) + jnp.sum(bi)
+
+        report("full", full)
+        report("bin_only", bin_only)
+        report("kernel_only", kernel_only)
+
+    measure("nolod", build_instances(False))
+    measure("lod", build_instances(True))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,9 +7,9 @@ by name) become flip-book animation frames advanced at a fixed FPS
 normalized path (ModelLoader.cs:62-63, Renderer.cs:15).
 
 Formats: glTF/GLB via the first-party importer (io_host.gltf), OBJ, STL,
-PLY, COLLADA .dae (io_host.collada) and binary FBX (io_host.fbx) — the
-common subset of what the reference reaches through Assimp
-(ModelLoader.cs:144-150).
+PLY, COLLADA .dae (io_host.collada), binary FBX (io_host.fbx) and
+Autodesk .3ds (io_host.tds) — the common subset of what the reference
+reaches through Assimp (ModelLoader.cs:144-150).
 """
 
 from __future__ import annotations
@@ -34,7 +34,7 @@ _MODEL_CACHE: Dict[str, "Model"] = {}
 _TEXTURE_CACHE: Dict[str, Optional[np.ndarray]] = {}
 
 SUPPORTED_EXTENSIONS = {".gltf", ".glb", ".obj", ".stl", ".ply",
-                        ".dae", ".fbx"}
+                        ".dae", ".fbx", ".3ds"}
 
 
 @dataclasses.dataclass
@@ -380,6 +380,9 @@ def _load_single(path: str) -> Model:
     elif ext == ".fbx":
         from softwarerenderer_tpu.io_host.fbx import load_fbx
         doc = load_fbx(path)
+    elif ext == ".3ds":
+        from softwarerenderer_tpu.io_host.tds import load_3ds
+        doc = load_3ds(path)
     else:
         raise ValueError(f"unsupported model format: {ext}")
     return Model(meshes=doc["meshes"], lights=doc["lights"])

@@ -94,30 +94,34 @@ def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
     pair_ok = is_binned[:, None] & (s_idx < span[:, None])
     tile_id = jnp.where(pair_ok, tile_id, ntiles).reshape(-1)
 
-    n_pairs = n * span_cap
-    pos_bits = max(1, (n_pairs - 1).bit_length())
+    tri_bits = max(1, (n - 1).bit_length())
     tile_bits = (ntiles + 1 - 1).bit_length()
-    if pos_bits + tile_bits <= 32:
-        # Packed single-key sort: key = tile_id << pos_bits | pair_pos.
-        # The position low bits ARE the stability tiebreak (submission
-        # order inside a tile) and decode straight to the triangle id
-        # (pair p = tri * span_cap + slot), so the sort moves one u32 per
-        # pair instead of an (i32 key, i32 index) pair — TPU sorts are
-        # bandwidth-bound bitonic passes, measured ~2× on the ~4.5 ms
-        # binning stage at 1080p dust2.
-        pos = jnp.arange(n_pairs, dtype=jnp.uint32)
-        key = (tile_id.astype(jnp.uint32) << pos_bits) | pos
+    tri_id = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None],
+        (n, span_cap)).reshape(-1)
+    if tri_bits + tile_bits <= 32:
+        # Packed single-key sort: key = tile_id << tri_bits | tri_id.
+        # A triangle emits each tile AT MOST ONCE (its span_cap slots map
+        # to distinct bbox tiles), so inside one tile the triangle id is
+        # exactly the submission-order stability tiebreak — and it needs
+        # log2(span_cap) fewer bits than the old pair-position tiebreak,
+        # which overflowed 32 bits (and fell back to the 2-array sort)
+        # already at ~300k-triangle scenes at 4K.  One u32 per pair keeps
+        # the bandwidth-bound bitonic sort passes minimal (measured ~2×
+        # on the ~4.5 ms binning stage at 1080p dust2).
+        key = (tile_id.astype(jnp.uint32) << tri_bits) \
+            | tri_id.astype(jnp.uint32)
         skey = jnp.sort(key)
-        sorted_tile = (skey >> pos_bits).astype(jnp.int32)
-        sorted_tri = (skey & jnp.uint32((1 << pos_bits) - 1)) \
-            .astype(jnp.int32) // span_cap
+        sorted_tile = (skey >> tri_bits).astype(jnp.int32)
+        sorted_tri = (skey & jnp.uint32((1 << tri_bits) - 1)) \
+            .astype(jnp.int32)
     else:
-        tri_id = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None],
-            (n, span_cap)).reshape(-1)
-        perm = jnp.argsort(tile_id, stable=True)
-        sorted_tile = jnp.take(tile_id, perm)
-        sorted_tri = jnp.take(tri_id, perm)
+        # Beyond u32 capacity: one two-operand lexicographic sort —
+        # (tile, tri) composite keys are unique, so is_stable is not
+        # needed and the carried value replaces argsort + two
+        # n·span_cap-element gathers.
+        sorted_tile, sorted_tri = jax.lax.sort(
+            (tile_id, tri_id), num_keys=2, is_stable=False)
 
     tids = jnp.arange(ntiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tids, side="left")

@@ -90,7 +90,7 @@ def _corners(model):
     return (np.concatenate(pos), np.concatenate(nrm), np.concatenate(uv))
 
 
-@pytest.mark.parametrize("name", ["cube.dae", "cube.fbx"])
+@pytest.mark.parametrize("name", ["cube.dae", "cube.fbx", "cube.3ds"])
 def test_fixture_bakes_identically_to_gltf_twin(name, tmp_path):
     model_loader.clear_caches()
     model = model_loader.load_model(os.path.join(FIXDIR, name))
@@ -109,7 +109,7 @@ def test_fixture_bakes_identically_to_gltf_twin(name, tmp_path):
                                atol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["cube.dae", "cube.fbx"])
+@pytest.mark.parametrize("name", ["cube.dae", "cube.fbx", "cube.3ds"])
 def test_fixture_renders(name):
     import jax
 
@@ -192,11 +192,113 @@ def test_dae_zup_conversion(tmp_path):
         [[1, 0, 0], [0, 0, -1], [0, 1, 0]], atol=1e-6)
 
 
+def test_3ds_writer_roundtrip(tmp_path):
+    """write_3ds → load_3ds recovers geometry (through the Z-up storage
+    conversion), UVs (through the double V-flip) and the diffuse color."""
+    from softwarerenderer_tpu.io_host.tds import load_3ds, write_3ds
+
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(-2, 2, (15, 3)).astype(F32)
+    uv = rng.uniform(0, 1, (15, 2)).astype(F32)
+    idx = np.arange(15, dtype=np.int32).reshape(-1, 3)
+    path = str(tmp_path / "rt.3ds")
+    write_3ds(path, pos, idx, uvs=uv, diffuse_color=(0.2, 0.4, 0.6))
+    doc = load_3ds(path)
+    (mesh,) = doc["meshes"]
+    np.testing.assert_allclose(
+        mesh["position"][mesh["indices"].reshape(-1)],
+        pos[idx.reshape(-1)], atol=1e-6)
+    np.testing.assert_allclose(
+        mesh["uv"][mesh["indices"].reshape(-1)],
+        uv[idx.reshape(-1)], atol=1e-6)
+    np.testing.assert_allclose(mesh["material"].base_color[:3],
+                               (0.2, 0.4, 0.6), atol=1e-2)
+
+
+def test_3ds_smooth_normals_octahedron():
+    """Generated normals are the area-weighted smooth field: every
+    octahedron vertex's 4 incident faces average to the exact radial
+    direction by symmetry."""
+    from softwarerenderer_tpu.io_host.tds import smooth_normals
+
+    verts = np.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                        [0, -1, 0], [0, 0, 1], [0, 0, -1]], F32)
+    faces = np.asarray([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                        [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
+                       np.int32)
+    np.testing.assert_allclose(smooth_normals(verts, faces), verts,
+                               atol=1e-6)
+
+
+def test_3ds_face_material_groups_split(tmp_path):
+    """FACE_MATS groups split one TRIMESH into per-material meshes (the
+    Assimp behavior the reference inherits); ungrouped faces fall back
+    to the default material."""
+    import struct
+
+    from softwarerenderer_tpu.io_host import tds
+
+    # 3 stacked triangles; faces 0 → red group, 1 → blue group, 2 ungrouped
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0],
+                      [0, 0, 1], [1, 0, 1], [0, 1, 1],
+                      [0, 0, 2], [1, 0, 2], [0, 1, 2]], "<f4")
+    fr = np.zeros((3, 4), "<u2")
+    fr[:, :3] = np.arange(9).reshape(3, 3)
+
+    def group(name, ids):
+        return tds._w_chunk(
+            tds._FACE_MATS, name.encode() + b"\x00"
+            + struct.pack("<H", len(ids))
+            + np.asarray(ids, "<u2").tobytes())
+
+    def material(name, rgb):
+        return tds._w_chunk(
+            tds._MATERIAL,
+            tds._w_chunk(tds._MAT_NAME, name.encode() + b"\x00")
+            + tds._w_chunk(tds._MAT_DIFFUSE,
+                           tds._w_chunk(tds._COLOR_F32,
+                                        struct.pack("<3f", *rgb))))
+
+    verts = tds._w_chunk(tds._VERTICES,
+                         struct.pack("<H", 9) + pos.tobytes())
+    faces = tds._w_chunk(tds._FACES, struct.pack("<H", 3) + fr.tobytes()
+                         + group("red", [0]) + group("blue", [1]))
+    obj = tds._w_chunk(tds._OBJECT,
+                       b"tri\x00" + tds._w_chunk(tds._TRIMESH,
+                                                 verts + faces))
+    editor = tds._w_chunk(tds._EDITOR,
+                          material("red", (1.0, 0.0, 0.0))
+                          + material("blue", (0.0, 0.0, 1.0)) + obj)
+    path = str(tmp_path / "groups.3ds")
+    with open(path, "wb") as f:
+        f.write(tds._w_chunk(tds._MAIN, editor))
+
+    doc = tds.load_3ds(path)
+    assert len(doc["meshes"]) == 3
+    colors = {tuple(m["material"].base_color[:3]) for m in doc["meshes"]}
+    assert colors == {(1.0, 0.0, 0.0), (0.0, 0.0, 1.0), (1.0, 1.0, 1.0)}
+    # each split mesh carries exactly its one face
+    for m in doc["meshes"]:
+        assert m["indices"].shape == (1, 3)
+
+
 def test_importers_reject_garbage(tmp_path):
     """Malformed inputs fail loudly (or load empty), never hang or
     corrupt downstream state."""
     from softwarerenderer_tpu.io_host.collada import load_dae
     from softwarerenderer_tpu.io_host.fbx import load_fbx
+    from softwarerenderer_tpu.io_host.tds import load_3ds
+
+    not3ds = tmp_path / "x.3ds"
+    not3ds.write_bytes(b"nah, chunked this is not, 3ds neither")
+    with pytest.raises(ValueError, match="not a 3DS"):
+        load_3ds(str(not3ds))
+
+    trunc3ds = tmp_path / "trunc.3ds"
+    trunc3ds.write_bytes(
+        open(os.path.join(FIXDIR, "cube.3ds"), "rb").read()[:64])
+    with pytest.raises(Exception):
+        load_3ds(str(trunc3ds))
 
     notfbx = tmp_path / "x.fbx"
     notfbx.write_bytes(b"definitely not an fbx container")
