@@ -346,6 +346,14 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         # traced uniforms["anim_time"] seconds clock.
         from softwarerenderer_tpu.ops import skinning
         vin = skinning.apply_skinning(vin, scene, uniforms, xp=jnp)
+    if "particle_vert_index" in scene and "particle_centers" in uniforms:
+        # Particle billboards on device (sim/particles.py): reserved quad
+        # slots get world-space camera-facing corners from the traced
+        # particle uniforms — the particle sim and its rendering share
+        # one jitted program.
+        from softwarerenderer_tpu.sim import particles
+        vin = particles.apply_billboards(vin, scene, uniforms, view,
+                                         xp=jnp)
     tris = geometry.build_triangles(
         vertex_shader, vin, scene["indices"], u,
         width=W, height=H, cull_mode=params.cull_mode,

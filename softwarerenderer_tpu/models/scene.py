@@ -298,6 +298,11 @@ class MeshInstance:
     animation_positions: Optional[np.ndarray] = None   # (F, V, 3)
     animation_normals: Optional[np.ndarray] = None     # (F, V, 3)
     skin: Optional[Skin] = None                        # skeletal animation
+    # Particle slot capacity (sim/particles.py): the mesh must be
+    # particles_mesh(capacity) — 4·N reserved billboard vertices whose
+    # world-space corners the jitted frame writes from the traced
+    # particle uniforms.  Model matrix must stay identity.
+    particles: Optional[int] = None
 
 
 def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
@@ -330,6 +335,8 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     # otherwise).
     neutral_nm = np.asarray([[[0.5, 0.5, 1.0, 1.0]]], F32)
     anim = {"pos": [], "nrm": [], "vidx": [], "slot": [], "nf": []}
+    part = {"vidx": [], "pidx": [], "corner": []}
+    p_off = 0
     sk = {"joints": [], "weights": [], "vidx": [], "parent": [],
           "inv_bind": [], "trans": [], "rot": [], "scale": [],
           "slot": [], "nf": [], "rate": []}
@@ -356,6 +363,18 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
             anim["vidx"].append(v_off + np.arange(v, dtype=np.int32))
             anim["slot"].append(np.full(v, len(anim["nf"]), np.int32))
             anim["nf"].append(ap.shape[0])
+        if inst.particles:
+            from softwarerenderer_tpu.sim.particles import _CORNERS
+            np_ = int(inst.particles)
+            if v != 4 * np_:
+                raise ValueError(
+                    f"particles={np_} needs a particles_mesh with "
+                    f"{4 * np_} vertices, got {v}")
+            part["vidx"].append(v_off + np.arange(4 * np_, dtype=np.int32))
+            part["pidx"].append(p_off + np.repeat(
+                np.arange(np_, dtype=np.int32), 4))
+            part["corner"].append(np.tile(_CORNERS, (np_, 1)))
+            p_off += np_
         if inst.skin is not None:
             s = inst.skin
             jts = np.asarray(s.joints, np.int32).reshape(v, -1)[:, :4]
@@ -429,7 +448,12 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
             tri_nm_id.append(np.full(t, tex_id_of[key], dtype=np.int32))
         matrices.append(np.asarray(inst.model_matrix, dtype=F32))
         # Animated meshes: bound every frame so culling stays conservative.
-        if inst.skin is not None:
+        if inst.particles:
+            # Particle slots span wherever the emitter sends them — the
+            # mesh carries its conservative extent (particles_mesh).
+            c = np.asarray(mesh["bounds_center"], F32)
+            r = float(mesh["bounds_radius"])
+        elif inst.skin is not None:
             from softwarerenderer_tpu.ops.skinning import (
                 skinned_positions_np,
             )
@@ -488,6 +512,15 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         out["tri_lod_level"] = np.concatenate(tri_lod)
         out["mesh_lod_px"] = np.asarray(
             [p + [-np.inf] * (l_max - len(p)) for p in mesh_lod_px], F32)
+    if p_off:
+        # Reserved billboard slots (sim/particles.apply_billboards): the
+        # jitted frame writes camera-facing corners for the traced
+        # uniforms["particle_centers"/"particle_size"/"particle_color"]
+        # ((P, 3)/(P,)/(P, 4) with P = total capacity, concatenated in
+        # instance order).
+        out["particle_vert_index"] = np.concatenate(part["vidx"])
+        out["particle_vert_pidx"] = np.concatenate(part["pidx"])
+        out["particle_corner"] = np.concatenate(part["corner"], axis=0)
     if anim["nf"]:
         # Frame stacks concatenated on the vertex axis, frame axis padded to
         # the longest animation (selection is per-mesh modulo n_frames, so

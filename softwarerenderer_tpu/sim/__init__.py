@@ -11,3 +11,11 @@ from softwarerenderer_tpu.sim.character import (  # noqa: F401
     default_character_params,
     initial_character_state,
 )
+from softwarerenderer_tpu.sim.particles import (  # noqa: F401
+    default_emitter_params,
+    initial_particle_state,
+    particle_step,
+    particle_uniforms,
+    particles_mesh,
+    soft_disc_texture,
+)
