@@ -104,6 +104,14 @@ class RenderParams:
     span_cap: int = 8         # bbox tile-span above which a tri goes global
     tile_group: int = 16      # tiles processed per sequential step
     chunk: int = 32           # triangles folded per reduction step
+    # Active-triangle compaction (ops/geometry.compact_triangles): stable-
+    # partition valid triangle slots into this many before binning, so
+    # pair-sort + stream-gather cost scales with ACTIVE triangles instead
+    # of packed slots.  Essential for scenes packing alternative geometry
+    # (mesh-LOD levels, hidden meshes).  Exact whenever the frame's valid
+    # slots fit (ops/lod.suggested_active_cap gives a bound that always
+    # does); overflow drops the last-submitted triangles.  0 = off.
+    active_cap: int = 0
     # Mip-mapped texture sampling (beyond the reference):
     # per-triangle LOD from the uv-area/screen-area ratio selects a
     # box-filtered mip from the atlas chain.  False = off (mip 0, the

@@ -456,6 +456,15 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     if tri_extras is not None:
         per_tri = {k: v for k, v in per_tri.items() if k in tri_extras}
 
+    if params.active_cap:
+        # Compact valid slots to a static prefix so binning/stream cost
+        # tracks ACTIVE triangles, not packed slots (LOD levels, hidden
+        # meshes).  Exact while the frame fits the cap — use
+        # ops/lod.suggested_active_cap for a bound that always does.
+        tris, per_tri, _ = geometry.compact_triangles(tris,
+                                                      params.active_cap,
+                                                      per_tri)
+
     if fb is None:
         clear = jnp.asarray(uniforms["clear_color"], dtype=F32)
         fb_color = jnp.broadcast_to(clear, (H, W, 4))

@@ -236,6 +236,50 @@ def _edge_function(ax, ay, bx, by, cx, cy):
     return (cx - ax) * (by - ay) - (cy - ay) * (bx - ax)
 
 
+def compact_triangles(tris: Dict, cap: int,
+                      per_tri_extra: Dict | None = None):
+    """Stable-partition the VALID triangle slots into a static `cap`-slot
+    prefix — every downstream stage (pair-table sort, stream gathers,
+    payload packing) then scales with the ACTIVE triangle count instead of
+    the packed slot count.
+
+    Scenes that pack alternative geometry the frame masks off — every
+    mesh-LOD level (ops/lod.py), app-hidden meshes — otherwise pay full
+    binning cost for slots that can never win: the pair sort runs over
+    N·span_cap slots and the Pallas stream gathers copy each slot's
+    setup+payload rows (measured: a 4K LOD crowd was ~1.8× SLOWER than
+    its LOD-less twin, scripts/profile_lod.py).
+
+    Exactness: the permutation (jnp.argsort of ~valid, stable) keeps valid
+    slots in submission order, and every reduction downstream is the
+    lexicographic (depth, submission index) fold — invariant under an
+    order-preserving index remap — so results are identical to the
+    uncompacted frame whenever the frame's valid-slot count fits in cap.
+    On overflow the LAST-submitted valid slots are dropped
+    (deterministically); callers watch the returned traced n_valid
+    (overflow = max(0, n_valid - cap)).  ops/lod.suggested_active_cap
+    computes a static bound that can never overflow.
+
+    Returns (tris, per_tri_extra, n_valid) with all arrays cap-sized.
+    """
+    valid = tris["valid"]
+    n = valid.shape[0]
+    cap = min(int(cap), n)
+    perm = jnp.argsort(jnp.where(valid, 0, 1), stable=True)[:cap]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    def g(a):
+        return jnp.take(a, perm, axis=0)
+
+    out = {k: ({ak: g(av) for ak, av in v.items()} if k == "attrs"
+               else g(v))
+           for k, v in tris.items()}
+    extra = None
+    if per_tri_extra is not None:
+        extra = {k: g(jnp.asarray(v)) for k, v in per_tri_extra.items()}
+    return out, extra, n_valid
+
+
 def build_triangles(vertex_shader: Callable, vertex_input: Dict,
                     indices: jnp.ndarray, uniforms: Dict, *,
                     width: int, height: int,

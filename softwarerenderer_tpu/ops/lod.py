@@ -78,6 +78,28 @@ def add_lods(mesh: Dict, cells: Sequence[int] = (6, 3),
     return out
 
 
+def suggested_active_cap(scene: Dict) -> int:
+    """Static bound on a frame's VALID triangle-slot count — the always-
+    exact value for RenderParams.active_cap (geometry.compact_triangles).
+
+    Per mesh exactly ONE LOD level is active in any frame (lod_tri_mask
+    is an equality test), so the selected input triangles are bounded by
+    sum_m max_l tris(m, l); ×2 covers both clip-fan slots per input
+    triangle.  Frustum culling and clipping only shrink further, so a
+    frame can never overflow this cap.  Host-side (pack-time) helper —
+    call it on build_scene_buffers output, not under jit.
+    """
+    mesh_id = np.asarray(scene["tri_mesh_id"])
+    if "tri_lod_level" not in scene:
+        return int(2 * mesh_id.shape[0])
+    lvl = np.asarray(scene["tri_lod_level"])
+    m = int(mesh_id.max()) + 1 if mesh_id.size else 0
+    nl = int(lvl.max()) + 1 if lvl.size else 1
+    counts = np.zeros((m, nl), np.int64)
+    np.add.at(counts, (mesh_id, lvl), 1)
+    return int(2 * counts.max(axis=1).sum())
+
+
 def lod_tri_mask(scene: Dict, uniforms: Dict, height: int, xp=np):
     """(T,) bool — triangles of each mesh's ACTIVE LOD level.
 

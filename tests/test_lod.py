@@ -116,3 +116,91 @@ def test_lod_sharded_matches_single_device():
             sscene, u))
     assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
     assert (np.abs(d - ref_d) <= 1e-6).all()
+
+
+def test_active_cap_exact_with_suggested_bound():
+    """Compaction (geometry.compact_triangles via params.active_cap) at
+    the static suggested_active_cap bound is EXACTLY the uncompacted
+    frame — the stable partition preserves submission order, and the
+    lexicographic fold is invariant under the index remap."""
+    scene = _sphere_scene(True)
+    cap = lod.suggested_active_cap(scene)
+    n_slots = 2 * scene["tri_mesh_id"].shape[0]
+    assert cap < n_slots                      # LOD levels compact away
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.0, 0.5])   # mid level
+    p0 = RenderParams(width=W, height=H)
+    c0, d0 = jax.jit(lambda s, u: render_frame(s, u, p0))(scene, u)
+    p1 = p0.replace(active_cap=cap)
+    c1, d1 = jax.jit(lambda s, u: render_frame(s, u, p1))(scene, u)
+    # Cross-COMPILATION comparison (two different XLA programs): FMA
+    # contraction may wobble depth by an ulp on edge pixels (PARITY.md
+    # D4), so the assert is the same ≤1e-6 used by the sharded-parity
+    # tests, not bit equality.
+    assert (np.abs(np.asarray(c0) - np.asarray(c1)).max(axis=-1)
+            <= 1e-6).all()
+    assert (np.abs(np.asarray(d0) - np.asarray(d1)) <= 1e-6).all()
+
+
+def test_suggested_cap_is_sound():
+    """The bound covers the frame's valid slots at every distance (one
+    level active per mesh ⇒ can never overflow)."""
+    scene = _sphere_scene(True)
+    cap = lod.suggested_active_cap(scene)
+    u = default_frame_uniforms(W, H)
+    for z in (-0.5, 0.5, 20.0):
+        u["camera_position"] = np.float32([0.0, 0.0, z])
+        mask = np.asarray(lod.lod_tri_mask(scene, u, H, xp=np))
+        assert 2 * mask.sum() <= cap
+
+
+def test_suggested_cap_without_lods_is_all_slots():
+    scene = _sphere_scene(False)
+    assert lod.suggested_active_cap(scene) \
+        == 2 * scene["tri_mesh_id"].shape[0]
+
+
+def test_active_cap_overflow_drops_last_submitted():
+    """cap smaller than the valid count deterministically drops the
+    LAST-submitted triangles (documented contract)."""
+    from softwarerenderer_tpu.models.scene import MeshInstance
+    # two stacked planes: red behind (submitted first), green in front
+    red = dict(plane_colored([1.0, 0.0, 0.0, 1.0]))
+    green = dict(plane_colored([0.0, 1.0, 0.0, 1.0]))
+    sc = scene_mod.build_scene_buffers([
+        MeshInstance(red, ml.translation([0.0, 0.0, -3.0])),
+        MeshInstance(green, ml.translation([0.0, 0.0, -2.0])),
+    ])
+    sc_red = scene_mod.build_scene_buffers([
+        MeshInstance(red, ml.translation([0.0, 0.0, -3.0])),
+    ])
+    from softwarerenderer_tpu.config import CullMode
+    u = default_frame_uniforms(W, H)
+    p_full = RenderParams(width=W, height=H, cull_mode=CullMode.NONE)
+    c_full, d_full = jax.jit(lambda s, u: render_frame(s, u, p_full))(
+        sc, u)
+    c_red, d_red = jax.jit(lambda s, u: render_frame(s, u, p_full))(
+        sc_red, u)
+    assert np.abs(np.asarray(c_full) - np.asarray(c_red)).max() > 0.1
+    # cap = 2 slots = the red plane's two triangles only: the frame is
+    # the red-only scene's frame (green, submitted later, is dropped)
+    p_cap = p_full.replace(active_cap=2)
+    c_cap, d_cap = jax.jit(lambda s, u: render_frame(s, u, p_cap))(sc, u)
+    assert (np.abs(np.asarray(c_cap) - np.asarray(c_red)).max(axis=-1)
+            <= 1e-6).all()
+    assert (np.abs(np.asarray(d_cap) - np.asarray(d_red)) <= 1e-6).all()
+
+
+def plane_colored(rgba):
+    """An xy-facing two-triangle quad with a flat vertex color."""
+    pos = np.float32([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]])
+    return {
+        "name": "quad",
+        "position": pos,
+        "uv": np.zeros((4, 2), np.float32),
+        "normal": np.tile(np.float32([[0, 0, 1]]), (4, 1)),
+        "color": np.tile(np.float32(rgba), (4, 1)),
+        "indices": np.int32([[0, 2, 1], [0, 3, 2]]),
+        "bounds_center": np.zeros(3, np.float32),
+        "bounds_radius": 1.5,
+    }
