@@ -53,6 +53,7 @@ from softwarerenderer_tpu.sim import (
     initial_character_state,
     raycast_batch,
 )
+from softwarerenderer_tpu.sim import particles as particles_mod
 from softwarerenderer_tpu.utils import mathlib as ml
 
 F32 = np.float32
@@ -247,6 +248,17 @@ class Dust2Game:
         self._decal_next = 0
         self._decal_used = 0
 
+        # Impact-spark particles (sim/particles.py, beyond the reference):
+        # one shared billboard pool; each bullet impact queues a one-frame
+        # emitter burst at the hit point along the surface normal.  The
+        # sim + billboard write ride the same jitted frame; bursts are
+        # traced uniforms, so sparks never recompile.
+        self.n_particles = 256
+        insts.append(scene_mod.MeshInstance(
+            particles_mod.particles_mesh(self.n_particles, extent=1000.0),
+            np.eye(4, dtype=F32),
+            texture=particles_mod.soft_disc_texture(16)))
+
         # Flip-book animation sources: one entry per ANIMATED mesh instance
         # (in scene order), pointing at the host Model whose PlayAnimation
         # clock drives its device-side frame index (ModelLoader.cs:331-348).
@@ -320,6 +332,25 @@ class Dust2Game:
         self.stats = FrameStats()
         self._mesh_matrices = np.asarray(
             self.scene["mesh_matrices"]).copy()
+        # Impact sparks: quiet emitter (rate 0) until a burst is queued.
+        self._particles = particles_mod.initial_particle_state(
+            self.n_particles, seed=0)
+        em = particles_mod.default_emitter_params()
+        em.update(rate=np.float32(0.0),
+                  base_velocity=np.zeros(3, F32),
+                  spread=np.float32(2.2),
+                  lifetime=np.asarray([0.25, 0.6], F32),
+                  size=np.asarray([0.05, 0.01], F32),
+                  color0=np.asarray([1.0, 0.85, 0.4, 1.0], F32),
+                  color1=np.asarray([1.0, 0.3, 0.05, 0.0], F32))
+        self._emitter = em
+        self._bursts: List[tuple] = []
+
+        def _pstep(st, em, dt):
+            st2 = particles_mod.particle_step(st, em, dt)
+            return st2, particles_mod.particle_uniforms(st2, em)
+
+        self._particle_step = jax.jit(_pstep)
 
     # -- per-frame ------------------------------------------------------------
 
@@ -858,6 +889,10 @@ class Dust2Game:
         self._mesh_matrices[slot] = m
         self._decal_next = (self._decal_next + 1) % self.n_decals
         self._decal_used = min(self._decal_used + 1, self.n_decals)
+        # spark burst at the impact (local shots AND remote LevelHits —
+        # every path that places a decal sprays)
+        self._bursts.append((np.asarray(point, F32) + n * F32(0.02),
+                             n * F32(2.0)))
 
     # -- render ---------------------------------------------------------------
 
@@ -928,6 +963,20 @@ class Dust2Game:
         u["camera_position"] = np.asarray(cam_pos, F32)
         u["camera_rotation"] = np.asarray(cam_rot, F32)
         u["mesh_visible"] = visible
+
+        # Impact sparks: pop one queued burst into this step's emitter
+        # (origin/velocity/rate are traced — no recompile), advance the
+        # particle state, and feed the render channels as uniforms.
+        em = dict(self._emitter)
+        sim_dt = np.float32(max(dt, 1e-3))
+        if self._bursts:
+            origin, vel = self._bursts.pop(0)
+            em["origin"] = origin
+            em["base_velocity"] = vel
+            em["rate"] = np.float32(24.0) / sim_dt
+        self._particles, pu = self._particle_step(self._particles, em,
+                                                  sim_dt)
+        u.update(pu)
         if self._anim_sources:
             # Advance each distinct model's flip-book clock once, then feed
             # the per-animated-mesh frame indices as a traced uniform.
@@ -1031,6 +1080,7 @@ class Dust2Game:
             "last_shot": np.float64(self.last_shot),
             "noclip": np.asarray(self.noclip),
             "char_params": jax.device_get(self.char_params),
+            "particles": jax.device_get(self._particles),
         })
 
     def load_state(self, path: str) -> None:
@@ -1045,6 +1095,8 @@ class Dust2Game:
         self.last_shot = float(st["last_shot"])
         self.noclip = bool(st["noclip"])
         self.char_params = jax.device_put(st["char_params"])
+        if "particles" in st:       # absent in pre-particle checkpoints
+            self._particles = jax.device_put(st["particles"])
 
     def close(self):
         try:

