@@ -69,10 +69,14 @@ def main():
     from softwarerenderer_tpu.utils.profiling import timed_frames
 
     W, H = args.width, args.height
-    params = RenderParams(width=W, height=H)
+    base_params = RenderParams(width=W, height=H)
 
-    def measure(tag, sc_host):
-        sc = jax.device_put(scene_mod.build_scene_buffers(sc_host))
+    def measure(tag, sc_host, use_cap=False):
+        sc_np = scene_mod.build_scene_buffers(sc_host)
+        params = base_params.replace(
+            active_cap=lod.suggested_active_cap(sc_np)) if use_cap \
+            else base_params
+        sc = jax.device_put(sc_np)
         eng = Engine(sc, params)
         u0 = dict(eng.uniforms)
         u0["camera_position"] = np.asarray([0.0, 0.3, 2.0], np.float32)
@@ -135,6 +139,9 @@ def main():
                        "tex_ox": jnp.take(aoff[:, 1], tid2),
                        "tex_h": jnp.take(asiz[:, 0], tid2),
                        "tex_w": jnp.take(asiz[:, 1], tid2)}
+            if params.active_cap:
+                tris, per_tri, _ = geometry.compact_triangles(
+                    tris, params.active_cap, per_tri)
             fb_d = jnp.full((H, W), raster.DEPTH_CLEAR, jnp.float32)
             return tris, uu, per_tri, fb_d
 
@@ -163,6 +170,9 @@ def main():
 
     measure("nolod", build_instances(False))
     measure("lod", build_instances(True))
+    # active-slot compaction (geometry.compact_triangles): stream cost
+    # should now track ACTIVE triangles, making LOD a win, not a loss
+    measure("lod_cap", build_instances(True), use_cap=True)
 
 
 if __name__ == "__main__":

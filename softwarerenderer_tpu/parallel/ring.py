@@ -176,6 +176,33 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
             near_clip=uu["near_clip"], tri_mask=tri_mask,
             keep_varyings=getattr(fragment_shader, "varyings", None))
 
+        # Pre-resolved atlas regions ride the payload (pruned by the
+        # shader's tri_extras registry) so band-local shading is
+        # gather-lean — same plumbing as the single-chip engine.  Built
+        # BEFORE payload packing so compaction covers them too.
+        tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+        aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
+        asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
+        per_tri = {"tex_id": tid2,
+                   "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
+                   "tex_oy": jnp.take(aoff[:, 0], tid2),
+                   "tex_ox": jnp.take(aoff[:, 1], tid2),
+                   "tex_h": jnp.take(asiz[:, 0], tid2),
+                   "tex_w": jnp.take(asiz[:, 1], tid2)}
+        tri_extras = getattr(fragment_shader, "tri_extras", None)
+        if tri_extras is not None:
+            per_tri = {k: v for k, v in per_tri.items() if k in tri_extras}
+
+        if params.active_cap:
+            # Active-slot compaction (params.active_cap, same contract as
+            # the engine/sharded paths) — here it ALSO shrinks the ring
+            # traffic: the rotated SoA + payload carry cap rows instead of
+            # 2·t_local.  Cross-shard ordering is preserved because each
+            # shard's compacted ids stay inside its 2·t_local-wide global
+            # offset window (gidx stride below is unchanged).
+            tris, per_tri, _ = geometry.compact_triangles(
+                tris, params.active_cap, per_tri)
+
         # Packed payload for the resolve ring (same layout as the fused
         # single-chip path).
         keys = sorted(tris["attrs"].keys())
@@ -190,21 +217,6 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
         parts.append(jnp.broadcast_to(tris["inv_area"][:, None, None],
                                       (nloc, 3, 1)))
         sl_ia = off; off += 1
-        # Pre-resolved atlas regions ride the payload (pruned by the
-        # shader's tri_extras registry) so band-local shading is
-        # gather-lean — same plumbing as the single-chip engine.
-        tid2 = jnp.repeat(scene["tri_texture_id"], 2)
-        aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
-        asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
-        per_tri = {"tex_id": tid2,
-                   "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
-                   "tex_oy": jnp.take(aoff[:, 0], tid2),
-                   "tex_ox": jnp.take(aoff[:, 1], tid2),
-                   "tex_h": jnp.take(asiz[:, 0], tid2),
-                   "tex_w": jnp.take(asiz[:, 1], tid2)}
-        tri_extras = getattr(fragment_shader, "tri_extras", None)
-        if tri_extras is not None:
-            per_tri = {k: v for k, v in per_tri.items() if k in tri_extras}
         extra_slices = {}
         for k in sorted(per_tri):
             v = jnp.asarray(per_tri[k], F32)[:, None, None]
@@ -251,7 +263,7 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
         def res_step(k, carry):
             state, acc = carry
             gidx = state["src"] * (2 * t_local) + jnp.arange(
-                2 * t_local, dtype=jnp.int32)
+                state["payload"].shape[0], dtype=jnp.int32)
             onehot = (best_i[..., None] == gidx).astype(F32)  # (h, W, 2Tl)
             acc = acc + jax.lax.dot_general(
                 onehot, state["payload"], (((2,), (0,)), ((), ())),

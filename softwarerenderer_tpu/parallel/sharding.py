@@ -257,6 +257,18 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
             per_tri_in = {k: v for k, v in per_tri_in.items()
                           if k in tri_extras}
 
+        if params.active_cap:
+            # Active-slot compaction per shard (the single-chip engine's
+            # params.active_cap, ops/geometry.compact_triangles).  Safe
+            # under BOTH axes: fb shards share one triangle set, so the
+            # stable permutation is identical on every band; tri shards
+            # compact their own slice order-preservingly, and the global
+            # submission comparison (local id + tri_offset) stays
+            # order-isomorphic because compacted ids never leave the
+            # shard's 2·t_local-wide offset window.
+            tris, per_tri_in, _ = geometry.compact_triangles(
+                tris, params.active_cap, per_tri_in)
+
         clear = jnp.asarray(uniforms["clear_color"], dtype=F32)
         if balanced_mode == "tiles":
             pseudo_h = tiles_per_dev * th_t

@@ -204,3 +204,43 @@ def plane_colored(rgba):
         "bounds_center": np.zeros(3, np.float32),
         "bounds_radius": 1.5,
     }
+
+
+def test_active_cap_sharded_and_ring_parity():
+    """params.active_cap composes with BOTH scale-out modes: the (fb, tri)
+    sharded path and the ring pass match the compacted single-device frame
+    to 1e-6 (compaction is per-shard order-preserving, so the global
+    lexicographic winner is unchanged)."""
+    from softwarerenderer_tpu.parallel import (make_mesh,
+                                               render_frame_sharded,
+                                               shard_scene_triangles)
+    from softwarerenderer_tpu.parallel.ring import (make_ring_mesh,
+                                                    render_frame_ring)
+
+    scene = _sphere_scene(True, z=-8.0)
+    cap = lod.suggested_active_cap(scene)
+    params = RenderParams(width=128, height=96, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16, active_cap=cap)
+    u = default_frame_uniforms(128, 96)
+    u["camera_position"] = np.float32([0.0, 0.0, 0.0])
+
+    ref_c, ref_d = map(np.asarray, jax.jit(
+        lambda s, u: render_frame(s, u, params))(scene, u))
+
+    sscene = shard_scene_triangles(scene, 2)
+    mesh = make_mesh(2, 2)
+    with mesh:
+        c, d = map(np.asarray, jax.jit(
+            lambda s, u: render_frame_sharded(s, u, params, mesh))(
+            sscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
+
+    rmesh = make_ring_mesh(2)
+    rscene = shard_scene_triangles(scene, 2)
+    with rmesh:
+        c, d = map(np.asarray, jax.jit(
+            lambda s, u: render_frame_ring(s, u, params, rmesh))(
+            rscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
