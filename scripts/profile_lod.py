@@ -71,14 +71,10 @@ def main():
     W, H = args.width, args.height
     base_params = RenderParams(width=W, height=H)
 
-    def measure(tag, sc_host, use_cap=False):
+    def measure(tag, sc_host, cap_mode=None):
         sc_np = scene_mod.build_scene_buffers(sc_host)
-        params = base_params.replace(
-            active_cap=lod.suggested_active_cap(sc_np)) if use_cap \
-            else base_params
         sc = jax.device_put(sc_np)
-        eng = Engine(sc, params)
-        u0 = dict(eng.uniforms)
+        u0 = dict(Engine(sc, base_params).uniforms)
         u0["camera_position"] = np.asarray([0.0, 0.3, 2.0], np.float32)
         u0["far_clip"] = np.float32(200.0)
         u0["fog_start"] = np.float32(150.0)
@@ -90,6 +86,19 @@ def main():
             active = int(np.sum(lod.lod_tri_mask(host_sc, u0, H, xp=np)))
         else:
             active = n_tri
+
+        if cap_mode == "suggested":
+            # the always-exact static bound (ignores culling/selection)
+            cap = lod.suggested_active_cap(sc_np)
+        elif cap_mode == "tight":
+            # workload-chosen cap: this camera's active slots + 25%
+            # headroom, 128-aligned — exactness guarded by the traced
+            # n_valid overflow counter (compact_triangles docstring)
+            cap = -(-int(2 * active * 1.25) // 128) * 128
+        else:
+            cap = 0
+        params = base_params.replace(active_cap=cap)
+        eng = Engine(sc, params)
 
         def report(sub, fn, n=args.frames):
             jf = jax.jit(fn)
@@ -104,7 +113,7 @@ def main():
             print(json.dumps({
                 "tag": f"{tag}_{sub}", "ms": round(spf * 1e3, 2),
                 "fps": round(1 / spf, 2), "tris_packed": n_tri,
-                "tris_active": active,
+                "tris_active": active, "active_cap": cap,
                 "compile_s": round(time.time() - t0 - spf * n, 1)}),
                 flush=True)
 
@@ -172,7 +181,8 @@ def main():
     measure("lod", build_instances(True))
     # active-slot compaction (geometry.compact_triangles): stream cost
     # should now track ACTIVE triangles, making LOD a win, not a loss
-    measure("lod_cap", build_instances(True), use_cap=True)
+    measure("lod_cap", build_instances(True), cap_mode="suggested")
+    measure("lod_cap_tight", build_instances(True), cap_mode="tight")
 
 
 if __name__ == "__main__":

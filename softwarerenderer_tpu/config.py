@@ -112,6 +112,13 @@ class RenderParams:
     # slots fit (ops/lod.suggested_active_cap gives a bound that always
     # does); overflow drops the last-submitted triangles.  0 = off.
     active_cap: int = 0
+    # With active_cap: ALSO return {"active_cap_overflow"} — the traced
+    # count of valid slots the cap dropped this frame (0 = the frame is
+    # exact; the runtime guard for tight workload-chosen caps).  Changes
+    # render_frame's return to (color, depth, stats); incompatible with
+    # ssaa/post-fx recursion (ValueError); merges into the kbuffer_stats
+    # dict when both are set.
+    active_cap_stats: bool = False
     # Mip-mapped texture sampling (beyond the reference):
     # per-triangle LOD from the uv-area/screen-area ratio selects a
     # box-filtered mip from the atlas chain.  False = off (mip 0, the

@@ -254,6 +254,12 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         raise ValueError("kbuffer_stats needs kbuffer > 1 and no "
                          "ssaa/post-fx (the stats dict is a third return "
                          "value the recursive wrappers don't thread)")
+    if params.active_cap_stats and (not params.active_cap
+                                    or params.ssaa > 1
+                                    or _enabled_post_fx(params, uniforms)):
+        raise ValueError("active_cap_stats needs active_cap set and no "
+                         "ssaa/post-fx (the stats dict is a third return "
+                         "value the recursive wrappers don't thread)")
     if params.ssaa > 1:
         # Supersampled AA: render the whole frame at ssaa× and box-filter
         # down (beyond the reference — it has no AA at all).  fb seeds are
@@ -456,14 +462,18 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     if tri_extras is not None:
         per_tri = {k: v for k, v in per_tri.items() if k in tri_extras}
 
+    cap_overflow = None
     if params.active_cap:
         # Compact valid slots to a static prefix so binning/stream cost
         # tracks ACTIVE triangles, not packed slots (LOD levels, hidden
         # meshes).  Exact while the frame fits the cap — use
-        # ops/lod.suggested_active_cap for a bound that always does.
-        tris, per_tri, _ = geometry.compact_triangles(tris,
-                                                      params.active_cap,
-                                                      per_tri)
+        # ops/lod.suggested_active_cap for a bound that always does, or
+        # a tighter workload cap watched via active_cap_stats.
+        n_slots = tris["valid"].shape[0]
+        tris, per_tri, n_valid = geometry.compact_triangles(
+            tris, params.active_cap, per_tri)
+        cap_overflow = jnp.maximum(
+            0, n_valid - min(params.active_cap, n_slots))
 
     if fb is None:
         clear = jnp.asarray(uniforms["clear_color"], dtype=F32)
@@ -471,75 +481,86 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         fb_depth = jnp.full((H, W), raster.DEPTH_CLEAR, dtype=F32)
     else:
         fb_color, fb_depth = fb
-    from softwarerenderer_tpu.config import DebugMode, DepthTest
-    order_dependent = params.depth_test in (DepthTest.EQUAL,
-                                            DepthTest.NOT_EQUAL)
-    if params.debug_mode == DebugMode.WIREFRAME:
-        if params.deferred and not order_dependent:
-            return raster.render_wireframe_deferred(
-                tris, fragment_shader, u, params, fb_color, fb_depth,
-                per_tri_extra=per_tri, chunk=chunk)
-        from softwarerenderer_tpu.ops.forward import render_forward
-        return render_forward(tris, fragment_shader, u, params,
-                              fb_color, fb_depth, per_tri_extra=per_tri)
-    if not params.deferred or order_dependent:
-        from softwarerenderer_tpu.ops.forward import render_forward
-        return render_forward(tris, fragment_shader, u, params,
-                              fb_color, fb_depth, per_tri_extra=per_tri)
-    if params.binned:
-        if params.kbuffer > 1:
-            # Order-correct translucency / discard-reveal: K-layer replay
-            # of the reference's sequential shade-blend (Rasterizer.cs:
-            # 509-523) at binned cost.
-            if params.use_pallas \
-                    and params.depth_test == DepthTest.LESS_EQUAL \
+    def _dispatch():
+        from softwarerenderer_tpu.config import DebugMode, DepthTest
+        order_dependent = params.depth_test in (DepthTest.EQUAL,
+                                                DepthTest.NOT_EQUAL)
+        if params.debug_mode == DebugMode.WIREFRAME:
+            if params.deferred and not order_dependent:
+                return raster.render_wireframe_deferred(
+                    tris, fragment_shader, u, params, fb_color, fb_depth,
+                    per_tri_extra=per_tri, chunk=chunk)
+            from softwarerenderer_tpu.ops.forward import render_forward
+            return render_forward(tris, fragment_shader, u, params,
+                                  fb_color, fb_depth, per_tri_extra=per_tri)
+        if not params.deferred or order_dependent:
+            from softwarerenderer_tpu.ops.forward import render_forward
+            return render_forward(tris, fragment_shader, u, params,
+                                  fb_color, fb_depth, per_tri_extra=per_tri)
+        if params.binned:
+            if params.kbuffer > 1:
+                # Order-correct translucency / discard-reveal: K-layer replay
+                # of the reference's sequential shade-blend (Rasterizer.cs:
+                # 509-523) at binned cost.
+                if params.use_pallas \
+                        and params.depth_test == DepthTest.LESS_EQUAL \
+                        and (jax.default_backend() == "tpu"
+                             or params.pallas_interpret):
+                    # Depth-peeled kernel passes.  (A single-pass K-deep
+                    # kernel — K winners in scratch, streams DMA'd twice —
+                    # was built and measured SLOWER on v5e: 64 vs 39 ms at
+                    # K=4 @1080p; it survives as
+                    # render_tile_pallas_kbuffer_single with an exactness
+                    # test.  See BENCHMARKS.md negative results.)
+                    from softwarerenderer_tpu.ops.pallas_tile import (
+                        render_tile_pallas_kbuffer,
+                    )
+                    return render_tile_pallas_kbuffer(
+                        tris, fragment_shader, u, params, fb_color, fb_depth,
+                        per_tri_extra=per_tri,
+                        interpret=params.pallas_interpret,
+                        with_stats=params.kbuffer_stats)
+                from softwarerenderer_tpu.ops.kbuffer import (
+                    render_binned_kbuffer,
+                )
+                return render_binned_kbuffer(tris, fragment_shader, u, params,
+                                             fb_color, fb_depth,
+                                             per_tri_extra=per_tri,
+                                             with_stats=params.kbuffer_stats)
+            if params.use_pallas and params.depth_test == DepthTest.LESS_EQUAL \
                     and (jax.default_backend() == "tpu"
                          or params.pallas_interpret):
-                # Depth-peeled kernel passes.  (A single-pass K-deep
-                # kernel — K winners in scratch, streams DMA'd twice —
-                # was built and measured SLOWER on v5e: 64 vs 39 ms at
-                # K=4 @1080p; it survives as
-                # render_tile_pallas_kbuffer_single with an exactness
-                # test.  See BENCHMARKS.md negative results.)
+                # Mosaic kernels need real TPU hardware; every other backend
+                # (CPU tests, virtual meshes) takes the XLA fused path, which
+                # is pixel-exact with the kernel (tests/test_pallas_raster.py)
+                # — unless pallas_interpret forces the kernel code path.
                 from softwarerenderer_tpu.ops.pallas_tile import (
-                    render_tile_pallas_kbuffer,
+                    render_tile_pallas,
                 )
-                return render_tile_pallas_kbuffer(
-                    tris, fragment_shader, u, params, fb_color, fb_depth,
-                    per_tri_extra=per_tri,
-                    interpret=params.pallas_interpret,
-                    with_stats=params.kbuffer_stats)
-            from softwarerenderer_tpu.ops.kbuffer import (
-                render_binned_kbuffer,
-            )
-            return render_binned_kbuffer(tris, fragment_shader, u, params,
-                                         fb_color, fb_depth,
-                                         per_tri_extra=per_tri,
-                                         with_stats=params.kbuffer_stats)
-        if params.use_pallas and params.depth_test == DepthTest.LESS_EQUAL \
-                and (jax.default_backend() == "tpu"
-                     or params.pallas_interpret):
-            # Mosaic kernels need real TPU hardware; every other backend
-            # (CPU tests, virtual meshes) takes the XLA fused path, which
-            # is pixel-exact with the kernel (tests/test_pallas_raster.py)
-            # — unless pallas_interpret forces the kernel code path.
-            from softwarerenderer_tpu.ops.pallas_tile import (
-                render_tile_pallas,
-            )
-            return render_tile_pallas(tris, fragment_shader, u, params,
-                                      fb_color, fb_depth,
-                                      per_tri_extra=per_tri,
-                                      interpret=params.pallas_interpret)
-        # Fully fused tile renderer: visibility + one-hot-matmul attribute
-        # resolve + shading inside one per-tile loop (no full-screen
-        # per-pixel gathers).
-        from softwarerenderer_tpu.ops.binning import render_binned_fused
-        return render_binned_fused(tris, fragment_shader, u, params,
-                                   fb_color, fb_depth,
-                                   per_tri_extra=per_tri)
-    return raster.render_deferred(tris, fragment_shader, u, params,
-                                  fb_color, fb_depth, per_tri_extra=per_tri,
-                                  chunk=chunk)
+                return render_tile_pallas(tris, fragment_shader, u, params,
+                                          fb_color, fb_depth,
+                                          per_tri_extra=per_tri,
+                                          interpret=params.pallas_interpret)
+            # Fully fused tile renderer: visibility + one-hot-matmul attribute
+            # resolve + shading inside one per-tile loop (no full-screen
+            # per-pixel gathers).
+            from softwarerenderer_tpu.ops.binning import render_binned_fused
+            return render_binned_fused(tris, fragment_shader, u, params,
+                                       fb_color, fb_depth,
+                                       per_tri_extra=per_tri)
+        return raster.render_deferred(tris, fragment_shader, u, params,
+                                      fb_color, fb_depth, per_tri_extra=per_tri,
+                                      chunk=chunk)
+
+    out = _dispatch()
+    if params.active_cap_stats:
+        # Runtime capacity counter (the K-overflow analog):
+        # frames are exact iff active_cap_overflow == 0.
+        stats = {"active_cap_overflow": cap_overflow}
+        if len(out) == 3:
+            return out[0], out[1], {**out[2], **stats}
+        return out[0], out[1], stats
+    return out
 
 
 def render_frame_with_shadows(scene: Dict, uniforms: Dict,

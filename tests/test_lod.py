@@ -244,3 +244,25 @@ def test_active_cap_sharded_and_ring_parity():
             rscene, u))
     assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
     assert (np.abs(d - ref_d) <= 1e-6).all()
+
+
+def test_active_cap_stats_overflow_counter():
+    """active_cap_stats returns the traced dropped-slot count: 0 at the
+    sound bound (frame exact), positive under a too-tight cap."""
+    scene = _sphere_scene(True)
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.0, 0.5])
+    cap = lod.suggested_active_cap(scene)
+    p_ok = RenderParams(width=W, height=H, active_cap=cap,
+                        active_cap_stats=True)
+    c, d, stats = jax.jit(lambda s, u: render_frame(s, u, p_ok))(scene, u)
+    assert int(stats["active_cap_overflow"]) == 0
+    p_tight = p_ok.replace(active_cap=64)
+    _, _, stats = jax.jit(lambda s, u: render_frame(s, u, p_tight))(
+        scene, u)
+    assert int(stats["active_cap_overflow"]) > 0
+    # guard: stats without a cap is a config error
+    import pytest
+    with pytest.raises(ValueError):
+        render_frame(scene, u, RenderParams(width=W, height=H,
+                                            active_cap_stats=True))
