@@ -166,6 +166,33 @@ def main():
               mosaic_vs_fused_frac=round(ab_frac, 6),
               png_frac_off=round(frac_off, 6), png_mean=round(mean, 4))
 
+    # ---- 5. active-triangle compaction parity on Mosaic -----------------
+    # Compacted vs uncompacted LOD frame through the real kernel: winner
+    # selection is provably invariant (PARITY.md), this guards the
+    # compiled reality each round.
+    from softwarerenderer_tpu.models import primitives
+    from softwarerenderer_tpu.ops import lod as lod_mod
+    from softwarerenderer_tpu.utils import mathlib as ml
+    mesh_l = lod_mod.add_lods(
+        primitives.uv_sphere(0.45, rings=14, sectors=20),
+        cells=(8, 4), px=(60.0, 24.0))
+    insts = [scene_mod.MeshInstance(
+        mesh_l, ml.translation([(i % 8 - 4) * 1.5, 0.0,
+                                -3.0 - (i // 8) * 2.0]))
+        for i in range(32)]
+    sc = scene_mod.build_scene_buffers(insts)
+    cap = lod_mod.suggested_active_cap(sc)
+    eng0 = Engine(sc, RenderParams(width=640, height=360))
+    engc = Engine(sc, RenderParams(width=640, height=360, active_cap=cap))
+    uu = dict(eng0.uniforms)
+    c0, d0 = map(np.asarray, eng0.render(uu))
+    cc, dc = map(np.asarray, engc.render(uu))
+    cfrac = float((np.abs(c0 - cc).max(axis=-1) > 1e-5).mean())
+    dfrac = float((np.abs(d0 - dc) > 1e-5).mean())
+    check("mosaic_active_cap_parity", cfrac == 0.0 and dfrac == 0.0,
+          color_mismatch_frac=cfrac, depth_mismatch_frac=dfrac,
+          active_cap=cap)
+
     ok = all(c["ok"] for c in checks)
     out = {"ok": ok, "device": str(jax.devices()[0].device_kind),
            "time": time.strftime("%Y-%m-%dT%H:%M:%S"), "checks": checks}
