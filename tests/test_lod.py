@@ -266,3 +266,20 @@ def test_active_cap_stats_overflow_counter():
     with pytest.raises(ValueError):
         render_frame(scene, u, RenderParams(width=W, height=H,
                                             active_cap_stats=True))
+
+
+def test_active_cap_through_pallas_interpret():
+    """Compaction feeds the Pallas tile kernel (interpret mode on CPU —
+    the kernel code path): compacted == uncompacted through the SAME
+    compilation family, bit-exact."""
+    scene = _sphere_scene(True)
+    cap = lod.suggested_active_cap(scene)
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.0, 0.5])
+    p0 = RenderParams(width=W, height=H, pallas_interpret=True)
+    c0, d0 = jax.jit(lambda s, u: render_frame(s, u, p0))(scene, u)
+    p1 = p0.replace(active_cap=cap)
+    c1, d1 = jax.jit(lambda s, u: render_frame(s, u, p1))(scene, u)
+    assert (np.abs(np.asarray(c0) - np.asarray(c1)).max(axis=-1)
+            <= 1e-6).all()
+    assert (np.abs(np.asarray(d0) - np.asarray(d1)) <= 1e-6).all()
