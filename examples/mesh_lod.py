@@ -48,7 +48,11 @@ def main(out="/tmp/mesh_lod.png"):
             mesh, ml.translation([x, 0.0, z]), texture=checker))
     sc = scene.build_scene_buffers(insts)
 
-    eng = Engine(sc, RenderParams(width=W, height=H))
+    # Active-slot compaction: without it the binning stage would pay for
+    # every packed LOD level; the static bound keeps the frame exact
+    # (BENCHMARKS.md "Mesh LOD + active-triangle compaction").
+    cap = lod.suggested_active_cap(sc)
+    eng = Engine(sc, RenderParams(width=W, height=H, active_cap=cap))
     u = dict(eng.uniforms)
     u["camera_position"] = np.float32([0.0, 1.0, 2.0])
 
@@ -56,7 +60,8 @@ def main(out="/tmp/mesh_lod.png"):
     lvl = np.asarray(sc["tri_lod_level"])
     print(f"active triangles: {int(mask.sum())} of "
           f"{int((lvl == 0).sum())} at full detail "
-          f"(levels in use: {sorted(np.unique(lvl[mask]).tolist())})")
+          f"(levels in use: {sorted(np.unique(lvl[mask]).tolist())}); "
+          f"compacting {2 * lvl.shape[0]} packed slots to cap {cap}")
 
     rgb = eng.present(u)
     try:
