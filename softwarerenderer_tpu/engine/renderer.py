@@ -238,6 +238,49 @@ def _apply_post_fx(fx: str, color, depth, uniforms: Dict,
     return tm.apply_tonemap(color, params.tonemap, uniforms, xp=jnp), depth
 
 
+def apply_vertex_updates(vin: Dict, scene: Dict, uniforms: Dict,
+                         view) -> Dict:
+    """Per-frame device-side vertex updates, shared by EVERY render path
+    (engine, parallel/sharding, parallel/ring): tangents, flip-book frame
+    select, skeletal skinning, particle billboards.  Each is a traced
+    computation of (scene, uniforms, view) with no per-shard state, so
+    scale-out shards replicate it identically."""
+    vin = dict(vin)
+    if "tangent" in scene:
+        vin["tangent"] = scene["tangent"]   # normal mapping (ops/normalmap)
+    if "anim_positions" in scene:
+        # Flip-book animation on device (ModelLoader.cs:331-348): select
+        # each animated mesh's current frame from the traced
+        # uniforms["anim_frame"] vector — scene buffers never re-upload
+        # and frame changes never recompile.
+        n_anim = scene["anim_n_frames"].shape[0]
+        af = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(uniforms.get("anim_frame", 0),
+                                       jnp.int32)), (n_anim,))
+        f_mesh = af % scene["anim_n_frames"]
+        fv = jnp.take(f_mesh, scene["anim_slot"])
+        va = jnp.arange(fv.shape[0], dtype=jnp.int32)
+        vin["position"] = vin["position"].at[scene["anim_vert_index"]].set(
+            scene["anim_positions"][fv, va])
+        vin["normal"] = vin["normal"].at[scene["anim_vert_index"]].set(
+            scene["anim_normals"][fv, va])
+    if "skin_joints" in scene:
+        # Skeletal animation on device (ops/skinning.py): FK + blended
+        # matrix skinning inside the same jitted program, driven by the
+        # traced uniforms["anim_time"] seconds clock.
+        from softwarerenderer_tpu.ops import skinning
+        vin = skinning.apply_skinning(vin, scene, uniforms, xp=jnp)
+    if "particle_vert_index" in scene and "particle_centers" in uniforms:
+        # Particle billboards on device (sim/particles.py): reserved quad
+        # slots get world-space camera-facing corners from the traced
+        # particle uniforms — the particle sim and its rendering share
+        # one jitted program.
+        from softwarerenderer_tpu.sim import particles
+        vin = particles.apply_billboards(vin, scene, uniforms, view,
+                                         xp=jnp)
+    return vin
+
+
 def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                  vertex_shader: Callable = scene_vertex_shader,
                  fragment_shader: Callable = scene_fragment_shader,
@@ -328,38 +371,7 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
 
     vin = {"position": scene["position"], "uv": scene["uv"],
            "normal": scene["normal"], "color": scene["color"]}
-    if "tangent" in scene:
-        vin["tangent"] = scene["tangent"]   # normal mapping (ops/normalmap)
-    if "anim_positions" in scene:
-        # Flip-book animation on device (ModelLoader.cs:331-348): select
-        # each animated mesh's current frame from the traced
-        # uniforms["anim_frame"] vector — scene buffers never re-upload
-        # and frame changes never recompile.
-        n_anim = scene["anim_n_frames"].shape[0]
-        af = jnp.broadcast_to(
-            jnp.atleast_1d(jnp.asarray(uniforms.get("anim_frame", 0),
-                                       jnp.int32)), (n_anim,))
-        f_mesh = af % scene["anim_n_frames"]
-        fv = jnp.take(f_mesh, scene["anim_slot"])
-        va = jnp.arange(fv.shape[0], dtype=jnp.int32)
-        vin["position"] = vin["position"].at[scene["anim_vert_index"]].set(
-            scene["anim_positions"][fv, va])
-        vin["normal"] = vin["normal"].at[scene["anim_vert_index"]].set(
-            scene["anim_normals"][fv, va])
-    if "skin_joints" in scene:
-        # Skeletal animation on device (ops/skinning.py): FK + blended
-        # matrix skinning inside the same jitted program, driven by the
-        # traced uniforms["anim_time"] seconds clock.
-        from softwarerenderer_tpu.ops import skinning
-        vin = skinning.apply_skinning(vin, scene, uniforms, xp=jnp)
-    if "particle_vert_index" in scene and "particle_centers" in uniforms:
-        # Particle billboards on device (sim/particles.py): reserved quad
-        # slots get world-space camera-facing corners from the traced
-        # particle uniforms — the particle sim and its rendering share
-        # one jitted program.
-        from softwarerenderer_tpu.sim import particles
-        vin = particles.apply_billboards(vin, scene, uniforms, view,
-                                         xp=jnp)
+    vin = apply_vertex_updates(vin, scene, uniforms, view)
     tris = geometry.build_triangles(
         vertex_shader, vin, scene["indices"], u,
         width=W, height=H, cull_mode=params.cull_mode,

@@ -170,6 +170,12 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
                   atlas_sizes=scene["atlas_sizes"],
                   base_color=scene["base_color"])
         vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
+        # Per-frame vertex updates (tangents, flip-book, skinning,
+        # particles) — replicated, identical on every ring shard.
+        from softwarerenderer_tpu.engine.renderer import (
+            apply_vertex_updates,
+        )
+        vin = apply_vertex_updates(vin, scene, u, view)
         tris = geometry.build_triangles(
             vertex_shader, vin, scene["indices"], uu,
             width=W, height=H, cull_mode=params.cull_mode,

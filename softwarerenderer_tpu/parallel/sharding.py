@@ -234,6 +234,13 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
                  base_color=scene["base_color"])
 
         vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
+        # Per-frame vertex updates (tangents, flip-book, skinning,
+        # particles) — replicated traced computations, identical on
+        # every shard (engine.renderer.apply_vertex_updates).
+        from softwarerenderer_tpu.engine.renderer import (
+            apply_vertex_updates,
+        )
+        vin = apply_vertex_updates(vin, scene, uniforms, view)
         tris = geometry.build_triangles(
             vertex_shader, vin, scene["indices"], u,
             width=W, height=H, cull_mode=params.cull_mode,

@@ -381,3 +381,62 @@ def test_sharded_kbuffer_rejects_tri_sharding():
     with pytest.raises(NotImplementedError, match="sharded K-buffer"):
         with mesh:
             render_frame_sharded(scene, uniforms(), params, mesh)
+
+
+def test_sharded_applies_vertex_updates():
+    """Skinning AND particle billboards reach the sharded + ring paths
+    (engine.renderer.apply_vertex_updates is shared by every render
+    path): a sharded animated frame matches the single-device frame, and
+    both differ from the un-animated scene."""
+    from softwarerenderer_tpu.models.scene import MeshInstance
+    from softwarerenderer_tpu.parallel.ring import (make_ring_mesh,
+                                                    render_frame_ring)
+    from softwarerenderer_tpu.sim import particles as P
+    from tests.test_skinning import arm_mesh, two_bone_skin
+
+    arm = arm_mesh()
+    np_cap = 16
+    insts = [
+        scene_mod.MeshInstance(arm, skin=two_bone_skin(arm["position"])),
+        scene_mod.MeshInstance(P.particles_mesh(np_cap, extent=20.0),
+                               particles=np_cap,
+                               texture=P.soft_disc_texture(8)),
+    ]
+    scene = scene_mod.build_scene_buffers(insts)
+    params = RenderParams(width=W, height=H, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16)
+    u = uniforms()
+    u["anim_time"] = np.float32(0.5)        # mid-sweep skin pose
+    st = P.initial_particle_state(np_cap, seed=3)
+    em = P.default_emitter_params()
+    em["origin"] = np.float32([0.0, 0.5, -3.0])
+    for _ in range(4):
+        st = P.particle_step(st, em, 1 / 30)
+    u.update(jax.device_get(P.particle_uniforms(st, em)))
+
+    ref_c, ref_d = map(np.asarray, jax.jit(
+        lambda s, u: render_frame(s, u, params=params))(scene, u))
+    # animation actually moves pixels vs t=0 with no live particles
+    u0 = dict(u)
+    u0["anim_time"] = np.float32(0.0)
+    u0["particle_size"] = np.zeros(np_cap, np.float32)
+    u0["particle_color"] = np.zeros((np_cap, 4), np.float32)
+    base_c, _ = map(np.asarray, jax.jit(
+        lambda s, u: render_frame(s, u, params=params))(scene, u0))
+    assert np.abs(ref_c - base_c).max() > 0.05
+
+    sscene = shard_scene_triangles(scene, 2)
+    mesh = make_mesh(2, 2)
+    with mesh:
+        c, d = map(np.asarray, jax.jit(lambda s, u: render_frame_sharded(
+            s, u, params, mesh))(sscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
+
+    rmesh = make_ring_mesh(2)
+    rscene = shard_scene_triangles(scene, 2)
+    with rmesh:
+        c, d = map(np.asarray, jax.jit(lambda s, u: render_frame_ring(
+            s, u, params, rmesh))(rscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
