@@ -161,6 +161,30 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         color = color.reshape(H, f, W, f, 4).mean(axis=(1, 3))
         return color, depth[::f, ::f]
 
+    from softwarerenderer_tpu.engine.renderer import (
+        _apply_post_fx,
+        _enabled_post_fx,
+    )
+    fx_chain = _enabled_post_fx(params, uniforms)
+    if fx_chain:
+        # Post-FX compose with sharding exactly like the engine (same
+        # params.post_fx data pipeline): render the base frame sharded,
+        # then apply the chain to the full frame — under jit the
+        # full-frame ops run on the row-sharded output with XLA
+        # inserting any cross-band halo collectives.
+        base = params.replace(tonemap=None, bloom=False, ssao=False)
+        u2 = uniforms
+        if "sky" in fx_chain:
+            u2 = {k: v for k, v in uniforms.items() if k != "sky_panorama"}
+            u2["env_panorama"] = uniforms["sky_panorama"]
+        color, depth = render_frame_sharded(
+            scene, u2, base, mesh, vertex_shader, fragment_shader,
+            balanced)
+        for fx in fx_chain:
+            color, depth = _apply_post_fx(fx, color, depth, uniforms,
+                                          params)
+        return color, depth
+
     n_fb = mesh.shape["fb"]
     n_tri = mesh.shape["tri"]
     H, W = params.height, params.width

@@ -440,3 +440,36 @@ def test_sharded_applies_vertex_updates():
             s, u, params, rmesh))(rscene, u))
     assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
     assert (np.abs(d - ref_d) <= 1e-6).all()
+
+
+def test_sharded_post_fx_matches_single_device():
+    """The post-FX data pipeline (sky → ssao → bloom → tonemap) composes
+    with sharding: a sharded frame with the full chain equals the
+    single-device frame to 1e-6 (the chain applies to the gathered
+    full frame after the order-restoring collectives)."""
+    scene = small_scene()
+    params = RenderParams(width=W, height=H, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16,
+                          ssao=True, bloom=True, tonemap="aces")
+    u = uniforms()
+    pano = np.zeros((32, 64, 4), np.float32)
+    pano[:16] = [0.9, 0.3, 0.1, 1]
+    pano[16:] = [0.1, 0.3, 0.9, 1]
+    u["sky_panorama"] = pano
+
+    ref_c, ref_d = map(np.asarray, jax.jit(
+        lambda s, u: render_frame(s, u, params=params))(scene, u))
+    # the chain visibly changed the frame vs the plain params
+    plain_c, _ = map(np.asarray, jax.jit(lambda s, u: render_frame(
+        s, u, params=RenderParams(width=W, height=H, tile_h=8, tile_w=64,
+                                  tile_group=4, chunk=16)))(
+        scene, {k: v for k, v in u.items() if k != "sky_panorama"}))
+    assert np.abs(ref_c - plain_c).max() > 0.05
+
+    sscene = shard_scene_triangles(scene, 2)
+    mesh = make_mesh(2, 2)
+    with mesh:
+        c, d = map(np.asarray, jax.jit(lambda s, u: render_frame_sharded(
+            s, u, params, mesh))(sscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
