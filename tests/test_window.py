@@ -74,6 +74,7 @@ def test_mouse_capture_toggles_grab(window):
     assert not window.mouse_captured
 
 
+@pytest.mark.slow
 def test_game_loop_on_pygame_backend():
     """The dust2 app drives the REAL pygame window (dummy SDL) end to end:
     frames present, HUD overlay draws, input path exercised."""
