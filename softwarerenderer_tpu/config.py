@@ -138,6 +138,18 @@ class RenderParams:
     # render_frame's return to (color, depth, stats); incompatible with
     # ssaa/post-fx recursion (ValueError).
     kbuffer_stats: bool = False
+    # Opaque short-circuit for the depth-peeled Pallas K-buffer: stop
+    # peeling at pixels whose winner is semantically opaque (pack-time
+    # per-triangle flags, engine.opaque_tri_flags) AND visibly shaded
+    # (alpha > 0) — under ALPHA/NONE blending a worse-ranked fragment
+    # can never be visible there — and lax.cond-skip passes with no
+    # eligible pixels anywhere.  Exact to one blend ulp (≤ ~1.2e-7 per
+    # channel where interpolated alpha rounds below 1; bit-identical
+    # elsewhere — PARITY.md "Exactness-preserving optimizations").
+    # False for measuring natural peel coverage
+    # (scripts/measure_kbuffer_coverage.py) or forcing strict
+    # bit-identity to the XLA K-slot fold.
+    kbuffer_short_circuit: bool = True
     # Run fold+resolve+interp as one Pallas tile kernel (ops/pallas_tile)
     # with shading as a single full-frame pass — the fastest path, default
     # ON.  Engages only on the TPU backend with LESS_EQUAL depth; every

@@ -99,6 +99,11 @@ scene_fragment_shader.varyings = ("color", "uv", "data.world_normal")
 # Per-triangle channel registry: this shader samples via pre-resolved
 # atlas regions only (no tex_id/mesh_id lookups).
 scene_fragment_shader.tri_extras = ("tex_oy", "tex_ox", "tex_h", "tex_w")
+# Alpha provenance: the output alpha is vertex color.a × texture alpha
+# (the reference's base = color * tex, Renderer.cs:853/859) — lets the
+# K-buffer peel prove triangles semantically opaque from pack-time data
+# (opaque_tri_flags) and stop peeling behind their visible fragments.
+scene_fragment_shader.alpha_sources = ("color", "texture")
 
 
 def scene_fragment_shader_bilinear(frag, uniforms, xp=jnp):
@@ -125,6 +130,7 @@ scene_fragment_shader_bilinear.varyings = scene_fragment_shader.varyings
 # bilinear still resolves through tex_id tables
 scene_fragment_shader_bilinear.tri_extras = (
     "tex_id", "tex_oy", "tex_ox", "tex_h", "tex_w")
+scene_fragment_shader_bilinear.alpha_sources = ("color", "texture")
 
 
 def scene_fragment_shader_trilinear(frag, uniforms, xp=jnp):
@@ -161,6 +167,54 @@ scene_fragment_shader_trilinear.varyings = scene_fragment_shader.varyings
 scene_fragment_shader_trilinear.tri_extras = (
     "tex_oy", "tex_ox", "tex_h", "tex_w",
     "tex_oy2", "tex_ox2", "tex_h2", "tex_w2", "mip_frac256")
+scene_fragment_shader_trilinear.alpha_sources = ("color", "texture")
+
+
+def opaque_tri_flags(scene: Dict, vin: Dict, fragment_shader,
+                     params: RenderParams):
+    """Per-triangle 'semantically opaque' flags for the K-buffer peel's
+    short-circuit, or None when unprovable.
+
+    A triangle is flagged when the shader's declared alpha provenance
+    (`alpha_sources`: output alpha == product of the named sources)
+    evaluates to exactly 1 from pack-time data: "color" = all three
+    vertex alphas are 1 (clip-fan lerps preserve 1), "texture" = the
+    texture's pack-time min sampled alpha is 1
+    (models.scene.pack_atlas; box-filtered mips of an all-1 base stay
+    exactly 1).  The peel combines the winner's flag with its SHADED
+    alpha > 0 (visibility: discarded or NaN-interpolated winners must
+    keep peeling) — see pallas_tile.render_tile_pallas_kbuffer and
+    PARITY.md "Exactness-preserving optimizations" for the proof and
+    the one-blend-ulp exactness bound.
+
+    Only ALPHA blending needs the flags (NONE short-circuits on shaded
+    alpha > 0 alone; ADDITIVE/MULTIPLY never short-circuit): returns
+    None unless blend_mode == ALPHA and the registry + pack data are
+    present.
+    """
+    from softwarerenderer_tpu.config import BlendMode
+    srcs = getattr(fragment_shader, "alpha_sources", None)
+    if srcs is None or params.blend_mode != BlendMode.ALPHA:
+        return None
+    idx = jnp.asarray(scene["indices"], jnp.int32)
+    opq = jnp.ones((idx.shape[0],), bool)
+    if "color" in srcs:
+        a = jnp.asarray(vin["color"], F32)[:, 3]
+        amin = jnp.minimum(
+            jnp.minimum(jnp.take(a, idx[:, 0]), jnp.take(a, idx[:, 1])),
+            jnp.take(a, idx[:, 2]))
+        amax = jnp.maximum(
+            jnp.maximum(jnp.take(a, idx[:, 0]), jnp.take(a, idx[:, 1])),
+            jnp.take(a, idx[:, 2]))
+        opq = opq & (amin == F32(1.0)) & (amax == F32(1.0))
+    if "texture" in srcs:
+        if "tex_min_alpha" not in scene:
+            return None
+        ta = jnp.take(jnp.asarray(scene["tex_min_alpha"], F32),
+                      jnp.asarray(scene["tri_texture_id"], jnp.int32))
+        opq = opq & (ta >= F32(1.0))
+    # ×2 for the clipper's fan slots, like every per-triangle channel.
+    return jnp.repeat(opq.astype(jnp.int32), 2)
 
 
 def default_frame_uniforms(width: int, height: int) -> Dict:
@@ -473,6 +527,16 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     tri_extras = getattr(fragment_shader, "tri_extras", None)
     if tri_extras is not None:
         per_tri = {k: v for k, v in per_tri.items() if k in tri_extras}
+
+    if params.kbuffer > 1 and params.kbuffer_short_circuit:
+        # Semantically-opaque flags ride as an extra winner-payload
+        # channel so the depth-peeled K-buffer can stop behind opaque
+        # VISIBLE winners and lax.cond-skip entirely-empty passes
+        # (pallas_tile.render_tile_pallas_kbuffer; the XLA fold ignores
+        # the channel).
+        opq = opaque_tri_flags(scene, vin, fragment_shader, params)
+        if opq is not None:
+            per_tri["opq"] = opq
 
     cap_overflow = None
     if params.active_cap:

@@ -152,6 +152,11 @@ class TextureAtlas:
     mip_offsets: Optional[np.ndarray] = None  # (N, M, 2) int32
     mip_sizes: Optional[np.ndarray] = None    # (N, M, 2) int32
     n_mips: Optional[np.ndarray] = None       # (N,) int32 chain lengths
+    # Per-texture minimum sampled alpha (f32 in [0,1], from the packed u8
+    # base image — mips are box averages, so base min == 1 ⇒ every mip and
+    # bilinear blend is exactly 1 too).  Lets the K-buffer peel prove
+    # triangles opaque at pack time (engine.renderer.opaque_tri_flags).
+    min_alpha: Optional[np.ndarray] = None    # (N,) float32
 
     @property
     def n_textures(self) -> int:
@@ -240,13 +245,22 @@ def pack_atlas(textures: List[np.ndarray], pad_to_multiple: int = 128
     # (Texture.cs) and 4× narrower gather rows (texture.pack_rgba8).
     from softwarerenderer_tpu.ops.texture import pack_rgba8
     base = np.asarray([chain[0] for chain in mip_of], np.int32)
+    data_u8 = pack_rgba8(data)
+    # Minimum sampled alpha per texture, measured on the quantized bytes
+    # the shader actually fetches (base image; mips are box averages of
+    # it, so an all-255 base keeps alpha exactly 1 at every level).
+    min_alpha = np.empty(n_tex, np.float32)
+    for ti in range(n_tex):
+        (oy, ox), (h, w) = offs[base[ti]], szs[base[ti]]
+        min_alpha[ti] = data_u8[oy:oy + h, ox:ox + w, 3].min() / 255.0
     return TextureAtlas(
-        data=pack_rgba8(data),
+        data=data_u8,
         offsets=offs[base],
         sizes=szs[base],
         mip_offsets=mip_offsets,
         mip_sizes=mip_sizes,
         n_mips=n_mips,
+        min_alpha=min_alpha,
     )
 
 
@@ -501,6 +515,7 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         "atlas_mip_offsets": atlas.mip_offsets,
         "atlas_mip_sizes": atlas.mip_sizes,
         "atlas_n_mips": atlas.n_mips,
+        "tex_min_alpha": atlas.min_alpha,
     }
     if any_normal_map:
         out["tangent"] = np.concatenate(tangents, axis=0)

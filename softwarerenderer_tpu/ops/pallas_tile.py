@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from softwarerenderer_tpu.config import DepthTest, RenderParams
 from softwarerenderer_tpu.ops.binning import _cdiv, bin_triangles
 from softwarerenderer_tpu.ops.geometry import unflatten_varyings
-from softwarerenderer_tpu.ops.raster import _blend
+from softwarerenderer_tpu.ops.raster import _blend, DEPTH_CLEAR
 
 F32 = jnp.float32
 N_FIELDS = 16     # setup-stream rows: s0x s0y s1x s1y s2x s2y d0 d1 d2 ia idx
@@ -987,14 +987,78 @@ def render_tile_pallas_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
                        gb_keep=_gb_keep(fragment_shader))
     H, W, Hp, Wp = ctx["H"], ctx["W"], ctx["Hp"], ctx["Wp"]
 
+    # Opaque short-circuit + empty-pass skip (PARITY.md
+    # "Exactness-preserving optimizations" states the proof + the
+    # one-blend-ulp exactness bound):
+    #   * a pixel whose pass-k winner is semantically opaque (the
+    #     pack-time per-triangle flag riding the payload as tri.opq —
+    #     engine.renderer.opaque_tri_flags) AND visibly shaded
+    #     (alpha > 0: discarded or NaN-interpolated winners, e.g.
+    #     degenerate near-clip geometry, must keep peeling) can never
+    #     show a worse-ranked fragment: strictly-farther ones fail the
+    #     replay's depth test after the winner draws or are overwritten
+    #     by it, and equal-depth ties resolve to the highest index — the
+    #     winner itself.  Under NONE blending the shaded alpha > 0 test
+    #     alone suffices (result = src for any visible winner);
+    #   * such pixels get their prev maps reset to the clear values,
+    #     which the existing peel condition already treats as "admit
+    #     nothing" — no kernel change;
+    #   * pixels in the tile-grid pad band (rows >= H / cols >= W) are
+    #     reset too, so unclipped geometry hanging below the screen edge
+    #     can't keep passes alive;
+    #   * a pass whose transformed prev maps show NO eligible pixel is
+    #     skipped wholesale with lax.cond (deeper layers cannot exist),
+    #     as is every pass after it.  On a fully opaque scene K-buffer
+    #     mode therefore costs ~one opaque frame.
+    from softwarerenderer_tpu.config import BlendMode
+    use_opq = (params.kbuffer_short_circuit and "opq" in ctx["extra_keys"]
+               and params.blend_mode == BlendMode.ALPHA)
+    none_stop = (params.kbuffer_short_circuit
+                 and params.blend_mode == BlendMode.NONE)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
+    pad_stop = (yy >= H) | (xx >= W)
+
+    def shade(frag):
+        col = fragment_shader(frag, uniforms, jnp)
+        if use_opq:
+            opq = (frag["tri"]["opq"] > 0) & (col[..., 3] > F32(0))
+        elif none_stop:
+            opq = col[..., 3] > F32(0)
+        else:
+            opq = jnp.zeros((), bool)
+        return col, opq
+
     colors, depths, indices = [], [], []
-    prev_d = prev_i = None
-    for _ in range(K):
-        frag, bd, bi = _run_pass(ctx, interpret, prev_d, prev_i)
-        colors.append(fragment_shader(frag, uniforms, jnp))
+    for k in range(K):
+        if k == 0:
+            frag, bd, bi = _run_pass(ctx, interpret)
+            col, opq = shade(frag)
+        else:
+            stop = pad_stop
+            if use_opq or none_stop:
+                stop = stop | jnp.pad(opq, ((0, Hp - H), (0, Wp - W)))
+            prev_d = jnp.where(stop, DEPTH_CLEAR, bd)
+            prev_i = jnp.where(stop, F32(-1), bi.astype(F32))
+            eligible = jnp.any(prev_i >= F32(0))
+
+            def live(pd, pi):
+                frag, bd, bi = _run_pass(ctx, interpret, pd, pi)
+                col, opq = shade(frag)
+                return col, bd, bi, opq
+
+            def dead(pd, pi):
+                return (jnp.zeros((H, W, 4), F32),
+                        jnp.full((Hp, Wp), DEPTH_CLEAR, F32),
+                        jnp.full((Hp, Wp), -1, jnp.int32),
+                        jnp.zeros((H, W) if (use_opq or none_stop) else (),
+                                  bool))
+
+            col, bd, bi, opq = jax.lax.cond(eligible, live, dead,
+                                            prev_d, prev_i)
+        colors.append(col)
         depths.append(bd[:H, :W])
         indices.append(bi[:H, :W])
-        prev_d, prev_i = bd, bi.astype(F32)
     return _replay_layers(jnp.stack(colors), jnp.stack(depths),
                           jnp.stack(indices), fb_color, fb_depth, params,
                           with_stats)

@@ -288,6 +288,18 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
             per_tri_in = {k: v for k, v in per_tri_in.items()
                           if k in tri_extras}
 
+        if params.kbuffer > 1 and params.kbuffer_short_circuit:
+            # Opaque short-circuit flags for the per-band K-buffer peel
+            # (engine.renderer.opaque_tri_flags) — replicated triangles,
+            # so identical on every band; each band's lax.cond pass skip
+            # diverges independently (no collectives inside the peel).
+            from softwarerenderer_tpu.engine.renderer import (
+                opaque_tri_flags,
+            )
+            opq = opaque_tri_flags(scene, vin, fragment_shader, params)
+            if opq is not None:
+                per_tri_in["opq"] = opq
+
         if params.active_cap:
             # Active-slot compaction per shard (the single-chip engine's
             # params.active_cap, ops/geometry.compact_triangles).  Safe

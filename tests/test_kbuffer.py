@@ -259,3 +259,122 @@ def test_kbuffer_overflow_counter():
     c, d, stats = _jax.jit(
         lambda s, u: render_frame(s, u, p2))(scene, u)
     assert abs(int(stats["kbuffer_saturated_px"]) - run(2)) <= 20
+
+
+# ---------------------------------------------------------------------------
+# Opaque short-circuit (round 3): the peel stops at pixels whose winner
+# SHADES to alpha == 1 and lax.cond-skips entirely-empty passes —
+# bit-identical output (PARITY.md "Exactness-preserving optimizations").
+# ---------------------------------------------------------------------------
+
+
+def _engine_scene(quads):
+    from softwarerenderer_tpu.models import scene as scene_mod
+    return scene_mod.build_scene_buffers(
+        [scene_mod.MeshInstance(q, np.eye(4, dtype=np.float32))
+         for q in quads])
+
+
+def _engine_quad(z, color, s=1.0):
+    pos = np.asarray([[-s, -s, z], [s, -s, z], [-s, s, z], [s, s, z]],
+                     np.float32)
+    return {
+        "position": pos,
+        "uv": np.zeros((4, 2), np.float32),
+        "normal": np.tile(np.float32([0, 0, 1]), (4, 1)),
+        "color": np.tile(np.asarray(color, np.float32), (4, 1)),
+        "indices": np.asarray([[0, 1, 2], [2, 1, 3]], np.int32),
+    }
+
+
+@pytest.mark.parametrize("kbuffer", [2, 4])
+def test_opaque_short_circuit_exact(kbuffer):
+    """Opaque wall with translucent quads both in front of and behind it:
+    the short-circuiting interpret-mode peel must match the XLA K-slot
+    fold exactly (the skipped work was provably invisible)."""
+    import functools
+
+    from softwarerenderer_tpu.engine import (default_frame_uniforms,
+                                             render_frame)
+
+    scene = _engine_scene([
+        _engine_quad(-4.0, (1.0, 0.0, 0.0, 0.5)),       # behind: invisible
+        _engine_quad(-4.5, (0.0, 1.0, 0.0, 0.5)),       # behind: invisible
+        _engine_quad(-3.0, (1.0, 1.0, 1.0, 1.0)),       # opaque wall
+        _engine_quad(-2.0, (0.0, 0.0, 1.0, 0.5), s=0.4),  # front: blended
+    ])
+    u = default_frame_uniforms(96, 64)
+    base = RenderParams(width=96, height=64, kbuffer=kbuffer, cull_mode=0)
+    cp, dp = jax.jit(functools.partial(
+        render_frame, params=base.replace(use_pallas=True,
+                                          pallas_interpret=True)))(scene, u)
+    cx, dx = jax.jit(functools.partial(
+        render_frame, params=base.replace(use_pallas=False)))(scene, u)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cx), atol=1e-6,
+                               rtol=0)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), atol=1e-6,
+                               rtol=0)
+    # and the quads behind the opaque wall are genuinely invisible: the
+    # scene without them renders the identical image (so the work the
+    # short-circuit skips cannot matter)
+    scene2 = _engine_scene([
+        _engine_quad(-3.0, (1.0, 1.0, 1.0, 1.0)),
+        _engine_quad(-2.0, (0.0, 0.0, 1.0, 0.5), s=0.4),
+    ])
+    c2, d2 = jax.jit(functools.partial(
+        render_frame, params=base.replace(use_pallas=False)))(scene2, u)
+    # different scene -> different compiled program: borderline edge
+    # pixels may flip under FMA-contraction differences (PARITY.md), so
+    # this cross-scene check uses the mismatch-fraction idiom
+    assert_close_to_golden(np.asarray(cx), np.asarray(c2))
+
+
+def test_opaque_short_circuit_stops_saturation():
+    """Observable proof the peel actually stops: an all-opaque stack of
+    depth 3 at K=2 would saturate every covered pixel without the
+    short-circuit; with it, pass 1 finds nothing and the counter is 0."""
+    import functools
+
+    from softwarerenderer_tpu.engine import (default_frame_uniforms,
+                                             render_frame)
+
+    scene = _engine_scene([_engine_quad(-2.0 - 0.5 * i, (0.8, 0.7, 0.6, 1.0))
+                           for i in range(3)])
+    u = default_frame_uniforms(96, 64)
+    p = RenderParams(width=96, height=64, kbuffer=2, kbuffer_stats=True,
+                     cull_mode=0, use_pallas=True, pallas_interpret=True)
+    c, d, stats = jax.jit(functools.partial(render_frame, params=p))(scene, u)
+    assert int(stats["kbuffer_saturated_px"]) == 0
+    # and the image still matches the winner-only deferred render
+    p0 = RenderParams(width=96, height=64, cull_mode=0)
+    c0, d0 = jax.jit(functools.partial(render_frame, params=p0))(scene, u)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c0), atol=1e-6,
+                               rtol=0)
+
+
+def test_short_circuit_off_matches_on():
+    """kbuffer_short_circuit=False (natural peel) and True render the same
+    image — the skipped work is provably invisible.  Axis-aligned quads:
+    no borderline-edge pixels, so the cross-program compare is exact."""
+    import functools
+
+    from softwarerenderer_tpu.engine import (default_frame_uniforms,
+                                             render_frame)
+
+    scene = _engine_scene([
+        _engine_quad(-3.0, (1.0, 1.0, 1.0, 1.0)),
+        _engine_quad(-2.0, (0.0, 0.0, 1.0, 0.5), s=0.4),
+        _engine_quad(-4.0, (1.0, 0.0, 0.0, 0.5)),
+    ])
+    u = default_frame_uniforms(96, 64)
+    base = RenderParams(width=96, height=64, kbuffer=3, cull_mode=0,
+                        use_pallas=True, pallas_interpret=True)
+    c1, d1 = jax.jit(functools.partial(
+        render_frame, params=base))(scene, u)
+    c0, d0 = jax.jit(functools.partial(
+        render_frame,
+        params=base.replace(kbuffer_short_circuit=False)))(scene, u)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-6,
+                               rtol=0)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-6,
+                               rtol=0)
