@@ -33,19 +33,33 @@ def port():
     return free_port()
 
 
-def make_peer(port, **kw):
+def make_peer(port, client=False, **kw):
+    """Create a peer.  client=True joins with client_only handshakes
+    (retried): under CPU load the election pong can miss the 0.3 s
+    window and the peer would otherwise SELF-ELECT a second host on the
+    session port — reference-faithful in production, but a setup race
+    in tests that assume the join succeeded (flaked the migration tests
+    ~3/5 under a contended box)."""
     n = Networking()
     for k, v in kw.items():
         setattr(n, k, v)
-    assert n.connect("127.0.0.1", port, handshake_timeout=0.3)
+    if client:
+        for timeout in (0.3, 1.0, 3.0):
+            if n.connect("127.0.0.1", port, handshake_timeout=timeout,
+                         client_only=True):
+                break
+        else:
+            raise AssertionError("client join failed: no host answered")
+    else:
+        assert n.connect("127.0.0.1", port, handshake_timeout=0.3)
     return n
 
 
 def test_host_election_and_id_assignment(port):
     host = make_peer(port)
     assert host.is_host and host.client_id == 0
-    c1 = make_peer(port)
-    c2 = make_peer(port)
+    c1 = make_peer(port, client=True)
+    c2 = make_peer(port, client=True)
     try:
         assert not c1.is_host and c1.client_id == 1
         assert not c2.is_host and c2.client_id == 2
@@ -56,7 +70,7 @@ def test_host_election_and_id_assignment(port):
 
 def test_host_broadcast_reaches_clients_and_self(port):
     host = make_peer(port)
-    client = make_peer(port)
+    client = make_peer(port, client=True)
     try:
         host.send_rpc("ChatMessage", ["server", "hello"])
         assert wait_for(lambda: any(
@@ -70,7 +84,7 @@ def test_host_broadcast_reaches_clients_and_self(port):
 
 def test_client_rpc_reaches_host_with_sender_id(port):
     host = make_peer(port)
-    client = make_peer(port)
+    client = make_peer(port, client=True)
     try:
         client.send_rpc("Update", ["1", "0", "0", "0"])
         got = []
@@ -90,8 +104,8 @@ def test_client_rpc_reaches_host_with_sender_id(port):
 def test_no_client_to_client_relay_by_default(port):
     """Faithful quirk: the host does not relay client RPCs."""
     host = make_peer(port)
-    c1 = make_peer(port)
-    c2 = make_peer(port)
+    c1 = make_peer(port, client=True)
+    c2 = make_peer(port, client=True)
     try:
         c1.send_rpc("ChatMessage", ["c1", "hi"])
         time.sleep(0.5)
@@ -102,8 +116,8 @@ def test_no_client_to_client_relay_by_default(port):
 
 def test_relay_mode_fixes_topology(port):
     host = make_peer(port, relay_client_rpcs=True)
-    c1 = make_peer(port)
-    c2 = make_peer(port)
+    c1 = make_peer(port, client=True)
+    c2 = make_peer(port, client=True)
     try:
         c1.send_rpc("ChatMessage", ["c1", "hi"])
         got = []
@@ -119,7 +133,7 @@ def test_relay_mode_fixes_topology(port):
 def test_buffered_rpcs_replay_to_late_joiner(port):
     host = make_peer(port)
     host.send_rpc("ConnectedPlayer", ["0", "HostPlayer"], buffer_rpc=True)
-    late = make_peer(port)
+    late = make_peer(port, client=True)
     try:
         got = []
         assert wait_for(lambda: got.extend(
@@ -131,8 +145,8 @@ def test_buffered_rpcs_replay_to_late_joiner(port):
 
 def test_disconnect_broadcasts_client_disconnected(port):
     host = make_peer(port)
-    c1 = make_peer(port)
-    c2 = make_peer(port)
+    c1 = make_peer(port, client=True)
+    c2 = make_peer(port, client=True)
     cid = c1.client_id
     try:
         c1.close()  # sends Disconnect RPC
@@ -147,7 +161,7 @@ def test_disconnect_broadcasts_client_disconnected(port):
 
 def test_reconnect_updates_endpoint(port):
     host = make_peer(port)
-    c1 = make_peer(port)
+    c1 = make_peer(port, client=True)
     cid = c1.client_id
     old_ep = list(host.connected_clients.keys())[0]
     try:
@@ -167,7 +181,7 @@ def test_callback_delivery(port):
     host = make_peer(port)
     events = []
     host.on_receive_rpc.append(lambda m, p: events.append((m, p)))
-    client = make_peer(port)
+    client = make_peer(port, client=True)
     try:
         client.send_rpc("Shoot", ["1", "2", "3"])
         assert wait_for(lambda: any(m == "Shoot" for m, p in events))
@@ -177,7 +191,7 @@ def test_callback_delivery(port):
 
 def test_host_timeout_detection(port):
     host = make_peer(port, peer_timeout=0.5)
-    client = make_peer(port, peer_timeout=0.5)
+    client = make_peer(port, client=True, peer_timeout=0.5)
     try:
         lost = []
         client.on_host_lost.append(lambda: lost.append(True))
@@ -193,8 +207,8 @@ def test_host_timeout_detection(port):
 
 def test_client_timeout_expires_and_broadcasts(port):
     host = make_peer(port, peer_timeout=0.5)
-    c1 = make_peer(port)
-    c2 = make_peer(port)
+    c1 = make_peer(port, client=True)
+    c2 = make_peer(port, client=True)
     cid = c1.client_id
     try:
         # c1 vanishes silently (no Disconnect RPC)
@@ -218,7 +232,7 @@ def test_client_timeout_expires_and_broadcasts(port):
 
 def test_fault_injection_drops_packets(port):
     host = make_peer(port)
-    client = make_peer(port)
+    client = make_peer(port, client=True)
     try:
         host.drop_rate = 1.0   # drop everything outbound
         for _ in range(5):
@@ -238,7 +252,7 @@ def test_reliable_rpc_survives_heavy_loss(port):
     the RPC exactly once in each direction (beyond the reference's
     at-most-once UDP)."""
     host = make_peer(port)
-    client = make_peer(port)
+    client = make_peer(port, client=True)
     try:
         host.resend_interval = client.resend_interval = 0.05
         host.drop_rate = client.drop_rate = 0.75
@@ -270,7 +284,7 @@ def test_reliable_rpc_exactly_once_despite_resends(port):
     """Dropped ACKs force resends; the receiver must dedup (deliver once,
     ack every copy)."""
     host = make_peer(port)
-    client = make_peer(port)
+    client = make_peer(port, client=True)
     try:
         host.resend_interval = 0.05
         client.drop_rate = 1.0        # client's acks all drop
@@ -291,7 +305,7 @@ def test_reliable_rpc_exactly_once_despite_resends(port):
 
 def test_reliable_gives_up_after_max_attempts(port):
     host = make_peer(port)
-    client = make_peer(port)
+    client = make_peer(port, client=True)
     try:
         host.resend_interval = 0.02
         host.max_resend_attempts = 3
@@ -308,7 +322,7 @@ def test_delivery_failure_callback_fires(port):
     """A partitioned peer exhausts the resend budget: on_delivery_failed
     must report the seq and the unacked targets (not just a debug log)."""
     host = make_peer(port)
-    client = make_peer(port)
+    client = make_peer(port, client=True)
     try:
         failures = []
         host.on_delivery_failed.append(
@@ -331,7 +345,7 @@ def test_acks_coalesce_under_burst(port):
     datagrams, not one ack datagram per receipt (~10× fewer on a
     30-message burst)."""
     host = make_peer(port)
-    client = make_peer(port)
+    client = make_peer(port, client=True)
     try:
         acks = []
         orig = client._send_raw
@@ -363,7 +377,7 @@ def test_reliable_state_resets_on_reconnect(port):
     must not be dropped as stale duplicates — close()/connect() clear the
     reliable-delivery state (seq counter, pending table, seen-seq sets)."""
     host = make_peer(port)
-    client = make_peer(port)
+    client = make_peer(port, client=True)
     try:
         host.send_rpc("Phase", ["1"], reliable=True)
         assert wait_for(lambda: any(x[0] == "Phase"
@@ -389,7 +403,7 @@ def test_heartbeats_keep_idle_session_alive(port):
     """peer_timeout keepalives: an idle-but-alive session must never
     read as a dead one (failure detection is traffic-independent)."""
     host = make_peer(port, peer_timeout=0.4)
-    client = make_peer(port, peer_timeout=0.4)
+    client = make_peer(port, client=True, peer_timeout=0.4)
     try:
         time.sleep(1.5)               # several timeout periods, no traffic
         assert not client.host_lost
@@ -404,8 +418,8 @@ def test_host_migration_elects_lowest_id(port):
     lowest-id client rebinds the session port as the new host, the other
     client rejoins it, and RPCs flow in the new session."""
     host = make_peer(port)
-    c1 = make_peer(port, enable_host_migration=True, peer_timeout=0.5)
-    c2 = make_peer(port, enable_host_migration=True, peer_timeout=0.5)
+    c1 = make_peer(port, client=True, enable_host_migration=True, peer_timeout=0.5)
+    c2 = make_peer(port, client=True, enable_host_migration=True, peer_timeout=0.5)
     migrated = []
     c1.on_migrated.append(lambda is_host: migrated.append(("c1", is_host)))
     c2.on_migrated.append(lambda is_host: migrated.append(("c2", is_host)))
@@ -439,13 +453,19 @@ def test_migration_without_roster_never_self_elects(port):
     know whether a lower id exists — it must only retry the old host,
     then surface failure, NEVER bind a second session."""
     host = make_peer(port)
-    c1 = make_peer(port, enable_host_migration=True, peer_timeout=0.4,
+    c1 = make_peer(port, client=True, enable_host_migration=True, peer_timeout=0.4,
                    migration_attempts=2, migration_grace=0.1)
     failed = []
     c1.on_migration_failed.append(lambda: failed.append(True))
     try:
-        c1.known_peers = {}          # the roster datagram "was dropped"
+        # Wait for the join-time __PeerList to actually ARRIVE before
+        # dropping it: clearing too early races an in-flight delivery
+        # that repopulates the roster, after which self-election is the
+        # CORRECT behavior (this flaked ~3/5 under a loaded box).  After
+        # the host closes nothing can rebroadcast, so the drop sticks.
+        assert wait_for(lambda: c1.known_peers, timeout=5.0)
         host.close(send_disconnect=False)
+        c1.known_peers = {}          # the roster datagram "was dropped"
         # generous bound: the 0.4 s peer timeout + 2 retry attempts can
         # stretch when the whole suite loads the box (seen >10 s once)
         assert wait_for(lambda: failed, timeout=30.0)
@@ -460,8 +480,8 @@ def test_migration_skips_dead_candidate(port):
     """If the lowest-id peer died with the host, the next survivor takes
     over after exhausting it."""
     host = make_peer(port)
-    c1 = make_peer(port)                                  # id 1
-    c2 = make_peer(port, enable_host_migration=True, peer_timeout=0.5,
+    c1 = make_peer(port, client=True)                                  # id 1
+    c2 = make_peer(port, client=True, enable_host_migration=True, peer_timeout=0.5,
                    migration_attempts=4, migration_grace=0.1)  # id 2
     try:
         assert wait_for(lambda: len(c2.known_peers) >= 2)
