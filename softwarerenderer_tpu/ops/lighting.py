@@ -153,6 +153,9 @@ def lit_scene_vertex_shader(vin, uniforms, xp):
 
 multi_light_fragment_shader.tri_extras = (
     "tex_oy", "tex_ox", "tex_h", "tex_w")
+# Alpha provenance (engine.opaque_tri_flags): output alpha is vertex
+# color.a x texture alpha (material/lighting touch rgb only).
+multi_light_fragment_shader.alpha_sources = ("color", "texture")
 
 
 def pbr_scene_fragment_shader(frag, uniforms, xp):
@@ -245,3 +248,6 @@ pbr_scene_fragment_shader.tri_extras = (
     "tex_oy", "tex_ox", "tex_h", "tex_w",
     "mat_m256", "mat_r256", "mat_er256", "mat_eg256", "mat_eb256",
     "mat_br256", "mat_bg256", "mat_bb256")
+# Alpha provenance (engine.opaque_tri_flags): output alpha is vertex
+# color.a x texture alpha (material/lighting touch rgb only).
+pbr_scene_fragment_shader.alpha_sources = ("color", "texture")

@@ -131,3 +131,6 @@ normal_mapped_fragment_shader.varyings = (
 normal_mapped_fragment_shader.tri_extras = (
     "tex_oy", "tex_ox", "tex_h", "tex_w",
     "nm_oy", "nm_ox", "nm_h", "nm_w")
+# Alpha provenance (engine.opaque_tri_flags): output alpha is vertex
+# color.a x texture alpha (material/lighting touch rgb only).
+normal_mapped_fragment_shader.alpha_sources = ("color", "texture")

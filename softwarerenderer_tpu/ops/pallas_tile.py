@@ -914,8 +914,8 @@ def _replay_layers(src, sd, si_i, fb_color, fb_depth,
     K = src.shape[0]
     si = jnp.where(si_i >= 0, si_i.astype(F32), F32(jnp.inf))
     cur_c, cur_d = fb_color, fb_depth
-    used = jnp.zeros(si.shape, bool)
-    for _ in range(K):
+
+    def one_round(cur_c, cur_d, used):
         masked_i = jnp.where(used, F32(jnp.inf), si)
         sel_i = jnp.min(masked_i, axis=0)               # (H, W)
         valid = jnp.isfinite(sel_i)
@@ -929,6 +929,21 @@ def _replay_layers(src, sd, si_i, fb_color, fb_depth,
         cur_c = jnp.where(written[..., None],
                           _blend(sel_c, cur_c, params.blend_mode), cur_c)
         cur_d = jnp.where(written, sel_d, cur_d)
+        return cur_c, cur_d, used
+
+    cur_c, cur_d, used = one_round(cur_c, cur_d, jnp.zeros(si.shape, bool))
+    if K > 1:
+        # Rounds 2..K blend the per-pixel 2nd..K-th smallest indices —
+        # no-ops when every deeper layer is empty (the opaque
+        # short-circuit's common case): skip them all with one cond.
+        def rest(cur_c, cur_d, used):
+            for _ in range(K - 1):
+                cur_c, cur_d, used = one_round(cur_c, cur_d, used)
+            return cur_c, cur_d
+
+        cur_c, cur_d = jax.lax.cond(
+            jnp.any(si_i[1:] >= 0), rest,
+            lambda c, d, u: (c, d), cur_c, cur_d, used)
     if with_stats:
         return cur_c, cur_d, {
             "kbuffer_saturated_px": jnp.sum(
