@@ -651,6 +651,11 @@ class Dust2Game:
                 # bloom toggle (beyond reference)
                 p = self.engine.params
                 self._swap_params(p.replace(bloom=not p.bloom))
+            elif ch == "u":
+                # FXAA toggle (beyond reference; ops/fxaa.py) — cheap
+                # post AA vs the 'o' SSAA mode's exact 4x render
+                p = self.engine.params
+                self._swap_params(p.replace(fxaa=not p.fxaa))
             elif ch == "m":
                 # mip-mapped sampling toggle (beyond reference)
                 p = self.engine.params
@@ -1021,7 +1026,8 @@ class Dust2Game:
                          f"{bool(p.use_mipmaps)}   wire [p]: "
                          f"{self.wireframe}   nmap [n]: "
                          f"{getattr(self, 'normal_mapped', False)}   "
-                         f"ssao [k]: {p.ssao}   bloom [j]: {p.bloom}")
+                         f"ssao [k]: {p.ssao}   bloom [j]: {p.bloom}   "
+                         f"fxaa [u]: {p.fxaa}")
             lines.append("-- tunables ([ ] select, -/= adjust) --")
             for i, (name, kind, *_rest) in enumerate(self.TUNABLES):
                 mark = ">" if i == self._tune_idx else " "

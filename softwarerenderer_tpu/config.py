@@ -178,6 +178,12 @@ class RenderParams:
     # top-left sample per output pixel (a real rendered sample, not an
     # average of unrelated depths).  1 = off (the parity mode).
     ssaa: int = 1
+    # FXAA-style post-process AA (ops/fxaa.py, beyond the reference):
+    # gather-free subpixel anti-aliasing — edge-detected blend toward the
+    # perpendicular neighbor average, a few fused elementwise ops per
+    # pixel (vs ssaa's exact but ssaa²× render cost).  Composes with
+    # ssaa.  Off by default (the parity mode).
+    fxaa: bool = False
     # Post-FX pipeline AS DATA: the order effects apply to the finished
     # (color, depth) frame.  Each entry runs only when its own switch is
     # on (sky: uniforms["sky_panorama"] present; ssao/bloom: the flags
@@ -186,7 +192,7 @@ class RenderParams:
     # stable); reordering is a real visual choice — e.g. bloom AFTER
     # tonemap glows from display-referred values and clips differently
     # than the default scene-referred bloom.
-    post_fx: tuple = ("sky", "ssao", "bloom", "tonemap")
+    post_fx: tuple = ("sky", "ssao", "bloom", "tonemap", "fxaa")
 
     def replace(self, **kw) -> "RenderParams":
         return dataclasses.replace(self, **kw)

@@ -263,7 +263,8 @@ def _enabled_post_fx(params: RenderParams, uniforms: Dict):
     on = {"sky": "sky_panorama" in uniforms,
           "ssao": bool(params.ssao),
           "bloom": bool(params.bloom),
-          "tonemap": bool(params.tonemap)}
+          "tonemap": bool(params.tonemap),
+          "fxaa": bool(params.fxaa)}
     unknown = [f for f in params.post_fx if f not in on]
     if unknown:
         raise ValueError(f"unknown post_fx entries {unknown!r}; "
@@ -288,6 +289,9 @@ def _apply_post_fx(fx: str, color, depth, uniforms: Dict,
         return bloom_mod.apply_bloom(
             color, threshold=uniforms.get("bloom_threshold", 0.8),
             strength=uniforms.get("bloom_strength", 0.7), xp=jnp), depth
+    if fx == "fxaa":
+        from softwarerenderer_tpu.ops import fxaa as fxaa_mod
+        return fxaa_mod.apply_fxaa(color, xp=jnp), depth
     from softwarerenderer_tpu.ops import tonemap as tm
     return tm.apply_tonemap(color, params.tonemap, uniforms, xp=jnp), depth
 
@@ -382,7 +386,8 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         # effects in the configured order — all inside the same jitted
         # program.  Runs inside the ssaa branch's inner call, so every
         # effect (sky included) is supersampled too.
-        base = params.replace(tonemap=None, bloom=False, ssao=False)
+        base = params.replace(tonemap=None, bloom=False, ssao=False,
+                              fxaa=False)
         u2 = uniforms
         if "sky" in fx_chain:
             u2 = {k: v for k, v in uniforms.items() if k != "sky_panorama"}

@@ -438,7 +438,12 @@ class Networking:
         sock = self._sock
         if sock is None:
             return
-        sock.settimeout(0.25)
+        try:
+            sock.settimeout(0.25)
+        except OSError:
+            # close() raced the thread start and already freed the fd
+            # (common in fast test teardown) — nothing to receive on.
+            return
         while self._running:
             try:
                 data, sender = sock.recvfrom(65536)

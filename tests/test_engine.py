@@ -454,3 +454,59 @@ def test_post_fx_validation():
     with pytest.raises(ValueError, match="absent from"):
         render_frame(sc, u, RenderParams(width=W, height=H, bloom=True,
                                          post_fx=("tonemap",)))
+
+
+def test_fxaa_smooths_jaggies_only():
+    """FXAA post-fx (ops/fxaa.py): flat regions are bit-identical, a
+    staircase silhouette loses contrast along its edge, alpha and depth
+    pass through, and the effect composes through params.post_fx."""
+    from softwarerenderer_tpu.engine import Engine
+    from softwarerenderer_tpu.ops import fxaa as fxaa_mod
+
+    # unit: flat frames untouched (below threshold nothing blends)
+    flat = np.full((16, 16, 4), 0.4, np.float32)
+    np.testing.assert_array_equal(fxaa_mod.apply_fxaa(flat), flat)
+
+    # unit: a hard staircase edge blends toward its neighbors
+    img = np.zeros((24, 24, 4), np.float32)
+    img[..., 3] = 1.0
+    for y in range(24):
+        img[y, : 8 + (y // 4), :3] = 1.0           # 4-px staircase
+    out = fxaa_mod.apply_fxaa(img)
+    # alpha untouched
+    np.testing.assert_array_equal(out[..., 3], img[..., 3])
+    # the step corners moved toward the average: fewer pure-0/1 pixels
+    # in the 2-px band around the edge
+    edge_band = np.abs(np.arange(24)[None, :] - (8 + np.arange(24)[:, None] // 4)) <= 1
+    hard_before = ((img[..., 0] == 0) | (img[..., 0] == 1))[edge_band].mean()
+    hard_after = ((out[..., 0] == 0) | (out[..., 0] == 1))[edge_band].mean()
+    assert hard_after < hard_before
+    # interior pixels (far from any edge) are untouched
+    np.testing.assert_array_equal(out[2:6, 2:4], img[2:6, 2:4])
+
+    # engine: sloped triangle edge softens; depth untouched; off-by-default
+    tri = {
+        "position": np.asarray([[-0.9, -0.8, -2.0], [0.9, -0.4, -2.0],
+                                [0.0, 0.9, -2.0]], np.float32),
+        "uv": np.zeros((3, 2), np.float32),
+        "normal": np.tile(np.float32([0, 0, 1]), (3, 1)),
+        "color": np.tile(np.float32([1, 1, 1, 1]), (3, 1)),
+        "indices": np.asarray([[0, 1, 2]], np.int32),
+    }
+    sc = scene_mod.build_scene_buffers(
+        [scene_mod.MeshInstance(tri, np.eye(4, dtype=np.float32))])
+    p = RenderParams(width=96, height=64, use_pallas=False, cull_mode=0)
+    e0 = Engine(sc, p)
+    e1 = Engine(sc, p.replace(fxaa=True))
+    e1.scene = e0.scene
+    u = dict(e0.uniforms)
+    u["clear_color"] = np.zeros(4, np.float32)
+    c0, d0 = map(np.asarray, e0.render(u))
+    c1, d1 = map(np.asarray, e1.render(u))
+    np.testing.assert_array_equal(d0, d1)
+    # total variation along rows (the jaggy direction) drops
+    tv0 = np.abs(np.diff(c0[..., 0], axis=1)).sum()
+    tv1 = np.abs(np.diff(c1[..., 0], axis=1)).sum()
+    assert tv1 < tv0
+    # and the frames genuinely differ at the silhouette
+    assert np.abs(c1 - c0).max() > 0.05
