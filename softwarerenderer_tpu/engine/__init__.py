@@ -12,3 +12,10 @@ from softwarerenderer_tpu.engine.renderer import (  # noqa: F401
     scene_vertex_shader,
     to_rgb8,
 )
+from softwarerenderer_tpu.engine.rtt import (  # noqa: F401
+    RttPass,
+    atlas_id_of,
+    render_frame_rtt,
+    rtt_slot,
+    write_atlas_texture,
+)

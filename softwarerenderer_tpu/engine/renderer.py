@@ -707,13 +707,25 @@ class Engine:
     def __init__(self, scene: Dict, params: RenderParams,
                  vertex_shader: Callable = scene_vertex_shader,
                  fragment_shader: Callable = scene_fragment_shader,
-                 chunk: int = 128):
+                 chunk: int = 128, rtt_passes: tuple = ()):
         self.params = params
         self.scene = jax.device_put(scene)
         self.uniforms = default_frame_uniforms(params.width, params.height)
-        self._frame = jax.jit(functools.partial(
-            render_frame, params=params, vertex_shader=vertex_shader,
-            fragment_shader=fragment_shader, chunk=chunk))
+        if rtt_passes:
+            # Render-to-texture passes (engine/rtt.py): each pass gets its
+            # own complete uniforms sub-dict, tunable without recompile.
+            from softwarerenderer_tpu.engine.rtt import render_frame_rtt
+            for p in rtt_passes:
+                self.uniforms[p.uniforms_key] = default_frame_uniforms(
+                    p.params.width, p.params.height)
+            self._frame = jax.jit(functools.partial(
+                render_frame_rtt, params=params, passes=tuple(rtt_passes),
+                vertex_shader=vertex_shader,
+                fragment_shader=fragment_shader, chunk=chunk))
+        else:
+            self._frame = jax.jit(functools.partial(
+                render_frame, params=params, vertex_shader=vertex_shader,
+                fragment_shader=fragment_shader, chunk=chunk))
         self._present = jax.jit(lambda s, u: to_rgb8(self._frame(s, u)[0]))
 
     def render(self, uniforms: Optional[Dict] = None):
