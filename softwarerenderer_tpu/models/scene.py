@@ -572,4 +572,25 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         out["skin_scale"] = padf(sk["scale"])
         out["skin_n_frames"] = np.asarray(sk["nf"], np.int32)
         out["skin_rate"] = np.asarray(sk["rate"], F32)
+        # Level schedule for forward kinematics (ops/skinning.py
+        # forward_kinematics_levels): joints grouped by topological depth
+        # so FK runs one BATCHED 4x4 matmul per skeleton level instead of
+        # one sequential matmul per joint.  A crowd of N identical
+        # skeletons therefore costs the same number of sequential steps
+        # as one skeleton.  Rows are padded with J (out of bounds, so the
+        # scatter drops them).
+        par = out["joint_parent"]
+        n_j = par.shape[0]
+        depth = np.zeros(n_j, np.int32)
+        for j in range(n_j):                   # topo order: par[j] < j
+            if par[j] >= 0:
+                depth[j] = depth[par[j]] + 1
+        n_levels = int(depth.max()) + 1 if n_j else 0
+        width = max((int((depth == d).sum()) for d in range(n_levels)),
+                    default=0)
+        levels = np.full((n_levels, width), n_j, np.int32)
+        for d in range(n_levels):
+            ids = np.nonzero(depth == d)[0].astype(np.int32)
+            levels[d, :ids.shape[0]] = ids
+        out["joint_level_ids"] = levels
     return out

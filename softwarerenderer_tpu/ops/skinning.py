@@ -11,10 +11,13 @@ TPU-first design:
   * Keyframe tracks are resampled to a UNIFORM clock at import
     (io_host/gltf.py), so on-device sampling is one gather of two frames
     + a lerp (nlerp for rotations) — no per-channel searchsorted.
-  * Forward kinematics is a ``lax.fori_loop`` of 4×4 matmuls over
-    topologically-ordered joints (parents always precede children).
-    Joints are few (tens); vertices are many — all per-vertex work is one
-    batched matrix blend + one batched point transform on the MXU.
+  * Forward kinematics is LEVEL-SCHEDULED: joints are grouped by
+    topological depth at pack time (scene["joint_level_ids"]) and each
+    level is one batched 4×4 matmul — sequential cost scales with
+    skeleton DEPTH, not joint count, so an N-instance skinned crowd
+    pays the same number of steps as one character.  Vertices are many —
+    all per-vertex work is one batched matrix blend + one batched point
+    transform on the MXU.
   * Matrices follow the repo's row-vector .NET convention
     (utils/mathlib.py): v' = v @ M, local = S @ R @ T, world_j =
     local_j @ world_parent, skin_j = inverse_bind_j @ world_j.
@@ -116,6 +119,37 @@ def forward_kinematics(local, parent, xp=np):
     return jax.lax.fori_loop(0, J, body, jnp.zeros_like(local))
 
 
+def forward_kinematics_levels(local, parent, level_ids, xp=np):
+    """Level-scheduled forward kinematics: one BATCHED 4x4 matmul per
+    topological depth level instead of one sequential matmul per joint.
+
+    ``level_ids`` (D, L) int32 groups joint ids by depth (packed by
+    models/scene.build_scene_buffers; rows padded with J = out of
+    bounds, dropped by the scatter).  Every parent lives at a strictly
+    shallower level, so each step only reads finalized rows.  A crowd of
+    N identical skeletons has the same D as one skeleton — FK cost
+    stops scaling with instance count (J sequential steps -> D).
+    Computes exactly local[j] @ world[parent[j]] like
+    forward_kinematics, just batched per level.
+    """
+    if xp is np:
+        return forward_kinematics(local, parent, xp=np)
+    import jax.numpy as jnp
+
+    J = local.shape[0]
+    eye = jnp.eye(4, dtype=jnp.float32)
+    world = jnp.zeros_like(local)
+    for d in range(level_ids.shape[0]):        # static skeleton depth
+        ids = level_ids[d]                     # (L,) padded with J
+        idc = jnp.minimum(ids, J - 1)
+        loc = jnp.take(local, idc, axis=0)     # (L, 4, 4)
+        p = jnp.take(parent, idc, axis=0)
+        pm = jnp.where((p < 0)[:, None, None], eye,
+                       jnp.take(world, jnp.maximum(p, 0), axis=0))
+        world = world.at[ids].set(loc @ pm, mode="drop")
+    return world
+
+
 def skin_matrices(scene: Dict, uniforms: Dict, xp=np):
     """Per-joint skinning matrices (J, 4, 4) for the packed scene at the
     traced time ``uniforms["anim_time"]`` (seconds; scalar or per-skin
@@ -130,8 +164,13 @@ def skin_matrices(scene: Dict, uniforms: Dict, xp=np):
                           xp.asarray(scene["skin_rot"], F32),
                           xp.asarray(scene["skin_scale"], F32),
                           frame, nf, xp=xp)
-    world = forward_kinematics(local, xp.asarray(scene["joint_parent"],
-                                                 np.int32), xp=xp)
+    parent = xp.asarray(scene["joint_parent"], np.int32)
+    if "joint_level_ids" in scene:
+        world = forward_kinematics_levels(
+            local, parent, xp.asarray(scene["joint_level_ids"], np.int32),
+            xp=xp)
+    else:
+        world = forward_kinematics(local, parent, xp=xp)
     return xp.asarray(scene["joint_inv_bind"], F32) @ world
 
 

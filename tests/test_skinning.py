@@ -340,3 +340,48 @@ def test_multiple_skins_pack_and_animate_independently():
         ref = skinning.skinned_positions_np(s, m["position"],
                                             float(times[i]) * s.rate)
         np.testing.assert_allclose(out[i * 4:(i + 1) * 4], ref, atol=1e-5)
+
+
+def test_level_schedule_packs_by_depth():
+    """joint_level_ids groups joints by topological depth: 3 two-bone
+    skins -> 2 levels x 3 wide (all roots, then all children) -- the
+    crowd costs the DEPTH of one skeleton, not N*J sequential steps."""
+    meshes = [arm_mesh() for _ in range(3)]
+    scene = build_scene_buffers(
+        [MeshInstance(m, skin=two_bone_skin(m["position"]))
+         for m in meshes])
+    lv = scene["joint_level_ids"]
+    assert lv.shape == (2, 3)
+    assert sorted(lv[0].tolist()) == [0, 2, 4]        # roots
+    assert sorted(lv[1].tolist()) == [1, 3, 5]        # children
+
+
+def test_level_fk_matches_sequential_fk():
+    """forward_kinematics_levels computes exactly the sequential FK on a
+    random branched skeleton (chain + forks), both np and jnp paths."""
+    rng = np.random.default_rng(7)
+    J = 17
+    parent = np.full(J, -1, np.int32)
+    for j in range(1, J):
+        parent[j] = rng.integers(-1, j)               # topo-ordered
+    local = np.asarray(rng.normal(size=(J, 4, 4)), F32)
+    local[:, :, 3] = [0, 0, 0, 1]
+
+    depth = np.zeros(J, np.int32)
+    for j in range(J):
+        if parent[j] >= 0:
+            depth[j] = depth[parent[j]] + 1
+    width = max(int((depth == d).sum()) for d in range(depth.max() + 1))
+    levels = np.full((int(depth.max()) + 1, width), J, np.int32)
+    for d in range(levels.shape[0]):
+        ids = np.nonzero(depth == d)[0].astype(np.int32)
+        levels[d, :ids.shape[0]] = ids
+
+    ref = skinning.forward_kinematics(local, parent, xp=np)
+    got = jax.jit(lambda l: skinning.forward_kinematics_levels(
+        l, jnp.asarray(parent), jnp.asarray(levels), xp=jnp))(local)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+    # np path falls back to the sequential reference implementation.
+    np.testing.assert_allclose(
+        skinning.forward_kinematics_levels(local, parent, levels, xp=np),
+        ref, atol=0)
