@@ -121,7 +121,8 @@ class Dust2Game:
                  player_name: Optional[str] = None,
                  max_players: int = 8, out: Optional[str] = None,
                  offline: bool = False, seed: Optional[int] = None,
-                 reliable: bool = False, migrate: bool = False):
+                 reliable: bool = False, migrate: bool = False,
+                 net_batch: float = 0.0):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         self.hud = Hud()
@@ -144,6 +145,10 @@ class Dust2Game:
 
         # Networking bootstrap (Renderer.cs:75-82).
         self.net = Networking()
+        # Windowed RPC batching: the frame's Update plus any chat/shoot
+        # RPCs coalesce into one datagram per peer per window (flushed on
+        # the game loop's poll_rpcs call each frame).
+        self.net.rpc_batch_window = max(0.0, net_batch)
         if migrate:
             # Elastic recovery (beyond the reference, which strands
             # clients when the host dies): heartbeat failure detection +
@@ -1132,6 +1137,11 @@ def main(argv=None):
                     help="host migration: if the host vanishes, the "
                          "lowest-id client takes over the session "
                          "(all peers must run this framework)")
+    ap.add_argument("--net-batch", type=float, default=0.0,
+                    metavar="SECONDS",
+                    help="coalesce outgoing RPCs within this window into "
+                         "one datagram per peer (0 = off; all peers must "
+                         "run this framework)")
     ap.add_argument("--offline", action="store_true",
                     help="skip networking entirely")
     ap.add_argument("--frames", type=int, default=None)
@@ -1145,7 +1155,7 @@ def main(argv=None):
                      headless=args.headless, assets_dir=args.assets,
                      player_name=args.name, out=args.out,
                      offline=args.offline, reliable=args.reliable,
-                     migrate=args.migrate)
+                     migrate=args.migrate, net_batch=args.net_batch)
     game.run(frames=args.frames)
 
 

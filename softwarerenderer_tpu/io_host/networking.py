@@ -56,6 +56,21 @@ from typing import Callable, Dict, List, Optional, Tuple
 DEFAULT_PORT = 7777
 
 
+def _split_batch(body: str) -> List[str]:
+    """Split a "BAT:" container body — "<len>:<msg>" repeated, lengths in
+    characters of the decoded message — back into messages."""
+    out: List[str] = []
+    i = 0
+    while i < len(body):
+        j = body.index(":", i)
+        n = int(body[i:j])
+        if n < 0 or j + 1 + n > len(body):
+            raise ValueError("batch length out of range")
+        out.append(body[j + 1:j + 1 + n])
+        i = j + 1 + n
+    return out
+
+
 class Networking:
     def __init__(self):
         self._sock: Optional[socket.socket] = None
@@ -112,6 +127,22 @@ class Networking:
         self.ack_flush_interval: float = 0.05
         self._ack_queue: Dict[Optional[Tuple[str, int]], set] = {}
         self._last_ack_flush = 0.0
+        # --- windowed RPC batching (beyond the reference, which sends one
+        # datagram per SendRPC — Networking.cs:242-319): with
+        # rpc_batch_window > 0 seconds, RPCs initiated within the window
+        # coalesce into ONE "BAT:<len>:<msg>…" datagram per destination,
+        # so a frame's Update + chat + shoot ride one datagram per peer.
+        # Flushed from poll_rpcs() (call it once per frame), the receive
+        # loop, close(), or immediately when a batch nears the MTU.
+        # Reliable RESENDS stay unbatched (the pending table keeps
+        # standalone payloads); host relays are also per-message.
+        self.rpc_batch_window: float = 0.0
+        self.batch_max_chars: int = 1200     # stay under a typical MTU
+        self._batch_queue: Dict[Optional[Tuple[str, int]], List[str]] = {}
+        self._batch_started = 0.0
+        # Observability: datagrams actually handed to the socket (one per
+        # destination; broadcasts count once per client).
+        self.datagrams_sent = 0
         # --- host migration (elastic recovery; the reference strands
         # clients when the host vanishes — SURVEY.md §5).  The host
         # broadcasts the session's peer roster ("__PeerList"); with
@@ -228,6 +259,7 @@ class Networking:
                 self.send_rpc("Disconnect", [str(self.client_id)])
         except OSError:
             pass
+        self._flush_rpc_batches()        # forced: drain queued RPCs
         self._flush_acks()
         self._running = False
         if self._sock is not None:
@@ -253,6 +285,7 @@ class Networking:
             self._pending.clear()
             self._seen_seqs.clear()
             self._ack_queue.clear()
+            self._batch_queue.clear()
 
     # -- sending -------------------------------------------------------------
 
@@ -270,16 +303,67 @@ class Networking:
         try:
             if self.is_host:
                 if target is not None:
+                    self.datagrams_sent += 1
                     sock.sendto(data, target)
                 else:
                     with self._lock:
                         targets = list(self._clients.keys())
                     for t in targets:
+                        self.datagrams_sent += 1
                         sock.sendto(data, t)
             else:
+                self.datagrams_sent += 1
                 sock.send(data)
         except OSError as e:
             self.log(f"Error sending: {e}")
+
+    def _queue_or_send(self, msg: str, data: bytes,
+                       target: Optional[Tuple[str, int]] = None) -> None:
+        """First transmission of an outgoing RPC: immediate when batching
+        is off, else queued per destination for the windowed flush."""
+        if self.rpc_batch_window <= 0:
+            self._send_raw(data, target)
+            return
+        flush_now = False
+        with self._lock:
+            if not any(self._batch_queue.values()):
+                self._batch_started = time.monotonic()
+            self._batch_queue.setdefault(target, []).append(msg)
+            if sum(len(m) + 8 for m in self._batch_queue[target]) \
+                    >= self.batch_max_chars:
+                flush_now = True         # near MTU: don't wait the window
+        if flush_now:
+            self._flush_rpc_batches()
+
+    def _flush_rpc_batches(self, now: Optional[float] = None) -> None:
+        """Send queued RPCs — one "BAT:" container datagram per
+        destination (a single queued message goes out bare, keeping the
+        unbatched wire format for the common case).  With `now` given,
+        only flushes once the batch window has elapsed; without it the
+        flush is forced (close, MTU pressure)."""
+        with self._lock:
+            if not self._batch_queue:
+                return
+            if now is not None and \
+                    now - self._batch_started < self.rpc_batch_window:
+                return
+            queued = self._batch_queue
+            self._batch_queue = {}
+        for target, msgs in queued.items():
+            msgs = list(msgs)
+            while msgs:
+                take: List[str] = []
+                size = 0
+                while msgs and (not take or size + len(msgs[0]) + 8
+                                <= self.batch_max_chars):
+                    m = msgs.pop(0)
+                    take.append(m)
+                    size += len(m) + len(str(len(m))) + 1
+                if len(take) == 1:
+                    self._send_raw(take[0].encode("utf-8"), target)
+                else:
+                    body = "".join(f"{len(m)}:{m}" for m in take)
+                    self._send_raw(("BAT:" + body).encode("utf-8"), target)
 
     def send_rpc(self, method: str, params: Optional[List[str]] = None,
                  target_client_id: int = 0, buffer_rpc: bool = False,
@@ -316,7 +400,7 @@ class Networking:
                     with self._lock:
                         targets = set(self._clients.keys())
                     self._track_pending(seq, data, targets)
-                self._send_raw(data)
+                self._queue_or_send(msg, data)
                 self._deliver(method, params, 0)
             else:
                 with self._lock:
@@ -325,14 +409,14 @@ class Networking:
                 if target is not None:
                     if seq is not None:
                         self._track_pending(seq, data, {target})
-                    self._send_raw(data, target)
+                    self._queue_or_send(msg, data, target)
                 else:
                     self.log(f"Cannot send RPC: client {target_client_id} "
                              "not found.")
         else:
             if seq is not None and self._remote is not None:
                 self._track_pending(seq, data, {self._remote})
-            self._send_raw(data)
+            self._queue_or_send(msg, data)
             self._deliver(method, params, self.client_id)
 
     # -- reliable delivery ----------------------------------------------------
@@ -455,6 +539,7 @@ class Networking:
                 self._pump_resends(now)
                 self._flush_acks()       # socket idle: drain queued acks
                 self._last_ack_flush = now
+                self._flush_rpc_batches(now)
                 continue
             except OSError:
                 if not self._running or self._sock is None:
@@ -503,12 +588,27 @@ class Networking:
             if not self.is_host and msg.startswith("id:"):
                 self._handle_id_assignment(msg)
                 continue
+            if msg.startswith("BAT:"):
+                # Windowed-batching container: length-prefixed RPC
+                # messages, dispatched as if each arrived alone.
+                try:
+                    subs = _split_batch(msg[4:])
+                except (ValueError, IndexError):
+                    self.log("malformed batch datagram dropped")
+                    subs = []
+                for sub in subs:
+                    if sub.startswith("RPC:"):
+                        self._parse_and_invoke(sub, sender)
+                    elif sub.startswith("ack:"):
+                        self._handle_ack(sub, sender)
+                msg = ""                 # fall through to the ack flush
             if msg.startswith("RPC:"):
                 self._parse_and_invoke(msg, sender)
-                if time.monotonic() - self._last_ack_flush \
-                        >= self.ack_flush_interval:
-                    self._flush_acks()
-                    self._last_ack_flush = time.monotonic()
+            if time.monotonic() - self._last_ack_flush \
+                    >= self.ack_flush_interval:
+                self._flush_acks()
+                self._last_ack_flush = time.monotonic()
+            self._flush_rpc_batches(time.monotonic())
 
     def _maybe_heartbeat(self, now: float) -> None:
         if self.peer_timeout <= 0:
@@ -720,7 +820,11 @@ class Networking:
         """Drain queued RPCs on the caller's thread — the race-free way to
         consume network events (the reference mutates Players/ChatMessages
         from the network thread while the render thread iterates them,
-        SURVEY.md §5; polling designs that out)."""
+        SURVEY.md §5; polling designs that out).  Also flushes any
+        batch-window-expired outgoing RPCs (rpc_batch_window), so calling
+        this once per frame gives one outgoing datagram per peer per
+        frame under batching."""
+        self._flush_rpc_batches(time.monotonic())
         out = []
         for _ in range(max_items):
             try:

@@ -494,3 +494,79 @@ def test_migration_skips_dead_candidate(port):
         c2.close()
         c1._recv_thread = None
         host.close()
+
+
+def test_rpc_batching_coalesces_datagrams(port):
+    """With rpc_batch_window set, a burst of RPCs rides a few "BAT:"
+    container datagrams instead of one datagram each — and every message
+    still arrives, in order."""
+    host = make_peer(port)
+    client = make_peer(port, client=True)
+    try:
+        client.rpc_batch_window = 0.05
+        base = client.datagrams_sent
+        for i in range(20):
+            client.send_rpc("Tick", [str(i)])
+        got = []
+        assert wait_for(lambda: got.extend(
+            x for x in host.poll_rpcs() if x[0] == "Tick")
+            or len(got) >= 20, timeout=5.0)
+        assert [g[1][0] for g in got] == [str(i) for i in range(20)]
+        # 20 RPCs in a handful of datagrams (incl. any heartbeat noise).
+        assert client.datagrams_sent - base <= 5
+    finally:
+        client.close()
+        host.close()
+
+
+def test_rpc_batching_reliable_and_host_broadcast(port):
+    """Reliable RPCs batch on first transmission and still converge to
+    exactly-once; host broadcasts batch per destination."""
+    host = make_peer(port)
+    client = make_peer(port, client=True)
+    try:
+        host.rpc_batch_window = 0.05
+        for i in range(10):
+            host.send_rpc("Beat", [str(i)], reliable=True)
+        got = []
+        assert wait_for(lambda: got.extend(
+            x for x in client.poll_rpcs() if x[0] == "Beat")
+            or len(got) >= 10, timeout=5.0)
+        assert wait_for(lambda: not host._pending, timeout=5.0)
+        assert sorted(int(g[1][0]) for g in got) == list(range(10))
+    finally:
+        client.close()
+        host.close()
+
+
+def test_rpc_batching_respects_mtu_cap(port):
+    """A queued batch nearing batch_max_chars flushes immediately in
+    MTU-sized container chunks rather than growing one huge datagram."""
+    host = make_peer(port)
+    client = make_peer(port, client=True)
+    try:
+        client.rpc_batch_window = 10.0    # window never expires on its own
+        payload = "x" * 300
+        base = client.datagrams_sent
+        for i in range(8):                # ~2.4 kchars >> 1200-char cap
+            client.send_rpc("Blob", [str(i), payload])
+        got = []
+        assert wait_for(lambda: got.extend(
+            x for x in host.poll_rpcs() if x[0] == "Blob")
+            or len(got) >= 8, timeout=5.0)
+        sent = client.datagrams_sent - base
+        assert 2 <= sent <= 4             # chunked, not 8 and not 1
+    finally:
+        client.close()
+        host.close()
+
+
+def test_split_batch_roundtrip_and_malformed():
+    from softwarerenderer_tpu.io_host.networking import _split_batch
+    msgs = ["RPC:A:1", "RPC:B:héllo:wörld", "RPC:C"]
+    body = "".join(f"{len(m)}:{m}" for m in msgs)
+    assert _split_batch(body) == msgs
+    with pytest.raises((ValueError, IndexError)):
+        _split_batch("999:short")
+    with pytest.raises((ValueError, IndexError)):
+        _split_batch("abc")
