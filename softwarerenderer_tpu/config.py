@@ -191,7 +191,12 @@ class RenderParams:
     # The default reproduces the round-2 fixed nesting exactly (goldens
     # stable); reordering is a real visual choice — e.g. bloom AFTER
     # tonemap glows from display-referred values and clips differently
-    # than the default scene-referred bloom.
+    # than the default scene-referred bloom.  Entries may also be USER
+    # CALLABLES `fx(color, depth, uniforms) -> (color, depth)` (or just
+    # a color return) — traced into the same jitted frame at their slot
+    # in the order, the post-pipeline analog of the user vertex/fragment
+    # shader ABI.  Callables are always on; they compose with sharding
+    # (each shard applies the full-frame chain after the gather).
     post_fx: tuple = ("sky", "ssao", "bloom", "tonemap", "fxaa")
 
     def replace(self, **kw) -> "RenderParams":

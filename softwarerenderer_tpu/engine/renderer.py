@@ -265,19 +265,27 @@ def _enabled_post_fx(params: RenderParams, uniforms: Dict):
           "bloom": bool(params.bloom),
           "tonemap": bool(params.tonemap),
           "fxaa": bool(params.fxaa)}
-    unknown = [f for f in params.post_fx if f not in on]
+    names = [f for f in params.post_fx if isinstance(f, str)]
+    unknown = [f for f in names if f not in on]
     if unknown:
         raise ValueError(f"unknown post_fx entries {unknown!r}; "
-                         f"valid: {sorted(on)}")
+                         f"valid: {sorted(on)} or a callable "
+                         "(color, depth, uniforms) -> (color, depth)")
     for f in on:
-        if on[f] and f not in params.post_fx:
+        if on[f] and f not in names:
             raise ValueError(f"post-fx {f!r} is enabled but absent from "
                              f"params.post_fx {params.post_fx!r}")
-    return tuple(f for f in params.post_fx if on[f])
+    # Callable stages (user post-FX programs — the post-pipeline analog
+    # of the user vertex/fragment shader ABI) are always on.
+    return tuple(f for f in params.post_fx
+                 if not isinstance(f, str) or on[f])
 
 
-def _apply_post_fx(fx: str, color, depth, uniforms: Dict,
+def _apply_post_fx(fx, color, depth, uniforms: Dict,
                    params: RenderParams):
+    if callable(fx):
+        out = fx(color, depth, uniforms)
+        return out if isinstance(out, tuple) else (out, depth)
     if fx == "sky":
         from softwarerenderer_tpu.ops import sky
         return sky.composite_sky(color, depth, uniforms, xp=jnp)
@@ -386,8 +394,11 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         # effects in the configured order — all inside the same jitted
         # program.  Runs inside the ssaa branch's inner call, so every
         # effect (sky included) is supersampled too.
-        base = params.replace(tonemap=None, bloom=False, ssao=False,
-                              fxaa=False)
+        base = params.replace(
+            tonemap=None, bloom=False, ssao=False, fxaa=False,
+            # user-callable stages are always-on: strip them too, else
+            # the base render would recurse forever
+            post_fx=tuple(f for f in params.post_fx if isinstance(f, str)))
         u2 = uniforms
         if "sky" in fx_chain:
             u2 = {k: v for k, v in uniforms.items() if k != "sky_panorama"}

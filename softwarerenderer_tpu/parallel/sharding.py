@@ -172,7 +172,12 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         # then apply the chain to the full frame — under jit the
         # full-frame ops run on the row-sharded output with XLA
         # inserting any cross-band halo collectives.
-        base = params.replace(tonemap=None, bloom=False, ssao=False)
+        # Strip EVERY chain entry from the base render: the built-in
+        # switches, fxaa, and user-callable stages (always-on — leaving
+        # them in post_fx would recurse forever).
+        base = params.replace(
+            tonemap=None, bloom=False, ssao=False, fxaa=False,
+            post_fx=tuple(f for f in params.post_fx if isinstance(f, str)))
         u2 = uniforms
         if "sky" in fx_chain:
             u2 = {k: v for k, v in uniforms.items() if k != "sky_panorama"}

@@ -510,3 +510,48 @@ def test_fxaa_smooths_jaggies_only():
     assert tv1 < tv0
     # and the frames genuinely differ at the silhouette
     assert np.abs(c1 - c0).max() > 0.05
+
+
+def test_post_fx_user_callable_stage():
+    """params.post_fx entries may be user callables (the post-pipeline
+    analog of the shader ABI): they run at their slot in the order, read
+    uniforms, and may return color or (color, depth)."""
+    from softwarerenderer_tpu.engine import render_frame
+
+    sc = scene_mod.build_scene_buffers(make_instances())
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.5, 2.0])
+    u["vignette_strength"] = np.float32(0.8)
+
+    def vignette(color, depth, uniforms):
+        h, w = color.shape[:2]
+        ys = jnp.linspace(-1.0, 1.0, h)[:, None]
+        xs = jnp.linspace(-1.0, 1.0, w)[None, :]
+        fade = 1.0 - uniforms["vignette_strength"] * \
+            jnp.clip(ys * ys + xs * xs, 0.0, 1.0)
+        return color * fade[..., None]       # color-only return form
+
+    base = RenderParams(width=W, height=H, tonemap="aces",
+                        use_pallas=False)
+    c_plain, d_plain = jax.jit(render_frame, static_argnums=2)(
+        sc, u, base)
+    c_vig, d_vig = jax.jit(render_frame, static_argnums=2)(
+        sc, u, base.replace(post_fx=("sky", "ssao", "bloom", "tonemap",
+                                     "fxaa", vignette)))
+    c_plain, c_vig = np.asarray(c_plain), np.asarray(c_vig)
+    # corners darken, the exact center is untouched, depth passes through
+    assert c_vig[0, 0, :3].sum() <= c_plain[0, 0, :3].sum()
+    assert np.abs(c_vig - c_plain).max() > 0.01
+    np.testing.assert_array_equal(np.asarray(d_vig), np.asarray(d_plain))
+
+    # order matters: the callable slots into the chain where written
+    def half(color, depth, uniforms):
+        return color * 0.5, depth
+
+    before = base.replace(post_fx=("sky", "ssao", "bloom", half,
+                                   "tonemap", "fxaa"))
+    after = base.replace(post_fx=("sky", "ssao", "bloom", "tonemap",
+                                  "fxaa", half))
+    c_b, _ = jax.jit(render_frame, static_argnums=2)(sc, u, before)
+    c_a, _ = jax.jit(render_frame, static_argnums=2)(sc, u, after)
+    assert np.abs(np.asarray(c_b) - np.asarray(c_a)).max() > 0.01

@@ -473,3 +473,31 @@ def test_sharded_post_fx_matches_single_device():
             s, u, params, mesh))(sscene, u))
     assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
     assert (np.abs(d - ref_d) <= 1e-6).all()
+
+
+def test_sharded_post_fx_fxaa_and_user_callable():
+    """fxaa and USER-CALLABLE post-fx stages compose with sharding: the
+    sharded chain equals the single-device chain to 1e-6.  (Also a
+    regression test: the sharded base render must strip fxaa and
+    callables or it recurses forever.)"""
+    def dim(color, depth, uniforms):
+        return color * jnp.float32(0.75), depth
+
+    scene = small_scene()
+    params = RenderParams(width=W, height=H, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16, fxaa=True,
+                          tonemap="aces",
+                          post_fx=("sky", "ssao", "bloom", "tonemap",
+                                   "fxaa", dim))
+    u = uniforms()
+
+    ref_c, ref_d = map(np.asarray, jax.jit(
+        lambda s, u: render_frame(s, u, params=params))(scene, u))
+
+    sscene = shard_scene_triangles(scene, 2)
+    mesh = make_mesh(2, 2)
+    with mesh:
+        c, d = map(np.asarray, jax.jit(lambda s, u: render_frame_sharded(
+            s, u, params, mesh))(sscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
