@@ -15,6 +15,9 @@ hot path than production.  This script runs the MOSAIC compilation
   4. golden subset: BASELINE configs 1-3 rendered through the Mosaic
      kernel vs the checked-in tests/goldens PNGs (same tolerance as
      tests/test_goldens.py)
+  5. active-triangle compaction parity through the Mosaic kernel
+  6. skeletal skinning (level-scheduled FK, per-skin clock vector):
+     Mosaic vs fused parity + the pose moves with the traced clock
 
 Writes TPUCHECK.json {"ok": bool, "checks": [...]} to the repo root and
 exits non-zero on any failure.  Wire-up: `scripts/ci.sh --tpu` (run each
@@ -192,6 +195,67 @@ def main():
     check("mosaic_active_cap_parity", cfrac == 0.0 and dfrac == 0.0,
           color_mismatch_frac=cfrac, depth_mismatch_frac=dfrac,
           active_cap=cap)
+
+    # ---- 6. skeletal skinning (level-scheduled FK) parity on Mosaic -----
+    # Three two-bone arms with a per-skin anim_time vector: the Mosaic
+    # kernel frame must match the XLA fused frame pixel-exactly, and the
+    # pose must actually move with the clock (guards the level-FK
+    # lowering + per-instance clocks on the real compilation).
+    from softwarerenderer_tpu.models.scene import Skin
+    from softwarerenderer_tpu.utils import mathlib as ml2
+
+    def arm():
+        pos = np.asarray([[0, 0, 0], [2, 0, 0], [0, 1, 0], [2, 1, 0]],
+                         np.float32)
+        mesh = {"position": pos, "uv": np.zeros((4, 2), np.float32),
+                "normal": np.tile(np.float32([[0, 0, 1]]), (4, 1)),
+                "color": np.ones((4, 4), np.float32),
+                "indices": np.asarray([[0, 1, 2], [2, 1, 3]], np.int32)}
+        child = (pos[:, 0] >= 1.0).astype(np.int32)
+        joints = np.stack([child] + [np.zeros_like(child)] * 3, -1)
+        weights = np.zeros((4, 4), np.float32)
+        weights[:, 0] = 1.0
+        qid = np.float32([0, 0, 0, 1])
+        q90 = np.asarray(ml2.quat_from_axis_angle([0, 0, 1], np.pi / 2),
+                         np.float32)
+        trans = np.zeros((2, 2, 3), np.float32)
+        trans[:, 1, 0] = 1.0
+        skin = Skin(joints=joints, weights=weights,
+                    parent=np.asarray([-1, 0], np.int32),
+                    inverse_bind=np.stack([
+                        np.eye(4, dtype=np.float32),
+                        np.asarray(ml2.translation([-1, 0, 0]),
+                                   np.float32)]),
+                    trans=trans,
+                    rot=np.stack([np.stack([qid, qid]),
+                                  np.stack([qid, q90])], axis=1),
+                    scale=np.ones((2, 2, 3), np.float32), rate=1.0)
+        return mesh, skin
+
+    sk_insts = []
+    for i in range(3):
+        m, s = arm()
+        sk_insts.append(scene_mod.MeshInstance(
+            m, ml2.translation([-3.0 + 2.2 * i, -0.5, -5.0]), skin=s))
+    sk_sc = scene_mod.build_scene_buffers(sk_insts)
+    engsm = Engine(sk_sc, RenderParams(width=320, height=200,
+                                       cull_mode=0))
+    engsf = Engine(sk_sc, RenderParams(width=320, height=200, cull_mode=0,
+                                       use_pallas=False))
+    uu = dict(engsm.uniforms)
+    uu["anim_time"] = np.float32([0.0, 0.5, 1.0])
+    csm, dsm = map(np.asarray, engsm.render(uu))
+    csf, dsf = map(np.asarray, engsf.render(uu))
+    cfrac = float((np.abs(csm - csf).max(axis=-1) > 1e-5).mean())
+    dfrac = float((np.abs(dsm - dsf) > 1e-5).mean())
+    u0 = dict(uu)
+    u0["anim_time"] = np.float32([0.0, 0.0, 0.0])
+    c00 = np.asarray(engsm.render(u0)[0])
+    moved = int((np.abs(csm - c00).max(axis=-1) > 0.05).sum())
+    check("mosaic_skinned_parity", cfrac == 0.0 and dfrac == 0.0
+          and moved > 20,
+          color_mismatch_frac=cfrac, depth_mismatch_frac=dfrac,
+          pixels_moved_by_clock=moved)
 
     ok = all(c["ok"] for c in checks)
     out = {"ok": ok, "device": str(jax.devices()[0].device_kind),
