@@ -262,7 +262,8 @@ class Dust2Game:
         insts.append(scene_mod.MeshInstance(
             particles_mod.particles_mesh(self.n_particles, extent=1000.0),
             np.eye(4, dtype=F32),
-            texture=particles_mod.soft_disc_texture(16)))
+            texture=particles_mod.soft_disc_texture(16),
+            particles=self.n_particles))
 
         # Flip-book animation sources: one entry per ANIMATED mesh instance
         # (in scene order), pointing at the host Model whose PlayAnimation

@@ -9,7 +9,8 @@ of model files plays as a flip-book (ModelLoader.cs:331-348).
 
 Controls (windowed): drag = orbit, W/S or -/= = zoom, F = wireframe,
 L = toggle mesh LOD (when --lod), F3 = debug panel, F12 = screenshot,
-Esc = quit.  --headless renders --frames frames and writes PNGs.
+F10 = export the loaded model as GLB (format converter), Esc = quit.
+--headless renders --frames frames and writes PNGs.
 
 The whole frame — camera, culling, LOD selection, raster, shading — is
 the same single jitted program the game uses; orbiting never recompiles
@@ -90,6 +91,8 @@ class Viewer:
         self.anim_frame = 0
         self._prev_keys: set = set()
         self._shot_n = 0
+        # F12 can fire before the first frame finishes compiling.
+        self._last_rgb: Optional[np.ndarray] = None
 
     # -- per-frame --------------------------------------------------------
 
@@ -127,6 +130,8 @@ class Viewer:
             self.hud.state.show_debug = not self.hud.state.show_debug
         if "f12" in keys and "f12" not in self._prev_keys:
             self.screenshot()
+        if "f10" in keys and "f10" not in self._prev_keys:
+            self.export_glb()
         self._prev_keys = set(keys)
 
         # flip-book directories advance on the model's fixed-FPS clock
@@ -161,6 +166,8 @@ class Viewer:
         self.window.present(rgb, overlay=self.hud)
 
     def screenshot(self) -> Optional[str]:
+        if self._last_rgb is None:       # nothing rendered yet
+            return None
         try:
             from PIL import Image
         except ImportError:
@@ -169,6 +176,15 @@ class Viewer:
         self._shot_n += 1
         Image.fromarray(self._last_rgb).save(path)
         self.hud.add_chat(f"* saved {path}")
+        return path
+
+    def export_glb(self) -> Optional[str]:
+        """Re-export whatever is loaded (any supported format) as GLB —
+        the viewer doubles as a format converter (F10)."""
+        path = f"viewer_export_{self._shot_n:03d}.glb"
+        self._shot_n += 1
+        model_loader.save_model(path, self.model)
+        self.hud.add_chat(f"* exported {path}")
         return path
 
     def run(self, frames: Optional[int] = None) -> None:

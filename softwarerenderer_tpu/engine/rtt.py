@@ -57,28 +57,14 @@ def rtt_slot(height: int, width: int,
 def atlas_id_of(instances, texture) -> int:
     """The atlas texture id `build_scene_buffers` assigned to `texture`.
 
-    Replays the builder's identity-keyed first-seen ordering
-    (models/scene.py build_scene_buffers: diffuse then normal map per
-    instance, id 0 = the implicit white texel)."""
-    any_nm = any(inst.normal_texture is not None for inst in instances)
-    seen = {}
-    neutral = object()   # the builder's shared 1x1 neutral normal texel
-
-    def visit(key):
-        if key not in seen:
-            seen[key] = len(seen) + 1              # 0 is white
-    for inst in instances:
-        if inst.texture is not None:
-            visit(id(inst.texture))
-        if any_nm:
-            # normal-mapped scenes pack a normal texture per instance —
-            # a shared neutral (+z) texel when the instance has none
-            visit(id(inst.normal_texture)
-                  if inst.normal_texture is not None else neutral)
-    if id(texture) not in seen:
+    Delegates to models/scene.assign_texture_ids — the same function the
+    builder packs with — so the two cannot desync."""
+    from softwarerenderer_tpu.models.scene import assign_texture_ids
+    _textures, id_of, _neutral = assign_texture_ids(instances)
+    if id(texture) not in id_of:
         raise ValueError("texture is not used by any instance "
                          "(build_scene_buffers would not pack it)")
-    return seen[id(texture)]
+    return id_of[id(texture)]
 
 
 def _box_downsample(im, xp):

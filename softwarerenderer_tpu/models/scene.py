@@ -319,6 +319,43 @@ class MeshInstance:
     particles: Optional[int] = None
 
 
+def assign_texture_ids(instances: List[MeshInstance],
+                       neutral_nm: Optional[np.ndarray] = None):
+    """Atlas texture-id assignment — the single source of truth shared by
+    `build_scene_buffers` (which packs in this order) and
+    `engine.rtt.atlas_id_of` (which asks where a texture landed).
+
+    Walks instances in order, visiting the diffuse texture then (only when
+    the scene uses normal mapping at all) the normal texture, first-seen
+    identity-keyed; id 0 is the implicit white texel.  Instances without a
+    normal map share `neutral_nm` (a 1x1 +z texel, created here if the
+    caller doesn't supply one).
+
+    Returns (textures, id_of, neutral_nm): the pack-order texture list
+    (atlas id = index + 1), a mapping id(array) -> atlas id, and the
+    neutral texel actually used (None when the scene has no normal maps).
+    """
+    any_nm = any(inst.normal_texture is not None for inst in instances)
+    if any_nm and neutral_nm is None:
+        neutral_nm = np.asarray([[[0.5, 0.5, 1.0, 1.0]]], F32)
+    textures: List[np.ndarray] = []
+    id_of: Dict[int, int] = {}
+
+    def visit(arr):
+        key = id(arr)
+        if key not in id_of:
+            textures.append(arr)
+            id_of[key] = len(textures)  # atlas id (0 is white)
+
+    for inst in instances:
+        if inst.texture is not None:
+            visit(inst.texture)
+        if any_nm:
+            visit(inst.normal_texture if inst.normal_texture is not None
+                  else neutral_nm)
+    return textures, id_of, (neutral_nm if any_nm else None)
+
+
 def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     """Concatenate mesh instances into one static-shape triangle soup.
 
@@ -336,18 +373,16 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     positions, uvs, normals, colors, all_indices = [], [], [], [], []
     tri_mesh_id, vert_mesh_id, tri_tex_id = [], [], []
     matrices, centers, radii, base_colors = [], [], [], []
-    textures = []
-    tex_id_of = {}
     metallics, roughnesses, emissives = [], [], []
     tangents, tri_nm_id = [], []
     tri_lod, mesh_lod_px = [], []
     any_normal_map = any(inst.normal_texture is not None
                          for inst in instances)
-    # 1×1 neutral tangent-space normal (+z): instances without a normal
-    # map stay flat-shaded under the normal-mapped shader.  Only packed
-    # when the scene uses normal mapping at all (atlas layout unchanged
-    # otherwise).
-    neutral_nm = np.asarray([[[0.5, 0.5, 1.0, 1.0]]], F32)
+    # Atlas ids come from the shared assignment walk — engine.rtt.atlas_id_of
+    # calls the same function, so the two can never desync.  neutral_nm is
+    # the 1×1 +z texel shared by normal-map-less instances in a
+    # normal-mapped scene (atlas layout unchanged otherwise).
+    textures, tex_id_of, neutral_nm = assign_texture_ids(instances)
     anim = {"pos": [], "nrm": [], "vidx": [], "slot": [], "nf": []}
     part = {"vidx": [], "pidx": [], "corner": []}
     p_off = 0
@@ -434,22 +469,11 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         t = idx.shape[0]
         tri_mesh_id.append(np.full(t, mi, dtype=np.int32))
         vert_mesh_id.append(np.full(v, mi, dtype=np.int32))
-        if inst.texture is not None:
-            key = id(inst.texture)
-            if key not in tex_id_of:
-                textures.append(inst.texture)
-                tex_id_of[key] = len(textures)  # atlas id (0 is white)
-            tex = tex_id_of[key]
-        else:
-            tex = 0
+        tex = tex_id_of[id(inst.texture)] if inst.texture is not None else 0
         tri_tex_id.append(np.full(t, tex, dtype=np.int32))
         if any_normal_map:
             nm_tex = inst.normal_texture if inst.normal_texture is not None \
                 else neutral_nm
-            key = id(nm_tex)
-            if key not in tex_id_of:
-                textures.append(nm_tex)
-                tex_id_of[key] = len(textures)
             if inst.normal_texture is not None:
                 from softwarerenderer_tpu.ops.normalmap import (
                     compute_tangents,
@@ -459,7 +483,8 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
             else:
                 tangents.append(np.tile(np.asarray([[1, 0, 0, 1]], F32),
                                         (v, 1)))
-            tri_nm_id.append(np.full(t, tex_id_of[key], dtype=np.int32))
+            tri_nm_id.append(np.full(t, tex_id_of[id(nm_tex)],
+                                     dtype=np.int32))
         matrices.append(np.asarray(inst.model_matrix, dtype=F32))
         # Animated meshes: bound every frame so culling stays conservative.
         if inst.particles:

@@ -361,6 +361,13 @@ def test_impact_sparks_burst_and_decay():
     back to empty (lifetimes are 0.25-0.6 s)."""
     g = make_game(offline=True)
     try:
+        # Regression: the spark instance must RESERVE billboard slots
+        # (MeshInstance(particles=N)) — without them the sim runs but the
+        # renderer never writes camera-facing corners and sparks are
+        # invisible degenerate quads.
+        assert "particle_vert_index" in g.scene, \
+            "dust2 spark instance lost its particles= slot reservation"
+        assert g.scene["particle_vert_index"].shape[0] == 4 * g.n_particles
         g.step(1 / 60)
         assert int(np.sum(np.asarray(
             g._particles["lifetime"]) > 0)) == 0      # quiet emitter
