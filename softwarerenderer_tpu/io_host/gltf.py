@@ -528,6 +528,240 @@ def load_gltf(path: str, flip_uv: bool = True,
     return {"meshes": meshes, "lights": lights}
 
 
+_LIGHT_NAMES = {v: k for k, v in _LIGHT_TYPES.items()}
+
+
+def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
+               flip_uv: bool = True) -> None:
+    """Export mesh records (the `load_gltf` "meshes" schema) as .glb or
+    .gltf — the framework's native-interchange round trip (the reference
+    only ever READS models through Assimp, ModelLoader.cs:137-326; an
+    exporter is a beyond-reference capability that completes the asset
+    pipeline: load any supported format → bake → save as glTF).
+
+    Each mesh dict needs position/(uv)/(normal)/(color)/indices and
+    optionally material (models.scene.Material).  World transforms are
+    assumed already baked (exactly what `load_gltf` returns), so every
+    mesh becomes a root node with the identity transform and
+    `load_gltf(written_path)` round-trips positions/uv/color/indices
+    bit-exactly (normals are renormalized on load, so unit normals
+    round-trip bit-exactly too).
+
+    Skinned meshes (a "skin" key holding models.scene.Skin) export in
+    full: JOINTS_0/WEIGHTS_0, a joint-node hierarchy, inverse bind
+    matrices, and the uniform-clock TRS tracks as one shared LINEAR
+    animation whose keyframes duplicate frame 0 at t = F/rate — exactly
+    the wrapped endpoint `load_gltf`'s resampler drops again, so the
+    reloaded Skin plays identically (the loader may permute joint slots
+    by depth; compare poses, not arrays).  Caveats: all skins share one
+    animation timeline (clips of different durations hold their last
+    pose), and track rates below the loader's 30 fps floor are
+    re-resampled on load.
+
+    flip_uv=True stores V as 1−v so a loader with the default Assimp
+    FlipUVs parity (load_gltf flip_uv=True) reads back the in-memory
+    values.  Material texture paths are stored as URIs relative to the
+    output file's directory.  `.glb` → binary container; anything else →
+    JSON with an embedded base64 buffer (both load back through
+    `load_gltf`).
+    """
+    out_dir = os.path.dirname(os.path.abspath(path))
+    blob = bytearray()
+    accessors, views = [], []
+    doc_meshes, doc_nodes = [], []
+    materials, mat_index = [], {}
+    images, textures, img_index = [], [], {}
+
+    def put(arr: np.ndarray, target: Optional[int], acc_type: str,
+            with_minmax: bool = False) -> int:
+        data = np.ascontiguousarray(arr).tobytes()
+        while len(blob) % 4:
+            blob.append(0)
+        view = {"buffer": 0, "byteOffset": len(blob),
+                "byteLength": len(data)}
+        if target is not None:
+            view["target"] = target
+        views.append(view)
+        blob.extend(data)
+        comp = {np.dtype(np.float32): 5126,
+                np.dtype(np.uint32): 5125,
+                np.dtype(np.uint16): 5123}[arr.dtype]
+        acc = {"bufferView": len(views) - 1, "componentType": comp,
+               "count": int(arr.shape[0]), "type": acc_type}
+        if with_minmax:  # required on POSITION by the glTF spec
+            acc["min"] = [float(v) for v in arr.min(axis=0)]
+            acc["max"] = [float(v) for v in arr.max(axis=0)]
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    def image_id(tex_path: str) -> int:
+        if tex_path not in img_index:
+            uri = os.path.relpath(os.path.abspath(tex_path), out_dir)
+            images.append({"uri": uri.replace(os.sep, "/")})
+            textures.append({"source": len(images) - 1})
+            img_index[tex_path] = len(textures) - 1
+        return img_index[tex_path]
+
+    def material_id(mat: Material) -> int:
+        if mat not in mat_index:
+            rec = {"pbrMetallicRoughness": {
+                       "baseColorFactor": [float(c) for c in mat.base_color],
+                       "metallicFactor": float(mat.metallic),
+                       "roughnessFactor": float(mat.roughness)},
+                   "emissiveFactor": [float(c) for c in mat.emissive[:3]]}
+            for slot, key in (("diffuse", "baseColorTexture"),
+                              ("emissive", "emissiveTexture")):
+                p = mat.texture_path(slot)
+                if p is not None:
+                    tex = {"index": image_id(p)}
+                    if slot == "diffuse":
+                        rec["pbrMetallicRoughness"][key] = tex
+                    else:
+                        rec[key] = tex
+            p = mat.texture_path("normals")
+            if p is not None:
+                rec["normalTexture"] = {"index": image_id(p)}
+            materials.append(rec)
+            mat_index[mat] = len(materials) - 1
+        return mat_index[mat]
+
+    doc_skins, joint_nodes = [], []
+    anim_samplers, anim_channels = [], []
+    skin_of = {}                       # id(Skin) -> skin index
+    n_mesh_nodes = len(meshes)         # joint nodes follow the mesh nodes
+
+    def add_skin(skin) -> int:
+        J = int(skin.parent.shape[0])
+        F = int(skin.trans.shape[0])
+        base = n_mesh_nodes + len(joint_nodes)
+        for j in range(J):             # rest pose = frame 0
+            joint_nodes.append({
+                "translation": [float(x) for x in skin.trans[0, j]],
+                "rotation": [float(x) for x in skin.rot[0, j]],
+                "scale": [float(x) for x in skin.scale[0, j]]})
+        for j, p in enumerate(np.asarray(skin.parent, np.int64)):
+            if p >= 0:
+                joint_nodes[base - n_mesh_nodes + int(p)] \
+                    .setdefault("children", []).append(base + j)
+        ibm = put(np.asarray(skin.inverse_bind, F32).reshape(J, 16),
+                  None, "MAT4")        # row-vector flat == loader's layout
+        doc_skins.append({"joints": list(range(base, base + J)),
+                          "inverseBindMatrices": ibm})
+        if F > 1:
+            # keyframes at k/rate for k = 0..F, the extra endpoint
+            # wrapping to frame 0 (the loader drops it again)
+            times = (np.arange(F + 1, dtype=np.float64)
+                     / float(skin.rate)).astype(F32).reshape(-1, 1)
+            t_acc = put(times, None, "SCALAR", with_minmax=True)
+            for j in range(J):
+                for name, track, acc_type in (
+                        ("translation", skin.trans, "VEC3"),
+                        ("rotation", skin.rot, "VEC4"),
+                        ("scale", skin.scale, "VEC3")):
+                    vals = np.concatenate(
+                        [track[:, j], track[:1, j]], axis=0).astype(F32)
+                    anim_samplers.append({
+                        "input": t_acc, "output": put(vals, None, acc_type),
+                        "interpolation": "LINEAR"})
+                    anim_channels.append({
+                        "sampler": len(anim_samplers) - 1,
+                        "target": {"node": base + j, "path": name}})
+        return len(doc_skins) - 1
+
+    for mesh in meshes:
+        pos = np.asarray(mesh["position"], F32).reshape(-1, 3)
+        v = pos.shape[0]
+        attrs = {"POSITION": put(pos, 34962, "VEC3", with_minmax=True)}
+        nrm = np.asarray(mesh.get("normal",
+                                  np.zeros((v, 3), F32)), F32)
+        if np.any(nrm):
+            attrs["NORMAL"] = put(nrm.reshape(-1, 3), 34962, "VEC3")
+        uv = np.asarray(mesh.get("uv", np.zeros((v, 2), F32)), F32) \
+            .reshape(-1, 2)
+        if np.any(uv):
+            if flip_uv:
+                uv = np.stack([uv[:, 0], F32(1.0) - uv[:, 1]], axis=-1)
+            attrs["TEXCOORD_0"] = put(uv, 34962, "VEC2")
+        col = np.asarray(mesh.get("color", np.ones((v, 4), F32)), F32)
+        if not np.all(col == 1.0):  # all-white is the loader's default
+            attrs["COLOR_0"] = put(col.reshape(-1, 4), 34962, "VEC4")
+        idx = np.asarray(mesh["indices"], np.uint32).reshape(-1)
+        prim = {"attributes": attrs,
+                "indices": put(idx, 34963, "SCALAR"), "mode": 4}
+        mat = mesh.get("material")
+        if mat is not None:
+            prim["material"] = material_id(mat)
+        node = {"mesh": len(doc_meshes)}
+        skin = mesh.get("skin")
+        if skin is not None:
+            if id(skin) not in skin_of:
+                skin_of[id(skin)] = add_skin(skin)
+            jts = np.asarray(skin.joints, np.int64).reshape(v, -1)[:, :4]
+            if jts.max(initial=0) > np.iinfo(np.uint16).max:
+                raise GltfError("joint ids exceed uint16 (glTF JOINTS_0)")
+            attrs["JOINTS_0"] = put(jts.astype(np.uint16), 34962, "VEC4")
+            attrs["WEIGHTS_0"] = put(
+                np.asarray(skin.weights, F32).reshape(v, -1)[:, :4],
+                34962, "VEC4")
+            node["skin"] = skin_of[id(skin)]
+        doc_meshes.append({"primitives": [prim]})
+        doc_nodes.append(node)
+
+    all_nodes = doc_nodes + joint_nodes
+    # scene roots: every mesh node + every root joint (children stay
+    # reachable through their parents, as the glTF spec requires)
+    child_ids = {c for n in all_nodes for c in n.get("children", ())}
+    roots = [i for i in range(len(all_nodes)) if i not in child_ids]
+    doc = {
+        "asset": {"version": "2.0",
+                  "generator": "softwarerenderer_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": roots}],
+        "nodes": all_nodes,
+        "meshes": doc_meshes,
+        "bufferViews": views,
+        "accessors": accessors,
+    }
+    if doc_skins:
+        doc["skins"] = doc_skins
+    if anim_channels:
+        doc["animations"] = [{"channels": anim_channels,
+                              "samplers": anim_samplers}]
+    if materials:
+        doc["materials"] = materials
+    if images:
+        doc["images"] = images
+        doc["textures"] = textures
+    if lights:
+        doc["extensionsUsed"] = ["KHR_lights_punctual"]
+        doc["extensions"] = {"KHR_lights_punctual": {"lights": [
+            {"type": _LIGHT_NAMES.get(l.light_type, "point"),
+             "color": [float(c) for c in l.color[:3]],
+             **({"spot": {"innerConeAngle": float(l.spot_inner),
+                          "outerConeAngle": float(l.spot_outer)}}
+                if l.light_type == LightType.SPOT else {})}
+            for l in lights]}}
+
+    payload = bytes(blob)
+    if path.lower().endswith(".glb"):
+        doc["buffers"] = [{"byteLength": len(payload)}]
+        js = json.dumps(doc, separators=(",", ":")).encode()
+        js += b" " * (-len(js) % 4)
+        bn = payload + b"\x00" * (-len(payload) % 4)
+        total = 12 + 8 + len(js) + 8 + len(bn)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<III", 0x46546C67, 2, total))
+            f.write(struct.pack("<II", len(js), 0x4E4F534A) + js)
+            f.write(struct.pack("<II", len(bn), 0x004E4942) + bn)
+    else:
+        doc["buffers"] = [{
+            "byteLength": len(payload),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(payload).decode()}]
+        with open(path, "w") as f:
+            json.dump(doc, f, separators=(",", ":"))
+
+
 def load_image(path: str) -> Optional[np.ndarray]:
     """Decode an image to (H, W, 4) float32 in [0,1], downscaled to fit
     MAX_TEXTURE_SIZE preserving aspect (Texture.cs:70-94).  Returns None on

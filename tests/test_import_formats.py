@@ -380,3 +380,87 @@ def test_fbx_polygon_fan_and_bycontrolpoint(tmp_path):
     got_n = mesh["normal"][mesh["indices"].reshape(-1)]
     np.testing.assert_allclose(
         got_n, nrm[np.asarray([0, 1, 2, 0, 2, 3, 4, 5, 6])], atol=1e-5)
+
+
+@pytest.mark.parametrize("ext", ["gltf", "glb"])
+def test_gltf_writer_roundtrip(ext, tmp_path):
+    """write_gltf → load_gltf recovers geometry, vertex colors, materials
+    (value-deduped), texture URIs and lights, in both containers."""
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+    from softwarerenderer_tpu.models.scene import Light, LightType, Material
+
+    rng = np.random.default_rng(7)
+    mat_a = Material(base_color=(0.2, 0.4, 0.6, 1.0), metallic=0.7,
+                     roughness=0.3, emissive=(0.1, 0.0, 0.05),
+                     texture_paths=(("diffuse", str(tmp_path / "t.png")),
+                                    ("normals", str(tmp_path / "n.png"))))
+    mat_b = Material(base_color=(1.0, 0.0, 0.0, 0.5))
+
+    def mesh(n_v, n_t, mat, colored):
+        nrm = rng.normal(size=(n_v, 3))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        return {
+            "position": rng.normal(size=(n_v, 3)).astype(F32),
+            "uv": rng.random((n_v, 2)).astype(F32),
+            "normal": nrm.astype(F32),
+            "color": (rng.random((n_v, 4)).astype(F32) if colored
+                      else np.ones((n_v, 4), F32)),
+            "indices": rng.integers(0, n_v, (n_t, 3)).astype(np.int32),
+            "material": mat,
+        }
+
+    meshes = [mesh(17, 9, mat_a, colored=True),
+              mesh(8, 4, mat_b, colored=False),
+              mesh(5, 2, mat_a, colored=False)]   # mat_a dedupes
+    lights = [Light(color=(1.0, 0.5, 0.25), light_type=LightType.SPOT,
+                    spot_inner=0.2, spot_outer=0.4),
+              Light(color=(0.0, 1.0, 0.0), light_type=LightType.POINT)]
+    path = str(tmp_path / f"rt.{ext}")
+    gltf_mod.write_gltf(path, meshes, lights=lights)
+    doc = gltf_mod.load_gltf(path)
+
+    assert len(doc["meshes"]) == 3
+    for src, got in zip(meshes, doc["meshes"]):
+        np.testing.assert_array_equal(got["position"], src["position"])
+        # V flips twice (write 1−v, read 1−v): 1 ulp for v < 0.5
+        np.testing.assert_allclose(got["uv"], src["uv"], atol=6e-8)
+        np.testing.assert_array_equal(got["color"], src["color"])
+        np.testing.assert_array_equal(got["indices"], src["indices"])
+        # identity bake renormalizes; inputs are unit → tight tolerance
+        np.testing.assert_allclose(got["normal"], src["normal"], atol=1e-6)
+    m0, m1, m2 = (d["material"] for d in doc["meshes"])
+    assert m0.base_color == mat_a.base_color
+    assert (m0.metallic, m0.roughness) == (mat_a.metallic, mat_a.roughness)
+    np.testing.assert_allclose(m0.emissive, mat_a.emissive, atol=1e-7)
+    assert m1.base_color == mat_b.base_color
+    # texture URIs resolve back to the original absolute paths
+    assert os.path.abspath(m0.texture_path("diffuse")) == \
+        os.path.abspath(str(tmp_path / "t.png"))
+    assert os.path.abspath(m0.texture_path("normals")) == \
+        os.path.abspath(str(tmp_path / "n.png"))
+    assert m2 == m0                               # value-level dedup
+    assert len(doc["lights"]) == 2
+    assert doc["lights"][0].light_type == LightType.SPOT
+    np.testing.assert_allclose(doc["lights"][0].color, (1.0, 0.5, 0.25))
+    assert abs(doc["lights"][0].spot_outer - 0.4) < 1e-7
+    assert doc["lights"][1].light_type == LightType.POINT
+
+
+def test_gltf_writer_reexports_any_import(tmp_path):
+    """The asset round trip the reference can't do: load a 3DS fixture,
+    re-export it as GLB, and get the identical baked geometry back."""
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+
+    model_loader.clear_caches()
+    model = model_loader.load_model(os.path.join(FIXDIR, "cube.3ds"))
+    out = str(tmp_path / "reexport.glb")
+    gltf_mod.write_gltf(out, model.meshes, lights=model.lights)
+    model_loader.clear_caches()
+    back = model_loader.load_model(out)
+    p1, n1, u1 = _corners(model)
+    p0, n0, u0 = _corners(back)
+    np.testing.assert_array_equal(p0, p1)         # identity bake: exact
+    np.testing.assert_allclose(n0, n1, atol=1e-6)
+    np.testing.assert_array_equal(u0, u1)
+    assert back.meshes[0]["material"].base_color == \
+        model.meshes[0]["material"].base_color

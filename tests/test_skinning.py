@@ -385,3 +385,74 @@ def test_level_fk_matches_sequential_fk():
     np.testing.assert_allclose(
         skinning.forward_kinematics_levels(local, parent, levels, xp=np),
         ref, atol=0)
+
+
+@pytest.mark.parametrize("ext", ["gltf", "glb"])
+def test_gltf_writer_skin_roundtrip(ext, tmp_path):
+    """write_gltf exports skins + animation; the reloaded skeleton poses
+    identically (joint slots may permute — compare skinned positions).
+
+    The fixture's rate (1 fps) sits below the loader's 30 fps floor, so
+    this also exercises the documented re-resample path: time t maps to
+    frame t·rate on each side."""
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+
+    mesh = arm_mesh()
+    skin = two_bone_skin(mesh["position"])
+    rec = dict(mesh, skin=skin)
+    path = str(tmp_path / f"skinned.{ext}")
+    gltf_mod.write_gltf(path, [rec])
+    doc = gltf_mod.load_gltf(path)
+    (back,) = doc["meshes"]
+    assert "skin" in back, "skin did not survive the round trip"
+    # skinned vertices stay authored-space: exact
+    np.testing.assert_array_equal(back["position"], mesh["position"])
+    bskin = back["skin"]
+    assert bskin.parent.shape[0] == 2
+    for t in (0.0, 0.25, 0.5, 1.0):
+        want = skinning.skinned_positions_np(
+            skin, mesh["position"], t * skin.rate)
+        got = skinning.skinned_positions_np(
+            bskin, np.asarray(back["position"]), t * bskin.rate)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gltf_writer_skin_rate_preserving_roundtrip(tmp_path):
+    """At rates ≥ the loader's floor the keyframe grid round-trips: same
+    frame count, same rate, near-exact tracks."""
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+    from softwarerenderer_tpu.models.scene import Skin
+
+    rng = np.random.default_rng(3)
+    J, F, rate = 3, 13, 30.0
+    rot = rng.normal(size=(F, J, 4))
+    rot /= np.linalg.norm(rot, axis=-1, keepdims=True)
+    # sign-align consecutive keys (what the importer produces)
+    for f in range(1, F):
+        flip = (rot[f] * rot[f - 1]).sum(-1) < 0
+        rot[f, flip] = -rot[f, flip]
+    skin = Skin(
+        joints=np.zeros((4, 4), np.int32),
+        weights=np.tile(np.asarray([1, 0, 0, 0], F32), (4, 1)),
+        parent=np.asarray([-1, 0, 1], np.int32),
+        inverse_bind=np.tile(np.eye(4, dtype=F32), (J, 1, 1)),
+        trans=rng.normal(size=(F, J, 3)).astype(F32),
+        rot=rot.astype(F32),
+        scale=(0.5 + rng.random((F, J, 3))).astype(F32),
+        rate=rate)
+    mesh = arm_mesh()
+    path = str(tmp_path / "skin30.glb")
+    gltf_mod.write_gltf(path, [dict(mesh, skin=skin)])
+    (back,) = gltf_mod.load_gltf(path)["meshes"]
+    bskin = back["skin"]
+    assert bskin.trans.shape[0] == F
+    assert abs(bskin.rate - rate) < 1e-3
+    # chain parent[j]=j-1 has strictly increasing depth → no permutation
+    np.testing.assert_array_equal(bskin.parent, skin.parent)
+    np.testing.assert_allclose(bskin.trans, skin.trans, atol=1e-5)
+    np.testing.assert_allclose(bskin.scale, skin.scale, atol=1e-5)
+    # quats may come back sign-flipped; compare up to sign
+    dots = np.sum(bskin.rot * skin.rot, axis=-1)
+    np.testing.assert_allclose(np.abs(dots), 1.0, atol=1e-5)
+    np.testing.assert_allclose(bskin.inverse_bind, skin.inverse_bind,
+                               atol=1e-6)

@@ -32,3 +32,27 @@ def test_viewer_headless_renders(name, tmp_path):
         assert v.window.last_frame is not None
     finally:
         v.window.close()
+
+
+@pytest.mark.slow
+def test_viewer_exports_glb(tmp_path, monkeypatch):
+    """F10 export: the viewer converts any loaded format to GLB, and the
+    exported file reloads with identical baked geometry."""
+    from softwarerenderer_tpu.apps.viewer import Viewer
+    from softwarerenderer_tpu.io_host import model_loader
+
+    model_loader.clear_caches()
+    monkeypatch.chdir(tmp_path)
+    v = Viewer(os.path.join(FIXDIR, "cube.3ds"), width=96, height=64,
+               render_scale=1.0, headless=True)
+    try:
+        out = v.export_glb()
+        assert out and os.path.isfile(out)
+        model_loader.clear_caches()
+        back = model_loader.load_model(out)
+        src = model_loader.load_model(os.path.join(FIXDIR, "cube.3ds"))
+        assert len(back.meshes) == len(src.meshes)
+        np.testing.assert_array_equal(back.meshes[0]["position"],
+                                      src.meshes[0]["position"])
+    finally:
+        v.window.close()
