@@ -183,7 +183,7 @@ class Viewer:
         the viewer doubles as a format converter (F10)."""
         path = f"viewer_export_{self._shot_n:03d}.glb"
         self._shot_n += 1
-        model_loader.save_model(path, self.model)
+        model_loader.save_model(path, self.model, embed_textures=True)
         self.hud.add_chat(f"* exported {path}")
         return path
 

@@ -147,7 +147,11 @@ def _node_matrix_row(node: dict) -> np.ndarray:
     return m
 
 
-def _extract_material(doc: dict, base_dir: str, mi: Optional[int]) -> Material:
+EMBEDDED_SEP = "::image"   # pseudo-path marker: "<model file>::image<N>"
+
+
+def _extract_material(doc: dict, base_dir: str, mi: Optional[int],
+                      src_path: str = "") -> Material:
     if mi is None:
         return Material()
     mat = doc.get("materials", [])[mi]
@@ -164,9 +168,17 @@ def _extract_material(doc: dict, base_dir: str, mi: Optional[int]) -> Material:
         img_idx = tex.get("source")
         if img_idx is None:
             return
-        uri = doc["images"][img_idx].get("uri")
+        img = doc["images"][img_idx]
+        uri = img.get("uri")
         if uri and not uri.startswith("data:"):
             paths.append((slot, os.path.join(base_dir, uri)))
+        elif uri or "bufferView" in img:
+            # Embedded image (data: URI or GLB bufferView — what most
+            # real-world .glb exports ship; Assimp decodes these too,
+            # ModelLoader.cs:144-150).  A pseudo-path keeps Material
+            # hashable and routes through the one texture cache;
+            # load_image resolves it back to the bytes.
+            paths.append((slot, f"{src_path}{EMBEDDED_SEP}{img_idx}"))
     tex_path(pbr.get("baseColorTexture"), "diffuse")
     tex_path(mat.get("normalTexture"), "normals")
     tex_path(mat.get("emissiveTexture"), "emissive")
@@ -399,7 +411,8 @@ def load_gltf(path: str, flip_uv: bool = True,
     models.scene.Skin with the topologically-ordered skeleton and the
     uniform-clock-resampled tracks of animation `animation_index`.
     """
-    base_dir = os.path.dirname(os.path.abspath(path))
+    src_path = os.path.abspath(path)
+    base_dir = os.path.dirname(src_path)
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] == b"glTF":
@@ -499,7 +512,7 @@ def load_gltf(path: str, flip_uv: bool = True,
                     "color": col,
                     "indices": idx.reshape(-1, 3),
                     "material": _extract_material(
-                        doc, base_dir, prim.get("material")),
+                        doc, base_dir, prim.get("material"), src_path),
                     "bounds_center": center,
                     "bounds_radius": radius,
                 }
@@ -532,7 +545,7 @@ _LIGHT_NAMES = {v: k for k, v in _LIGHT_TYPES.items()}
 
 
 def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
-               flip_uv: bool = True) -> None:
+               flip_uv: bool = True, embed_textures: bool = False) -> None:
     """Export mesh records (the `load_gltf` "meshes" schema) as .glb or
     .gltf — the framework's native-interchange round trip (the reference
     only ever READS models through Assimp, ModelLoader.cs:137-326; an
@@ -561,9 +574,13 @@ def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
     flip_uv=True stores V as 1−v so a loader with the default Assimp
     FlipUVs parity (load_gltf flip_uv=True) reads back the in-memory
     values.  Material texture paths are stored as URIs relative to the
-    output file's directory.  `.glb` → binary container; anything else →
-    JSON with an embedded base64 buffer (both load back through
-    `load_gltf`).
+    output file's directory — except embedded-source pseudo-paths
+    ("<model>::image<N>", i.e. textures that came in embedded), which
+    always re-embed, and everything when embed_textures=True: the decoded
+    image is PNG-encoded into the buffer as a bufferView image, making
+    the output fully self-contained.  `.glb` → binary container;
+    anything else → JSON with an embedded base64 buffer (both load back
+    through `load_gltf`).
     """
     out_dir = os.path.dirname(os.path.abspath(path))
     blob = bytearray()
@@ -572,9 +589,7 @@ def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
     materials, mat_index = [], {}
     images, textures, img_index = [], [], {}
 
-    def put(arr: np.ndarray, target: Optional[int], acc_type: str,
-            with_minmax: bool = False) -> int:
-        data = np.ascontiguousarray(arr).tobytes()
+    def put_view(data: bytes, target: Optional[int] = None) -> int:
         while len(blob) % 4:
             blob.append(0)
         view = {"buffer": 0, "byteOffset": len(blob),
@@ -583,6 +598,11 @@ def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
             view["target"] = target
         views.append(view)
         blob.extend(data)
+        return len(views) - 1
+
+    def put(arr: np.ndarray, target: Optional[int], acc_type: str,
+            with_minmax: bool = False) -> int:
+        put_view(np.ascontiguousarray(arr).tobytes(), target)
         comp = {np.dtype(np.float32): 5126,
                 np.dtype(np.uint32): 5125,
                 np.dtype(np.uint16): 5123}[arr.dtype]
@@ -596,8 +616,28 @@ def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
 
     def image_id(tex_path: str) -> int:
         if tex_path not in img_index:
-            uri = os.path.relpath(os.path.abspath(tex_path), out_dir)
-            images.append({"uri": uri.replace(os.sep, "/")})
+            img = (load_image(tex_path)
+                   if embed_textures or EMBEDDED_SEP in tex_path else None)
+            if img is not None:
+                import io
+
+                from PIL import Image
+                buf = io.BytesIO()
+                Image.fromarray(np.clip(np.round(img * 255.0), 0, 255)
+                                .astype(np.uint8)).save(buf, format="PNG")
+                images.append({"bufferView": put_view(buf.getvalue()),
+                               "mimeType": "image/png"})
+            elif EMBEDDED_SEP in tex_path:
+                # embedded source that no longer decodes — no URI to fall
+                # back to (the reference logs-and-continues on texture
+                # failures, Texture.cs:89-93; an unloadable path would)
+                raise GltfError("cannot decode embedded texture: "
+                                f"{tex_path}")
+            else:
+                # missing/undecodable file: keep the URI reference (the
+                # loader treats it as texture-load failure, same as now)
+                uri = os.path.relpath(os.path.abspath(tex_path), out_dir)
+                images.append({"uri": uri.replace(os.sep, "/")})
             textures.append({"source": len(images) - 1})
             img_index[tex_path] = len(textures) - 1
         return img_index[tex_path]
@@ -762,13 +802,41 @@ def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
             json.dump(doc, f, separators=(",", ":"))
 
 
+def _embedded_image_bytes(model_path: str, img_idx: int) -> bytes:
+    """The raw encoded bytes of image `img_idx` embedded in a .gltf/.glb
+    (data: URI or bufferView into the binary buffer)."""
+    with open(model_path, "rb") as f:
+        data = f.read()
+    if data[:4] == b"glTF":
+        doc, glb_bin = _read_glb(data)
+    else:
+        doc, glb_bin = json.loads(data), None
+    img = doc["images"][img_idx]
+    uri = img.get("uri")
+    if uri and uri.startswith("data:"):
+        return base64.b64decode(uri.split(",", 1)[1])
+    buffers = _load_buffers(doc, os.path.dirname(model_path), glb_bin)
+    view = doc["bufferViews"][img["bufferView"]]
+    off = view.get("byteOffset", 0)
+    return buffers[view["buffer"]][off: off + view["byteLength"]]
+
+
 def load_image(path: str) -> Optional[np.ndarray]:
     """Decode an image to (H, W, 4) float32 in [0,1], downscaled to fit
-    MAX_TEXTURE_SIZE preserving aspect (Texture.cs:70-94).  Returns None on
-    failure (the reference logs and continues, Texture.cs:89-93)."""
+    MAX_TEXTURE_SIZE preserving aspect (Texture.cs:70-94).  Accepts plain
+    image files and "<model>::image<N>" pseudo-paths for textures
+    embedded in a glTF/GLB (_extract_material).  Returns None on failure
+    (the reference logs and continues, Texture.cs:89-93)."""
     try:
+        import io
+
         from PIL import Image
-        with Image.open(path) as im:
+        if EMBEDDED_SEP in path:
+            model_path, idx = path.rsplit(EMBEDDED_SEP, 1)
+            src = io.BytesIO(_embedded_image_bytes(model_path, int(idx)))
+        else:
+            src = path
+        with Image.open(src) as im:
             im = im.convert("RGBA")
             w, h = im.size
             if w > MAX_TEXTURE_SIZE or h > MAX_TEXTURE_SIZE:

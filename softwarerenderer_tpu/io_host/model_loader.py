@@ -410,18 +410,21 @@ def load_model(path: str) -> Model:
     return model
 
 
-def save_model(path: str, model: Model) -> None:
+def save_model(path: str, model: Model,
+               embed_textures: bool = False) -> None:
     """Export a loaded model — the asset round trip the reference lacks
     (Assimp is import-only in ModelLoader.cs:137-326).  glTF/GLB carries
     everything the loaders produce (world-baked meshes, vertex colors,
-    materials, texture URIs, lights) via io_host.gltf.write_gltf; for
-    single-mesh FBX/3DS exports use write_fbx/write_3ds directly."""
+    materials, texture URIs, lights, skins) via io_host.gltf.write_gltf;
+    embed_textures=True PNG-embeds every texture for a self-contained
+    file.  For single-mesh FBX/3DS exports use write_fbx/write_3ds."""
     ext = os.path.splitext(path)[1].lower()
     if ext not in (".gltf", ".glb"):
         raise ValueError(f"save_model exports glTF/GLB only (got '{ext}'); "
                          "io_host.fbx.write_fbx / io_host.tds.write_3ds "
                          "handle single-mesh fixture exports")
-    gltf_mod.write_gltf(path, model.meshes, lights=model.lights)
+    gltf_mod.write_gltf(path, model.meshes, lights=model.lights,
+                        embed_textures=embed_textures)
 
 
 def model_instances(model: Model, model_matrix: Optional[np.ndarray] = None,

@@ -464,3 +464,122 @@ def test_gltf_writer_reexports_any_import(tmp_path):
     np.testing.assert_array_equal(u0, u1)
     assert back.meshes[0]["material"].base_color == \
         model.meshes[0]["material"].base_color
+
+
+def test_gltf_embedded_textures_roundtrip(tmp_path):
+    """Embedded GLB textures (the common sketchfab/Blender export shape):
+    write with embed_textures=True, DELETE the source image, reload —
+    the texture still decodes pixel-identically and the mesh renders
+    textured.  Covers both the bufferView embed (writer output) and the
+    loader's pseudo-path cache key."""
+    from PIL import Image
+
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+    from softwarerenderer_tpu.models import primitives
+    from softwarerenderer_tpu.models.scene import Material
+
+    rng = np.random.default_rng(11)
+    tex_u8 = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    tex_u8[..., 3] = 255
+    img_path = str(tmp_path / "src.png")
+    Image.fromarray(tex_u8).save(img_path)
+
+    mesh = dict(primitives.cube(1.0))
+    mesh["material"] = Material(texture_paths=(("diffuse", img_path),))
+    out = str(tmp_path / "embedded.glb")
+    gltf_mod.write_gltf(out, [mesh], embed_textures=True)
+    os.remove(img_path)                       # prove self-containment
+
+    doc = gltf_mod.load_gltf(out)
+    p = doc["meshes"][0]["material"].texture_path("diffuse")
+    assert p is not None and gltf_mod.EMBEDDED_SEP in p
+    loaded = gltf_mod.load_image(p)
+    assert loaded is not None
+    np.testing.assert_array_equal(
+        (loaded * 255).round().astype(np.uint8), tex_u8)
+
+    # re-export: embedded sources re-embed without asking
+    out2 = str(tmp_path / "reexport.glb")
+    gltf_mod.write_gltf(out2, doc["meshes"])
+    p2 = gltf_mod.load_gltf(out2)["meshes"][0]["material"] \
+        .texture_path("diffuse")
+    np.testing.assert_array_equal(
+        (gltf_mod.load_image(p2) * 255).round().astype(np.uint8), tex_u8)
+
+
+def test_gltf_data_uri_image_loads(tmp_path):
+    """A glTF image with a data: URI (embedded base64 PNG) resolves
+    through the same pseudo-path machinery."""
+    import io
+
+    from PIL import Image
+
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+
+    tex_u8 = np.zeros((4, 4, 4), np.uint8)
+    tex_u8[..., 0] = 200
+    tex_u8[..., 3] = 255
+    buf = io.BytesIO()
+    Image.fromarray(tex_u8).save(buf, format="PNG")
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0}}}],
+        "textures": [{"source": 0}],
+        "images": [{"uri": "data:image/png;base64,"
+                           + base64.b64encode(buf.getvalue()).decode()}],
+        "accessors": [{"componentType": 5126, "count": 3, "type": "VEC3"}],
+    }
+    path = str(tmp_path / "datauri.gltf")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    parsed = gltf_mod.load_gltf(path)
+    p = parsed["meshes"][0]["material"].texture_path("diffuse")
+    assert p is not None and gltf_mod.EMBEDDED_SEP in p
+    img = gltf_mod.load_image(p)
+    np.testing.assert_array_equal(
+        (img * 255).round().astype(np.uint8), tex_u8)
+
+
+def test_embedded_texture_renders_through_engine(tmp_path):
+    """End to end: a self-contained GLB renders with its embedded texture
+    (model_instances resolves the pseudo-path through the texture
+    cache)."""
+    import jax  # noqa: F401  (engine import path)
+
+    from softwarerenderer_tpu import RenderParams
+    from softwarerenderer_tpu.engine import Engine
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+    from softwarerenderer_tpu.models import primitives, scene as scene_mod
+    from softwarerenderer_tpu.models.scene import Material
+    from PIL import Image
+
+    # saturated red texture so the textured render is unmistakable
+    tex_u8 = np.zeros((8, 8, 4), np.uint8)
+    tex_u8[..., 0] = 255
+    tex_u8[..., 3] = 255
+    img_path = str(tmp_path / "red.png")
+    Image.fromarray(tex_u8).save(img_path)
+    mesh = dict(primitives.cube(1.0))
+    mesh["material"] = Material(texture_paths=(("diffuse", img_path),))
+    out = str(tmp_path / "red.glb")
+    gltf_mod.write_gltf(out, [mesh], embed_textures=True)
+    os.remove(img_path)
+
+    model_loader.clear_caches()
+    model = model_loader.load_model(out)
+    insts = model_loader.model_instances(model)
+    assert insts[0].texture is not None, "embedded texture not resolved"
+    scene = scene_mod.build_scene_buffers(insts)
+    eng = Engine(scene, RenderParams(width=96, height=64))
+    u = dict(eng.uniforms)
+    u["camera_position"] = np.float32([0.0, 0.0, 3.0])
+    c = np.asarray(eng.present(u))
+    # red-dominant pixels (lighting darkens the texel, N·L floor 0.25)
+    red = (c[..., 0].astype(int) > 2 * c[..., 1].astype(int) + 20) \
+        & (c[..., 0] > 50)
+    assert red.sum() > 50, "embedded texture did not shade the cube"
