@@ -263,19 +263,10 @@ def _resample_channel(times: np.ndarray, values: np.ndarray, grid: np.ndarray,
     return out.astype(F32)
 
 
-def _build_skins(doc: dict, buffers: List[bytes], animation_index: int,
-                 node_parent: Dict[int, Optional[int]]):
-    """Per glTF skin: topologically-ordered skeleton + uniform-clock TRS
-    tracks, as models.scene.Skin kwargs (minus the per-vertex arrays).
-
-    glTF semantics honored: joint world transform = the node's global
-    transform; a root joint's non-joint ancestor chain is folded into its
-    local track (matrix-composed per frame, then TRS-decomposed — exact
-    for shear-free ancestors).  Returns (skins, joint_remaps) where
-    joint_remaps[s] maps glTF joint slot → topo slot.
-    """
-    from softwarerenderer_tpu.models.scene import Skin  # noqa: F401 (doc)
-
+def _parse_animation(doc: dict, buffers: List[bytes],
+                     animation_index: int):
+    """Channels of animation `animation_index`:
+    (node → {path: (times, values, interpolation)}, clip duration)."""
     anims = doc.get("animations", [])
     channels = {}          # node → {path: (times, values, interpolation)}
     duration = 0.0
@@ -296,6 +287,89 @@ def _build_skins(doc: dict, buffers: List[bytes], animation_index: int,
                 times, values, smp.get("interpolation", "LINEAR"))
             if times.size:
                 duration = max(duration, float(times[-1]))
+    return channels, duration
+
+
+def _chain_rate(channels: dict, duration: float, nodes) -> float:
+    """Uniform resample rate for a set of nodes: densest sampler over the
+    clip, floored at 30 fps, clamped to 120 (same rule for skins and
+    rigid tracks so they share the anim_time clock)."""
+    rate = 30.0
+    for n in nodes:
+        for times, _v, _i in channels.get(n, {}).values():
+            if times.size > 1 and duration > 0:
+                rate = max(rate, (times.size - 1) / duration)
+    return float(np.clip(rate, 1.0, 120.0))
+
+
+def _sampled_trs(doc: dict, channels: dict, node: int, grid: np.ndarray):
+    """One node's (F, 3)/(F, 4)/(F, 3) TRS track on `grid` (static fields
+    broadcast)."""
+    F = grid.shape[0]
+    t0, q0, s0 = _node_trs(doc["nodes"][node])
+    ch = channels.get(node, {})
+    t = (_resample_channel(*ch["translation"][:2], grid,
+                           ch["translation"][2], False)
+         if "translation" in ch else np.broadcast_to(t0, (F, 3)).copy())
+    q = (_resample_channel(*ch["rotation"][:2], grid,
+                           ch["rotation"][2], True)
+         if "rotation" in ch else np.broadcast_to(q0, (F, 4)).copy())
+    s = (_resample_channel(*ch["scale"][:2], grid,
+                           ch["scale"][2], False)
+         if "scale" in ch else np.broadcast_to(s0, (F, 3)).copy())
+    return t.astype(F32), q.astype(F32), s.astype(F32)
+
+
+def _rigid_skin(doc: dict, channels: dict, duration: float, chain,
+                n_verts: int):
+    """A 1-joint models.scene.Skin evaluating a mesh node's ANIMATED
+    global transform on device (node-TRS animations on non-skinned
+    meshes — rigid-body animation; Assimp exposes these as node anims,
+    the reference ignores them).  `chain` = [node, parent, ..., root].
+
+    The joint's track is the composed global TRS per uniform-clock frame
+    (global = local_node @ local_parent @ ... in the row-vector
+    convention), endpoint-dropped exactly like skin tracks; vertices
+    stay authored-local and ride the existing skinning path (weights
+    [1,0,0,0] to joint 0, identity inverse bind)."""
+    from softwarerenderer_tpu.models.scene import Skin
+    from softwarerenderer_tpu.ops.skinning import compose_trs
+
+    rate = _chain_rate(channels, duration, chain)
+    F = max(1, int(round(duration * rate)) + 1) if duration > 0 else 1
+    grid = np.arange(F, dtype=np.float64) / rate
+    tracks = [_sampled_trs(doc, channels, n, grid) for n in chain]
+    trans = np.zeros((F, 1, 3), F32)
+    rot = np.zeros((F, 1, 4), F32)
+    scl = np.ones((F, 1, 3), F32)
+    for f in range(F):
+        m = np.eye(4, dtype=F32)
+        for (t, q, s) in tracks:     # node-to-root: left-compose locals
+            m = m @ compose_trs(t[f], q[f], s[f], xp=np)
+        trans[f, 0], rot[f, 0], scl[f, 0] = _decompose_trs_row(m)
+    if F > 1:                        # drop the duplicated loop endpoint
+        trans, rot, scl = trans[:-1], rot[:-1], scl[:-1]
+    return Skin(joints=np.zeros((n_verts, 4), np.int32),
+                weights=np.tile(np.asarray([1, 0, 0, 0], F32),
+                                (n_verts, 1)),
+                parent=np.asarray([-1], np.int32),
+                inverse_bind=np.eye(4, dtype=F32)[None],
+                trans=trans, rot=rot, scale=scl, rate=rate)
+
+
+def _build_skins(doc: dict, buffers: List[bytes], channels: dict,
+                 duration: float,
+                 node_parent: Dict[int, Optional[int]]):
+    """Per glTF skin: topologically-ordered skeleton + uniform-clock TRS
+    tracks, as models.scene.Skin kwargs (minus the per-vertex arrays).
+
+    glTF semantics honored: joint world transform = the node's global
+    transform; a root joint's non-joint ancestor chain is folded into its
+    local track (matrix-composed per frame, then TRS-decomposed — exact
+    for shear-free ancestors).  Returns (skins, joint_remaps) where
+    joint_remaps[s] maps glTF joint slot → topo slot.
+    """
+    from softwarerenderer_tpu.models.scene import Skin  # noqa: F401 (doc)
 
     out_skins, out_remaps = [], []
     for skin in doc.get("skins", []):
@@ -329,12 +403,7 @@ def _build_skins(doc: dict, buffers: List[bytes], animation_index: int,
                     folded.append(i)
 
         # Uniform clock: densest sampler (clamped) over the clip.
-        rate = 30.0
-        for n in node_of:
-            for times, _v, _i in channels.get(n, {}).values():
-                if times.size > 1 and duration > 0:
-                    rate = max(rate, (times.size - 1) / duration)
-        rate = float(np.clip(rate, 1.0, 120.0))
+        rate = _chain_rate(channels, duration, node_of)
         F = max(1, int(round(duration * rate)) + 1) if duration > 0 else 1
         grid = np.arange(F, dtype=np.float64) / rate
 
@@ -343,17 +412,8 @@ def _build_skins(doc: dict, buffers: List[bytes], animation_index: int,
         rot = np.zeros((F, J, 4), F32)
         scl = np.ones((F, J, 3), F32)
         for i, n in enumerate(node_of):
-            t0, q0, s0 = _node_trs(doc["nodes"][n])
-            ch = channels.get(n, {})
-            trans[:, i] = (_resample_channel(*ch["translation"][:2], grid,
-                                             ch["translation"][2], False)
-                           if "translation" in ch else t0)
-            rot[:, i] = (_resample_channel(*ch["rotation"][:2], grid,
-                                           ch["rotation"][2], True)
-                         if "rotation" in ch else q0)
-            scl[:, i] = (_resample_channel(*ch["scale"][:2], grid,
-                                           ch["scale"][2], False)
-                         if "scale" in ch else s0)
+            trans[:, i], rot[:, i], scl[:, i] = _sampled_trs(
+                doc, channels, n, grid)
 
         # Fold static non-joint ancestor chains into root-joint tracks.
         from softwarerenderer_tpu.ops.skinning import compose_trs
@@ -398,7 +458,8 @@ def _build_skins(doc: dict, buffers: List[bytes], animation_index: int,
 
 
 def load_gltf(path: str, flip_uv: bool = True,
-              animation_index: int = 0) -> Dict:
+              animation_index: int = 0,
+              rigid_animation: bool = True) -> Dict:
     """Parse a .gltf/.glb file into {"meshes": [...], "lights": [...]}.
 
     Each mesh dict: position/uv/normal/color (V, K) float32 arrays with the
@@ -410,6 +471,13 @@ def load_gltf(path: str, flip_uv: bool = True,
     the glTF skinning spec) and additionally carry "skin": a
     models.scene.Skin with the topologically-ordered skeleton and the
     uniform-clock-resampled tracks of animation `animation_index`.
+
+    With rigid_animation=True (default), a NON-skinned mesh whose node
+    chain has TRS animation channels imports with a synthesized 1-joint
+    "skin" evaluating the animated global transform on device (vertices
+    stay authored-local) — rigid-body node animation, driven by the same
+    traced uniforms["anim_time"] clock as real skins.  Set False to bake
+    the rest pose statically (round-2 behavior).
     """
     src_path = os.path.abspath(path)
     base_dir = os.path.dirname(src_path)
@@ -425,16 +493,18 @@ def load_gltf(path: str, flip_uv: bool = True,
     for ni, nd in enumerate(doc.get("nodes", [])):
         for ch in nd.get("children", []):
             node_parent[ch] = ni
+    channels, duration = _parse_animation(doc, buffers, animation_index)
     if doc.get("skins"):
         from softwarerenderer_tpu.models.scene import Skin
         skin_protos, joint_remaps = _build_skins(
-            doc, buffers, animation_index, node_parent)
+            doc, buffers, channels, duration, node_parent)
     else:
         skin_protos, joint_remaps = [], []
 
     meshes: List[Dict] = []
 
-    def process_node(node_idx: int, parent: np.ndarray):
+    def process_node(node_idx: int, parent: np.ndarray, chain=()):
+        chain = (node_idx,) + chain          # node → … → root
         node = doc["nodes"][node_idx]
         global_m = _node_matrix_row(node) @ parent
         rot_only = global_m.copy()
@@ -496,6 +566,13 @@ def load_gltf(path: str, flip_uv: bool = True,
                     skin_obj = Skin(joints=remap[ji].astype(np.int32),
                                     weights=wt, **proto)
                     wpos, wn = pos, normal
+                elif rigid_animation and any(n in channels for n in chain):
+                    # Animated node chain: evaluate the global transform
+                    # on device through a synthesized 1-joint skin
+                    # (vertices stay authored-local).
+                    skin_obj = _rigid_skin(doc, channels, duration,
+                                           chain, v)
+                    wpos, wn = pos, normal
                 else:
                     # Bake world transform (ModelLoader.cs:196-200) —
                     # native C++ kernels when built, NumPy otherwise.
@@ -520,7 +597,7 @@ def load_gltf(path: str, flip_uv: bool = True,
                     mesh_rec["skin"] = skin_obj
                 meshes.append(mesh_rec)
         for child in node.get("children", []):
-            process_node(child, global_m)
+            process_node(child, global_m, chain)
 
     scene_idx = doc.get("scene", 0)
     scenes = doc.get("scenes", [{"nodes": list(range(len(doc.get("nodes",

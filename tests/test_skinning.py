@@ -456,3 +456,121 @@ def test_gltf_writer_skin_rate_preserving_roundtrip(tmp_path):
     np.testing.assert_allclose(np.abs(dots), 1.0, atol=1e-5)
     np.testing.assert_allclose(bskin.inverse_bind, skin.inverse_bind,
                                atol=1e-6)
+
+
+def _rigid_anim_gltf(tmp_path):
+    """A plain (non-skinned) quad on a node that spins 0°→90°→180°→
+    270°→360° about z over 2 s, under a parent translated (0, 0, -2).
+    Loop-authored at 2 fps (re-resampled to the importer's 30 fps
+    floor)."""
+    import base64
+    import json
+
+    pos = np.asarray([[1, 0, 0], [2, 0, 0], [1, 1, 0], [2, 1, 0]],
+                     np.float32)
+    idx = np.asarray([0, 1, 2, 2, 1, 3], np.uint16)
+    times = np.asarray([0.0, 0.5, 1.0, 1.5, 2.0], np.float32)
+    ang = np.asarray([0, 0.5, 1.0, 1.5, 2.0]) * np.pi / 2
+    quats = np.stack([np.zeros(5), np.zeros(5),
+                      np.sin(ang / 2), np.cos(ang / 2)], -1) \
+        .astype(np.float32)
+    blob = pos.tobytes() + idx.tobytes() + times.tobytes() + quats.tobytes()
+    o_i, o_t, o_q = pos.nbytes, pos.nbytes + idx.nbytes, \
+        pos.nbytes + idx.nbytes + times.nbytes
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"translation": [0, 0, -2], "children": [1]},
+                  {"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0},
+                                    "indices": 1}]}],
+        "animations": [{
+            "channels": [{"sampler": 0,
+                          "target": {"node": 1, "path": "rotation"}}],
+            "samplers": [{"input": 2, "output": 3,
+                          "interpolation": "LINEAR"}],
+        }],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5126, "count": 5,
+             "type": "SCALAR", "min": [0.0], "max": [2.0]},
+            {"bufferView": 3, "componentType": 5126, "count": 5,
+             "type": "VEC4"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": o_i, "byteLength": idx.nbytes},
+            {"buffer": 0, "byteOffset": o_t, "byteLength": times.nbytes},
+            {"buffer": 0, "byteOffset": o_q, "byteLength": quats.nbytes},
+        ],
+        "buffers": [{"byteLength": len(blob),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(blob).decode()}],
+    }
+    path = str(tmp_path / "rigid.gltf")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path, pos
+
+
+def test_rigid_node_animation_imports_as_one_joint_skin(tmp_path):
+    """Node-TRS animations on non-skinned meshes (rigid-body animation —
+    ignored before this round) evaluate on device via a synthesized
+    1-joint skin: at time t the quad is rotated by the authored angle and
+    carried by the static parent translation."""
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+
+    path, pos = _rigid_anim_gltf(tmp_path)
+    (mesh,) = gltf_mod.load_gltf(path)["meshes"]
+    assert "skin" in mesh
+    sk = mesh["skin"]
+    assert sk.parent.shape[0] == 1 and abs(sk.rate - 30.0) < 1e-6
+    assert sk.trans.shape[0] == 60          # 2 s @ 30 fps, endpoint dropped
+    np.testing.assert_array_equal(mesh["position"], pos)  # authored-local
+
+    for t in (0.0, 0.25, 0.5, 1.0, 1.75):
+        got = skinning.skinned_positions_np(sk, pos, t * sk.rate)
+        a = t * np.pi / 2                   # 90°/s about z
+        rotm = np.asarray([[np.cos(a), np.sin(a), 0],
+                           [-np.sin(a), np.cos(a), 0],
+                           [0, 0, 1]], np.float32)
+        want = pos @ rotm + np.float32([0, 0, -2])
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    # opt-out restores the round-2 static bake (rest pose, transform baked)
+    (static,) = gltf_mod.load_gltf(path, rigid_animation=False)["meshes"]
+    assert "skin" not in static
+    np.testing.assert_allclose(static["position"],
+                               pos + np.float32([0, 0, -2]), atol=1e-6)
+
+
+def test_rigid_node_animation_renders_and_moves(tmp_path):
+    """Engine integration: the spinning quad's silhouette moves with the
+    traced anim_time clock inside one jitted program."""
+    from softwarerenderer_tpu import RenderParams
+    from softwarerenderer_tpu.engine import Engine
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+    from softwarerenderer_tpu.models.scene import MeshInstance
+
+    path, _pos = _rigid_anim_gltf(tmp_path)
+    (mesh,) = gltf_mod.load_gltf(path)["meshes"]
+    inst = MeshInstance({k: mesh[k] for k in
+                         ("position", "uv", "normal", "color", "indices")},
+                        skin=mesh["skin"])
+    scene = build_scene_buffers([inst])
+    eng = Engine(scene, RenderParams(width=96, height=72))
+    u = dict(eng.uniforms)
+    u["camera_position"] = np.float32([1.0, 0.5, 3.0])
+
+    def frame(t):
+        u["anim_time"] = np.float32(t)
+        c, d = map(np.asarray, eng.render(u))
+        return d > -1e30
+
+    f0, f1 = frame(0.0), frame(1.0)         # 0° vs 90°
+    assert f0.sum() > 40 and f1.sum() > 40
+    assert np.any(f0 != f1), "quad did not move with anim_time"
