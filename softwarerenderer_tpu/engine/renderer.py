@@ -330,6 +330,12 @@ def apply_vertex_updates(vin: Dict, scene: Dict, uniforms: Dict,
             scene["anim_positions"][fv, va])
         vin["normal"] = vin["normal"].at[scene["anim_vert_index"]].set(
             scene["anim_normals"][fv, va])
+    if "morph_vert_index" in scene:
+        # Morph targets (ops/morph.py), before skinning per the glTF
+        # order: weighted delta blend from the traced morph weights /
+        # anim_time weight tracks.
+        from softwarerenderer_tpu.ops import morph
+        vin = morph.apply_morphs(vin, scene, uniforms, xp=jnp)
     if "skin_joints" in scene:
         # Skeletal animation on device (ops/skinning.py): FK + blended
         # matrix skinning inside the same jitted program, driven by the

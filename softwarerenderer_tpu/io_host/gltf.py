@@ -277,7 +277,7 @@ def _parse_animation(doc: dict, buffers: List[bytes],
             node = tgt.get("node")
             path = tgt.get("path")
             if node is None or path not in ("translation", "rotation",
-                                            "scale"):
+                                            "scale", "weights"):
                 continue
             smp = anim["samplers"][ch["sampler"]]
             times = _read_accessor(doc, buffers, smp["input"]) \
@@ -566,7 +566,10 @@ def load_gltf(path: str, flip_uv: bool = True,
                     skin_obj = Skin(joints=remap[ji].astype(np.int32),
                                     weights=wt, **proto)
                     wpos, wn = pos, normal
-                elif rigid_animation and any(n in channels for n in chain):
+                elif rigid_animation and any(
+                        set(channels.get(n, ())) & {"translation",
+                                                    "rotation", "scale"}
+                        for n in chain):
                     # Animated node chain: evaluate the global transform
                     # on device through a synthesized 1-joint skin
                     # (vertices stay authored-local).
@@ -580,6 +583,54 @@ def load_gltf(path: str, flip_uv: bool = True,
                                                              bake_positions)
                     wpos = bake_positions(pos, global_m)
                     wn = bake_normals(normal, rot_only)
+
+                # Morph targets (blend shapes): per-vertex deltas + the
+                # mesh's (possibly animated) weights → ops/morph.py.
+                morph_rec = None
+                targets = prim.get("targets") or []
+                if targets:
+                    K = len(targets)
+                    dps = np.zeros((K, v, 3), F32)
+                    dns = np.zeros((K, v, 3), F32)
+                    any_dn = False
+                    for k, tg in enumerate(targets):
+                        if "POSITION" in tg:
+                            dps[k] = _read_accessor(
+                                doc, buffers, tg["POSITION"]) \
+                                .astype(F32)[:, :3]
+                        if "NORMAL" in tg:
+                            dns[k] = _read_accessor(
+                                doc, buffers, tg["NORMAL"]) \
+                                .astype(F32)[:, :3]
+                            any_dn = True
+                    if skin_obj is None:
+                        # baked mesh: deltas rotate/scale with the node
+                        # (no translation — they are directions)
+                        dps = dps @ global_m[:3, :3]
+                        if any_dn:
+                            dns = dns @ rot_only[:3, :3]
+                    w_dflt = np.asarray(
+                        node.get("weights", gmesh.get("weights",
+                                                      [0.0] * K)),
+                        F32).reshape(-1)[:K]
+                    w_dflt = np.pad(w_dflt, (0, K - w_dflt.shape[0]))
+                    wch = channels.get(node_idx, {}).get("weights")
+                    track, rate = None, 30.0
+                    if wch is not None and duration > 0:
+                        rate = _chain_rate(channels, duration, (node_idx,))
+                        Fw = max(1, int(round(duration * rate)) + 1)
+                        grid = np.arange(Fw, dtype=np.float64) / rate
+                        times, values, interp = wch
+                        per = values.reshape(-1).shape[0] // times.shape[0]
+                        track = _resample_channel(
+                            times, values.reshape(times.shape[0], per),
+                            grid, interp, False)[:, :K]
+                        if Fw > 1:     # endpoint-dropped, like TRS tracks
+                            track = track[:-1]
+                    morph_rec = {"pos": dps,
+                                 "nrm": dns if any_dn else None,
+                                 "weights": w_dflt,
+                                 "weight_track": track, "rate": rate}
 
                 center, radius = bounding_sphere(wpos)
                 mesh_rec = {
@@ -595,6 +646,8 @@ def load_gltf(path: str, flip_uv: bool = True,
                 }
                 if skin_obj is not None:
                     mesh_rec["skin"] = skin_obj
+                if morph_rec is not None:
+                    mesh_rec["morph"] = morph_rec
                 meshes.append(mesh_rec)
         for child in node.get("children", []):
             process_node(child, global_m, chain)
@@ -808,7 +861,41 @@ def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
         mat = mesh.get("material")
         if mat is not None:
             prim["material"] = material_id(mat)
+        mesh_entry = {"primitives": [prim]}
         node = {"mesh": len(doc_meshes)}
+        morph = mesh.get("morph")
+        if morph is not None:
+            dps = np.asarray(morph["pos"], F32)
+            K = dps.shape[0]
+            dn = morph.get("nrm")
+            tgs = []
+            for k in range(K):
+                tg = {"POSITION": put(dps[k].reshape(-1, 3), 34962,
+                                      "VEC3", with_minmax=True)}
+                if dn is not None:
+                    tg["NORMAL"] = put(np.asarray(dn[k], F32)
+                                       .reshape(-1, 3), 34962, "VEC3")
+                tgs.append(tg)
+            prim["targets"] = tgs
+            mesh_entry["weights"] = [
+                float(x) for x in np.asarray(
+                    morph.get("weights", np.zeros(K)), F32)[:K]]
+            wt = morph.get("weight_track")
+            if wt is not None:
+                wt = np.asarray(wt, F32)
+                rate = float(morph.get("rate", 30.0))
+                times = (np.arange(wt.shape[0] + 1, dtype=np.float64)
+                         / rate).astype(F32).reshape(-1, 1)
+                vals = np.concatenate([wt, wt[:1]], axis=0) \
+                    .astype(F32).reshape(-1, 1)   # wrapped endpoint
+                anim_samplers.append({
+                    "input": put(times, None, "SCALAR", with_minmax=True),
+                    "output": put(vals, None, "SCALAR"),
+                    "interpolation": "LINEAR"})
+                anim_channels.append({
+                    "sampler": len(anim_samplers) - 1,
+                    "target": {"node": len(doc_nodes),
+                               "path": "weights"}})
         skin = mesh.get("skin")
         if skin is not None:
             if id(skin) not in skin_of:
@@ -821,7 +908,7 @@ def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
                 np.asarray(skin.weights, F32).reshape(v, -1)[:, :4],
                 34962, "VEC4")
             node["skin"] = skin_of[id(skin)]
-        doc_meshes.append({"primitives": [prim]})
+        doc_meshes.append(mesh_entry)
         doc_nodes.append(node)
 
     all_nodes = doc_nodes + joint_nodes

@@ -466,5 +466,6 @@ def model_instances(model: Model, model_matrix: Optional[np.ndarray] = None,
                                 normal_texture=ntex,
                                 animation_positions=anim_pos,
                                 animation_normals=anim_nrm,
-                                skin=mesh.get("skin")))
+                                skin=mesh.get("skin"),
+                                morph=mesh.get("morph")))
     return out

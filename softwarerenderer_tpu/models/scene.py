@@ -312,6 +312,11 @@ class MeshInstance:
     animation_positions: Optional[np.ndarray] = None   # (F, V, 3)
     animation_normals: Optional[np.ndarray] = None     # (F, V, 3)
     skin: Optional[Skin] = None                        # skeletal animation
+    # Morph targets (ops/morph.py): {"pos": (K, V, 3) deltas,
+    # "nrm": (K, V, 3) deltas or None, "weights": (K,) defaults,
+    # "weight_track": (F, K) uniform-clock keys or None, "rate": fps}.
+    # Applied before skinning, weighted from traced uniforms/anim_time.
+    morph: Optional[Dict] = None
     # Particle slot capacity (sim/particles.py): the mesh must be
     # particles_mesh(capacity) — 4·N reserved billboard vertices whose
     # world-space corners the jitted frame writes from the traced
@@ -385,6 +390,8 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     textures, tex_id_of, neutral_nm = assign_texture_ids(instances)
     anim = {"pos": [], "nrm": [], "vidx": [], "slot": [], "nf": []}
     part = {"vidx": [], "pidx": [], "corner": []}
+    mo = {"vidx": [], "slot": [], "dpos": [], "dnrm": [], "dw": [],
+          "track": [], "rate": []}
     p_off = 0
     sk = {"joints": [], "weights": [], "vidx": [], "parent": [],
           "inv_bind": [], "trans": [], "rot": [], "scale": [],
@@ -424,6 +431,25 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
                 np.arange(np_, dtype=np.int32), 4))
             part["corner"].append(np.tile(_CORNERS, (np_, 1)))
             p_off += np_
+        if inst.morph is not None:
+            m = inst.morph
+            dp = np.asarray(m["pos"], F32)
+            if dp.ndim != 3 or dp.shape[1] != v:
+                raise ValueError(
+                    f"morph deltas {dp.shape} do not match mesh vertex "
+                    f"count {v} (expected (K, {v}, 3))")
+            mo["vidx"].append(v_off + np.arange(v, dtype=np.int32))
+            mo["slot"].append(np.full(v, len(mo["rate"]), np.int32))
+            mo["dpos"].append(dp.transpose(1, 0, 2))       # (V, K, 3)
+            dn = m.get("nrm")
+            mo["dnrm"].append(np.asarray(dn, F32).transpose(1, 0, 2)
+                              if dn is not None else None)
+            mo["dw"].append(np.asarray(
+                m.get("weights", np.zeros(dp.shape[0])), F32)
+                .reshape(-1)[: dp.shape[0]])
+            mo["track"].append(None if m.get("weight_track") is None
+                               else np.asarray(m["weight_track"], F32))
+            mo["rate"].append(float(m.get("rate", 30.0)))
         if inst.skin is not None:
             s = inst.skin
             jts = np.asarray(s.joints, np.int32).reshape(v, -1)[:, :4]
@@ -506,6 +532,17 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
             c, r = bounding_sphere(
                 pos if inst.animation_positions is None
                 else np.asarray(inst.animation_positions, F32).reshape(-1, 3))
+        if inst.morph is not None:
+            # Conservative morph slack: each target moves a vertex at most
+            # max|delta|, scaled by the largest weight magnitude on file
+            # (glTF weights are usually in [0,1] but may exceed it).
+            dp = np.asarray(inst.morph["pos"], F32)
+            wmax = max(1.0, float(np.abs(mo["dw"][-1]).max(initial=0.0)))
+            if mo["track"][-1] is not None:
+                wmax = max(wmax,
+                           float(np.abs(mo["track"][-1]).max(initial=0.0)))
+            r = float(r) + wmax * float(
+                np.linalg.norm(dp, axis=-1).max(axis=1).sum())
         centers.append(c)
         radii.append(r)
         base_colors.append(np.asarray(inst.material.base_color, dtype=F32))
@@ -575,6 +612,40 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         out["anim_vert_index"] = np.concatenate(anim["vidx"])
         out["anim_slot"] = np.concatenate(anim["slot"])
         out["anim_n_frames"] = np.asarray(anim["nf"], np.int32)
+    if mo["rate"]:
+        # Morph-target buffers (ops/morph.py): deltas vertex-major with
+        # the target axis padded to the widest mesh (padded targets carry
+        # zero deltas and zero weights, so they never displace anything);
+        # weight tracks padded on the frame axis (playback is modulo
+        # n_frames per slot — slots without a track store 0 frames and
+        # keep their default weights).
+        k_max = max(d.shape[1] for d in mo["dpos"])
+
+        def padk(arrs):
+            return np.concatenate(
+                [np.pad(a, ((0, 0), (0, k_max - a.shape[1]), (0, 0)))
+                 for a in arrs], axis=0)
+
+        out["morph_vert_index"] = np.concatenate(mo["vidx"])
+        out["morph_slot"] = np.concatenate(mo["slot"])
+        out["morph_deltas_pos"] = padk(mo["dpos"])
+        if any(d is not None for d in mo["dnrm"]):
+            out["morph_deltas_nrm"] = padk(
+                [d if d is not None else np.zeros_like(p)
+                 for d, p in zip(mo["dnrm"], mo["dpos"])])
+        out["morph_default_weights"] = np.stack(
+            [np.pad(w, (0, k_max - w.shape[0])) for w in mo["dw"]])
+        if any(t is not None for t in mo["track"]):
+            f_max = max(t.shape[0] for t in mo["track"] if t is not None)
+            tracks = np.zeros((len(mo["track"]), f_max, k_max), F32)
+            nf = np.zeros(len(mo["track"]), np.int32)
+            for i, t in enumerate(mo["track"]):
+                if t is not None:
+                    tracks[i, : t.shape[0], : t.shape[1]] = t
+                    nf[i] = t.shape[0]
+            out["morph_weight_tracks"] = tracks
+            out["morph_track_frames"] = nf
+            out["morph_rate"] = np.asarray(mo["rate"], F32)
     if sk["nf"]:
         # Skeletal skinning buffers: joints concatenated with global ids;
         # track frame axes padded to the longest clip (per-skin playback
