@@ -18,6 +18,8 @@ hot path than production.  This script runs the MOSAIC compilation
   5. active-triangle compaction parity through the Mosaic kernel
   6. skeletal skinning (level-scheduled FK, per-skin clock vector):
      Mosaic vs fused parity + the pose moves with the traced clock
+  7. morph targets (animated weight track): Mosaic vs fused parity +
+     the silhouette moves with the traced clock
 
 Writes TPUCHECK.json {"ok": bool, "checks": [...]} to the repo root and
 exits non-zero on any failure.  Wire-up: `scripts/ci.sh --tpu` (run each
@@ -256,6 +258,45 @@ def main():
           and moved > 20,
           color_mismatch_frac=cfrac, depth_mismatch_frac=dfrac,
           pixels_moved_by_clock=moved)
+
+    # ---- 7. morph targets (animated weight track) parity on Mosaic ------
+    # A two-target quad with a weight track: the Mosaic kernel frame must
+    # match XLA fused pixel-exactly and the silhouette must move with the
+    # anim_time clock (guards the ops/morph vertex stage on the real
+    # compilation).
+    mdp = np.zeros((2, 4, 3), np.float32)
+    mdp[0, :, 2] = [0.0, 1.0, 2.0, 3.0]
+    mdp[1, :, 0] = 1.0
+    mtrack = np.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32)
+    mmesh = {"position": np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0],
+                                     [1, 1, 0]], np.float32),
+             "uv": np.zeros((4, 2), np.float32),
+             "normal": np.tile(np.float32([[0, 0, 1]]), (4, 1)),
+             "color": np.ones((4, 4), np.float32),
+             "indices": np.asarray([[0, 1, 2], [2, 1, 3]], np.int32)}
+    mo_sc = scene_mod.build_scene_buffers([scene_mod.MeshInstance(
+        mmesh, ml2.translation([-0.5, -0.5, -4.0]),
+        morph={"pos": mdp, "nrm": None,
+               "weights": np.zeros(2, np.float32),
+               "weight_track": mtrack, "rate": 1.0})])
+    engmm = Engine(mo_sc, RenderParams(width=320, height=200,
+                                       cull_mode=0))
+    engmf = Engine(mo_sc, RenderParams(width=320, height=200, cull_mode=0,
+                                       use_pallas=False))
+    um = dict(engmm.uniforms)
+    um["anim_time"] = np.float32(0.5)
+    cmm, dmm = map(np.asarray, engmm.render(um))
+    cmf, dmf = map(np.asarray, engmf.render(um))
+    mcfrac = float((np.abs(cmm - cmf).max(axis=-1) > 1e-5).mean())
+    mdfrac = float((np.abs(dmm - dmf) > 1e-5).mean())
+    um0 = dict(um)
+    um0["morph_weights"] = np.zeros((1, 2), np.float32)
+    cm0 = np.asarray(engmm.render(um0)[0])
+    mmoved = int((np.abs(cmm - cm0).max(axis=-1) > 0.05).sum())
+    check("mosaic_morph_parity", mcfrac == 0.0 and mdfrac == 0.0
+          and mmoved > 20,
+          color_mismatch_frac=mcfrac, depth_mismatch_frac=mdfrac,
+          pixels_moved_by_clock=mmoved)
 
     ok = all(c["ok"] for c in checks)
     out = {"ok": ok, "device": str(jax.devices()[0].device_kind),

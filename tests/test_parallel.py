@@ -501,3 +501,52 @@ def test_sharded_post_fx_fxaa_and_user_callable():
             s, u, params, mesh))(sscene, u))
     assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
     assert (np.abs(d - ref_d) <= 1e-6).all()
+
+
+def test_sharded_applies_morphs():
+    """Morph targets (round-3 vertex stage) reach the sharded + ring
+    paths through the shared apply_vertex_updates: a morphing frame with
+    an animated weight track matches single-device exactly."""
+    from softwarerenderer_tpu.parallel.ring import (make_ring_mesh,
+                                                    render_frame_ring)
+    from tests.test_morph import quad_mesh, two_target_morph
+
+    track = np.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32)
+    insts = [
+        scene_mod.MeshInstance(
+            quad_mesh(), morph=two_target_morph(weight_track=track,
+                                                rate=1.0)),
+        scene_mod.MeshInstance(quad_mesh(),
+                               np.asarray(ml.translation([1.5, 0, -1]),
+                                          np.float32)),
+    ]
+    scene = scene_mod.build_scene_buffers(insts)
+    params = RenderParams(width=W, height=H, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16)
+    u = uniforms()
+    u["camera_position"] = np.float32([0.5, 0.5, 4.0])
+    u["anim_time"] = np.float32(0.5)        # mid-lerp of the track
+
+    ref_c, ref_d = map(np.asarray, jax.jit(
+        lambda s, u: render_frame(s, u, params=params))(scene, u))
+    u0 = dict(u)
+    u0["morph_weights"] = np.zeros((1, 2), np.float32)  # defeat the track
+    base_c, _ = map(np.asarray, jax.jit(
+        lambda s, u: render_frame(s, u, params=params))(scene, u0))
+    assert np.abs(ref_c - base_c).max() > 0.05, "morph did not move pixels"
+
+    sscene = shard_scene_triangles(scene, 2)
+    mesh = make_mesh(2, 2)
+    with mesh:
+        c, d = map(np.asarray, jax.jit(lambda s, u: render_frame_sharded(
+            s, u, params, mesh))(sscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
+
+    rmesh = make_ring_mesh(2)
+    rscene = shard_scene_triangles(scene, 2)
+    with rmesh:
+        c, d = map(np.asarray, jax.jit(lambda s, u: render_frame_ring(
+            s, u, params, rmesh))(rscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
