@@ -661,6 +661,59 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     return out
 
 
+def render_frame_multiview(scene: Dict, uniforms: Dict,
+                           params: RenderParams, views,
+                           layout: str = "h",
+                           vertex_shader: Callable = scene_vertex_shader,
+                           fragment_shader: Callable =
+                           scene_fragment_shader,
+                           chunk: int = 128):
+    """Split-screen / multi-camera: render len(views) views of the same
+    scene inside ONE jitted program and tile them into the (H, W) frame
+    — local co-op splits, CCTV walls, stereo pairs.  Beyond the
+    reference (one camera, Renderer.cs:404-419); unlike engine.rtt this
+    composes the views in framebuffer space, so every view keeps full
+    resolution and its own post-FX/translucency settings via `params`.
+
+    `views` is a tuple of per-view uniform OVERRIDE dicts (camera pose,
+    fov, lights, "mesh_visible" — anything in default_frame_uniforms);
+    keys not overridden fall through to `uniforms`.  layout "h" tiles
+    side-by-side columns, "v" stacks rows; the split axis must divide
+    evenly.  Returns (color (H, W, 4), depth (H, W)) like render_frame —
+    each tile is bit-identical to rendering that view alone at the tile
+    resolution when `views` rides the jit as a traced pytree (pass it as
+    an argument; a closed-over constant camera may constant-fold its
+    view matrix with different FMA contraction and flip borderline edge
+    pixels — PARITY.md cross-compilation note).
+    """
+    n = len(views)
+    if n < 1:
+        raise ValueError("views must be non-empty")
+    if layout not in ("h", "v"):
+        raise ValueError("layout must be 'h' or 'v'")
+    if layout == "h":
+        if params.width % n:
+            raise ValueError(f"width {params.width} not divisible by "
+                             f"{n} views")
+        vp = params.replace(width=params.width // n)
+    else:
+        if params.height % n:
+            raise ValueError(f"height {params.height} not divisible by "
+                             f"{n} views")
+        vp = params.replace(height=params.height // n)
+    colors, depths = [], []
+    for ov in views:
+        u = dict(uniforms)
+        u.update(ov)
+        c, d = render_frame(scene, u, vp, vertex_shader=vertex_shader,
+                            fragment_shader=fragment_shader, chunk=chunk)
+        colors.append(c)
+        depths.append(d)
+    axis = 1 if layout == "h" else 0
+    return (jnp.concatenate(colors, axis=axis),
+            jnp.concatenate(depths, axis=axis))
+
+
 def render_frame_with_shadows(scene: Dict, uniforms: Dict,
                               params: RenderParams,
                               shadow_size: int = 512,

@@ -555,3 +555,64 @@ def test_post_fx_user_callable_stage():
     c_b, _ = jax.jit(render_frame, static_argnums=2)(sc, u, before)
     c_a, _ = jax.jit(render_frame, static_argnums=2)(sc, u, after)
     assert np.abs(np.asarray(c_b) - np.asarray(c_a)).max() > 0.01
+
+
+def test_multiview_tiles_match_single_views():
+    """render_frame_multiview: each tile is bit-identical to rendering
+    that view alone at the tile resolution; invalid layouts reject."""
+    import pytest as _pytest
+
+    from softwarerenderer_tpu.engine import (default_frame_uniforms,
+                                             render_frame,
+                                             render_frame_multiview)
+    from softwarerenderer_tpu.models import primitives, scene as scene_mod
+    from softwarerenderer_tpu.ops import texture as tex_ops
+    from softwarerenderer_tpu.utils import mathlib as ml
+
+    checker = np.asarray(tex_ops.checkerboard(16, 4)["data"])
+    insts = [scene_mod.MeshInstance(primitives.cube(1.0),
+                                    ml.translation([0.0, 0.0, -3.0]),
+                                    texture=checker),
+             scene_mod.MeshInstance(primitives.plane(8.0),
+                                    ml.translation([0.0, -1.0, 0.0]),
+                                    texture=checker)]
+    scene = scene_mod.build_scene_buffers(insts)
+    params = RenderParams(width=128, height=64, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16)
+    u = default_frame_uniforms(params.width, params.height)
+    views = (
+        {"camera_position": np.float32([0.0, 0.0, 1.0])},
+        {"camera_position": np.float32([2.0, 1.0, 1.0]),
+         "camera_rotation": np.asarray(ml.quat_from_yaw_pitch_roll(
+             0.5, -0.2, 0.0), np.float32)},
+    )
+    # views ride the jit as a TRACED pytree (how a real caller animates
+    # cameras) — constant-folding a closed-over camera can contract FMAs
+    # differently and flip borderline edge pixels vs the traced path.
+    c, d = map(np.asarray, jax.jit(
+        lambda s, u, v: render_frame_multiview(s, u, params, v))(
+            scene, u, views))
+    assert c.shape == (64, 128, 4) and d.shape == (64, 128)
+
+    vp = params.replace(width=64)
+    for i, ov in enumerate(views):
+        ui = dict(u)
+        ui.update(ov)
+        ci, di = map(np.asarray, jax.jit(
+            lambda s, u: render_frame(s, u, vp))(scene, ui))
+        np.testing.assert_array_equal(c[:, i * 64:(i + 1) * 64], ci)
+        np.testing.assert_array_equal(d[:, i * 64:(i + 1) * 64], di)
+    # the two views actually see different things
+    assert np.any(c[:, :64] != c[:, 64:])
+
+    # vertical layout shape
+    cv, dv = map(np.asarray, jax.jit(
+        lambda s, u, v: render_frame_multiview(s, u, params, v,
+                                               layout="v"))(
+            scene, u, views))
+    assert cv.shape == (64, 128, 4) and dv.shape == (64, 128)
+
+    with _pytest.raises(ValueError):
+        render_frame_multiview(scene, u, params, views + views[:1])
+    with _pytest.raises(ValueError):
+        render_frame_multiview(scene, u, params, views, layout="grid")
