@@ -1123,6 +1123,51 @@ class Dust2Game:
         self.window.close()
 
 
+def serve(port: int = 7777, net_batch: float = 0.0, quiet: bool = False,
+          stop_event=None, poll_hz: float = 100.0) -> None:
+    """Dedicated relay server: host a session with no scene, renderer,
+    physics, or player slot — a deployment mode the reference cannot
+    express (its host is always a rendering player; Renderer.cs:72-84
+    boots the window unconditionally).
+
+    Runs the pure Networking host: binds the port (it elects itself —
+    nobody answers the ping), assigns client ids, replays buffered
+    join RPCs to late joiners, relays Update/chat/hit traffic, and
+    serves reliable-delivery acks.  Game rules live client-side in this
+    protocol (each peer applies its own PlayerHit / respawn), so a
+    logic-less relay is a complete server.  The host never announces a
+    ConnectedPlayer, so clients see only each other.
+
+    Blocks until `stop_event` (a threading.Event) is set; with the
+    default None it serves forever (Ctrl-C to stop).
+    """
+    net = Networking()
+    net.rpc_batch_window = max(0.0, net_batch)
+    # Without a player host, client→client relay IS the server's job —
+    # the reference's faithful no-relay quirk (only host-originated RPCs
+    # broadcast) would make a playerless host useless.
+    net.relay_client_rpcs = True
+    # late joiners must learn of earlier clients: buffer their joins
+    net.buffer_relayed_methods = {"ConnectedPlayer"}
+    if quiet:
+        net.log = lambda s: None
+    if not net.connect("127.0.0.1", port):
+        raise SystemExit(1)
+    if not net.is_host:
+        net.close()
+        raise SystemExit(f"port {port} already hosts a session")
+    if not quiet:
+        print(f"dedicated server on :{port}")
+    try:
+        while stop_event is None or not stop_event.is_set():
+            net.poll_rpcs()     # drain + flush batch windows / resends
+            time.sleep(1.0 / poll_hz)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        net.close()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("server", nargs="?", default="127.0.0.1")
@@ -1145,11 +1190,18 @@ def main(argv=None):
                          "run this framework)")
     ap.add_argument("--offline", action="store_true",
                     help="skip networking entirely")
+    ap.add_argument("--dedicated", action="store_true",
+                    help="run a dedicated relay server on --port (no "
+                         "scene, no rendering, no player slot)")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", default=None, help="headless PNG output path")
     ap.add_argument("--assets", default=DEFAULT_ASSETS)
     ap.add_argument("--name", default=None)
     args = ap.parse_args(argv)
+
+    if args.dedicated:
+        serve(port=args.port, net_batch=args.net_batch)
+        return
 
     game = Dust2Game(server=args.server, port=args.port, width=args.width,
                      height=args.height, render_scale=args.render_scale,

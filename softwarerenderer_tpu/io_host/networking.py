@@ -88,6 +88,12 @@ class Networking:
             queue.Queue()
         self.on_receive_rpc: List[Callable[[str, List[str]], None]] = []
         self.relay_client_rpcs = False
+        # With relay enabled, method names in this set also join the
+        # buffered-RPC replay for late joiners (a playerless dedicated
+        # host must buffer CLIENT joins — the reference only ever
+        # buffers host-originated sends, Networking.cs:265-269).
+        # Entries are pruned when their sender disconnects.
+        self.buffer_relayed_methods: set = set()
         self.listening_port = DEFAULT_PORT
         from softwarerenderer_tpu.utils import slog
         self.log: Callable[[str], None] = slog.get_logger("net").debug
@@ -703,6 +709,8 @@ class Networking:
                 data = relay.encode("utf-8")
                 with self._lock:
                     others = [ep for ep in self._clients if ep != sender]
+                    if method in self.buffer_relayed_methods:
+                        self._buffered_rpcs.append(relay)
                 for ep in others:
                     self._send_raw(data, ep)
         else:
@@ -892,6 +900,11 @@ class Networking:
                           if c == cid), None)
             if entry is not None:
                 del self._clients[entry]
+                # drop the leaver's buffered relayed RPCs so late joiners
+                # don't resurrect a ghost (buffer_relayed_methods)
+                self._buffered_rpcs = [
+                    r for r in self._buffered_rpcs
+                    if not r.endswith(f":senderId={cid}")]
         if entry is not None:
             self.log(f"Client {cid} disconnected from {entry}")
             self.send_rpc("ClientDisconnected", [str(cid)])

@@ -402,3 +402,48 @@ def test_checkpoint_roundtrips_particles(tmp_path):
             np.testing.assert_array_equal(before[k], after[k])
     finally:
         g.close()
+
+
+def test_dedicated_server_relays_two_clients():
+    """A dedicated relay server (no scene/render/player slot) hosts a
+    session: two Dust2Game CLIENTS join it, get distinct ids, see each
+    other's join + pose updates, and never see a host player."""
+    import threading
+
+    from softwarerenderer_tpu.apps.dust2 import serve
+
+    port = free_port()
+    stop = threading.Event()
+    srv = threading.Thread(target=serve,
+                           kwargs=dict(port=port, quiet=True,
+                                       stop_event=stop), daemon=True)
+    srv.start()
+    time.sleep(0.3)                       # let the server bind
+    a = b = None
+    try:
+        a = make_game(port=port, player_name="Alice")
+        assert not a.net.is_host and a.net.client_id == 1
+        b = make_game(port=port, player_name="Bob")
+        assert not b.net.is_host and b.net.client_id == 2
+        for _ in range(10):
+            a.step(1 / 30)
+            b.step(1 / 30)
+            time.sleep(0.01)
+        # each client sees the other; no host player ever appears
+        # (send_rpc local-echo may also list oneself, as in the
+        # reference's own session flow)
+        a_names = {p.name for p in a.players}
+        b_names = {p.name for p in b.players}
+        assert "Bob" in a_names and a_names <= {"Alice", "Bob"}
+        assert "Alice" in b_names and b_names <= {"Alice", "Bob"}
+        bp = next(p for p in a.players if p.name == "Bob")
+        np.testing.assert_allclose(
+            bp.position, np.asarray(b.char["position"]), atol=0.5)
+    finally:
+        if a is not None:
+            a.close()
+        if b is not None:
+            b.close()
+        stop.set()
+        srv.join(timeout=5)
+        assert not srv.is_alive()
