@@ -7,3 +7,8 @@ from softwarerenderer_tpu.parallel.ring import (  # noqa: F401
     make_ring_mesh,
     render_frame_ring,
 )
+from softwarerenderer_tpu.parallel.multiview import (  # noqa: F401
+    make_view_mesh,
+    render_frame_views,
+    stack_views,
+)

@@ -550,3 +550,50 @@ def test_sharded_applies_morphs():
             s, u, params, rmesh))(rscene, u))
     assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
     assert (np.abs(d - ref_d) <= 1e-6).all()
+
+
+def test_view_parallel_matches_solo_renders():
+    """View-parallel scale-out (parallel/multiview.py): each device on a
+    ("view",) mesh renders a COMPLETE frame for its own camera; every
+    view matches the solo single-device render of that camera."""
+    from softwarerenderer_tpu.parallel import (make_view_mesh,
+                                               render_frame_views,
+                                               stack_views)
+
+    scene = small_scene()
+    params = RenderParams(width=W, height=H, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16)
+    u = uniforms()
+    views = (
+        {"camera_position": np.float32([0.0, 1.0, 2.0])},
+        {"camera_position": np.float32([2.0, 2.0, 2.0])},
+        {"camera_position": np.float32([-2.0, 0.5, 3.0])},
+        {"camera_position": np.float32([0.0, 4.0, 0.5])},
+    )
+    vs = stack_views(views)
+    mesh = make_view_mesh(4)
+    with mesh:
+        c, d = map(np.asarray, jax.jit(
+            lambda s, u, v: render_frame_views(s, u, params, v, mesh))(
+                scene, u, vs))
+    assert c.shape == (4, H, W, 4) and d.shape == (4, H, W)
+    for i, ov in enumerate(views):
+        ui = dict(u)
+        ui.update(ov)
+        ci, di = map(np.asarray, jax.jit(
+            lambda s, u: render_frame(s, u, params=params))(scene, ui))
+        assert (np.abs(c[i] - ci).max(axis=-1) <= 1e-6).all(), f"view {i}"
+        assert (np.abs(d[i] - di) <= 1e-6).all(), f"view {i}"
+    # the cameras genuinely disagree
+    assert np.any(c[0] != c[1])
+
+    # mismatched stacking is rejected loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stack_views(({"camera_position": np.zeros(3, np.float32)},
+                     {"fov_degrees": np.float32(60.0)}))
+    with _pytest.raises(ValueError):
+        render_frame_views(scene, u, params,
+                           {"camera_position": np.zeros((3, 3),
+                                                        np.float32)},
+                           mesh)
