@@ -195,7 +195,10 @@ class Dust2Game:
                                    "scene.gltf")
         self.map_matrix = ml.scale(MAP_SCALE)
         if os.path.exists(dust2_path):
-            map_model = model_loader.load_model(dust2_path)
+            # rigid_animation=False: the map's PACKED vertices feed the
+            # collision world + hitscan (world-space consumers)
+            map_model = model_loader.load_model(dust2_path,
+                                                rigid_animation=False)
         else:
             map_model, fallback_tex = _fallback_map()
             self.map_matrix = np.eye(4, dtype=F32)
@@ -222,7 +225,8 @@ class Dust2Game:
 
         # MAX_PLAYERS player-model slots.
         if os.path.exists(player_path):
-            player_model = model_loader.load_model(player_path)
+            player_model = model_loader.load_model(player_path,
+                                                   rigid_animation=False)
         else:
             player_model = model_loader.Model(meshes=[dict(
                 primitives.cube(1.0), material=scene_mod.Material(),
@@ -1149,6 +1153,11 @@ def serve(port: int = 7777, net_batch: float = 0.0, quiet: bool = False,
     net.relay_client_rpcs = True
     # late joiners must learn of earlier clients: buffer their joins
     net.buffer_relayed_methods = {"ConnectedPlayer"}
+    # a playerless host must expire crashed clients itself (graceful
+    # Disconnects arrive as RPCs; silence does not) — heartbeat
+    # failure detection stops relaying to dead endpoints and prunes
+    # their buffered joins
+    net.peer_timeout = 10.0
     if quiet:
         net.log = lambda s: None
     if not net.connect("127.0.0.1", port):

@@ -93,15 +93,47 @@ def _load_buffers(doc: dict, base_dir: str,
     return out
 
 
+def _read_sparse(doc: dict, buffers: List[bytes], acc: dict,
+                 base: np.ndarray) -> np.ndarray:
+    """Apply a sparse accessor's index/value overrides to `base` (the
+    dense bufferView content, or zeros — the spec default).  Blender
+    exports morph-target deltas this way by default."""
+    sp = acc["sparse"]
+    n = int(sp["count"])
+
+    def seg(view_idx: int, extra_off: int, dtype, count: int):
+        view = doc["bufferViews"][view_idx]
+        data = buffers[view["buffer"]]
+        off = view.get("byteOffset", 0) + extra_off
+        return np.frombuffer(data, dtype=dtype, count=count, offset=off)
+
+    si = sp["indices"]
+    idx = seg(si["bufferView"], si.get("byteOffset", 0),
+              _COMPONENT_DTYPES[si["componentType"]], n).astype(np.int64)
+    sv = sp["values"]
+    n_comp = _TYPE_COUNTS[acc["type"]]
+    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    vals = seg(sv["bufferView"], sv.get("byteOffset", 0), dtype,
+               n * n_comp).reshape(n, n_comp)
+    out = np.array(base, copy=True)
+    out[idx] = vals
+    return out
+
+
 def _read_accessor(doc: dict, buffers: List[bytes], idx: int) -> np.ndarray:
     acc = doc["accessors"][idx]
-    if "sparse" in acc:
-        raise GltfError("sparse accessors not supported")
     n_comp = _TYPE_COUNTS[acc["type"]]
     dtype = _COMPONENT_DTYPES[acc["componentType"]]
     count = acc["count"]
     if "bufferView" not in acc:
-        return np.zeros((count, n_comp), dtype=dtype)
+        base = np.zeros((count, n_comp), dtype=dtype)
+        if "sparse" in acc:
+            base = _read_sparse(doc, buffers, acc, base)
+            if acc.get("normalized") and np.issubdtype(dtype, np.integer):
+                info = np.iinfo(dtype)
+                return base.astype(F32) / F32(max(abs(info.min),
+                                                  info.max))
+        return base
     view = doc["bufferViews"][acc["bufferView"]]
     data = buffers[view["buffer"]]
     start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
@@ -118,6 +150,8 @@ def _read_accessor(doc: dict, buffers: List[bytes], idx: int) -> np.ndarray:
         strided = np.lib.stride_tricks.as_strided(
             raw, shape=(count, elem_size), strides=(stride, 1))
         arr = strided.reshape(-1).view(dtype).reshape(count, n_comp)
+    if "sparse" in acc:
+        arr = _read_sparse(doc, buffers, acc, arr)
     if acc.get("normalized") and np.issubdtype(dtype, np.integer):
         info = np.iinfo(dtype)
         arr = arr.astype(F32) / F32(max(abs(info.min), info.max))
@@ -320,9 +354,8 @@ def _sampled_trs(doc: dict, channels: dict, node: int, grid: np.ndarray):
     return t.astype(F32), q.astype(F32), s.astype(F32)
 
 
-def _rigid_skin(doc: dict, channels: dict, duration: float, chain,
-                n_verts: int):
-    """A 1-joint models.scene.Skin evaluating a mesh node's ANIMATED
+def _rigid_track(doc: dict, channels: dict, duration: float, chain):
+    """The 1-joint skeleton kwargs evaluating a mesh node's ANIMATED
     global transform on device (node-TRS animations on non-skinned
     meshes — rigid-body animation; Assimp exposes these as node anims,
     the reference ignores them).  `chain` = [node, parent, ..., root].
@@ -330,9 +363,9 @@ def _rigid_skin(doc: dict, channels: dict, duration: float, chain,
     The joint's track is the composed global TRS per uniform-clock frame
     (global = local_node @ local_parent @ ... in the row-vector
     convention), endpoint-dropped exactly like skin tracks; vertices
-    stay authored-local and ride the existing skinning path (weights
-    [1,0,0,0] to joint 0, identity inverse bind)."""
-    from softwarerenderer_tpu.models.scene import Skin
+    stay authored-local and ride the existing skinning path.  Built
+    ONCE per node (load_gltf caches it — a multi-primitive mesh shares
+    the resample/decompose work and the track arrays)."""
     from softwarerenderer_tpu.ops.skinning import compose_trs
 
     rate = _chain_rate(channels, duration, chain)
@@ -349,10 +382,7 @@ def _rigid_skin(doc: dict, channels: dict, duration: float, chain,
         trans[f, 0], rot[f, 0], scl[f, 0] = _decompose_trs_row(m)
     if F > 1:                        # drop the duplicated loop endpoint
         trans, rot, scl = trans[:-1], rot[:-1], scl[:-1]
-    return Skin(joints=np.zeros((n_verts, 4), np.int32),
-                weights=np.tile(np.asarray([1, 0, 0, 0], F32),
-                                (n_verts, 1)),
-                parent=np.asarray([-1], np.int32),
+    return dict(parent=np.asarray([-1], np.int32),
                 inverse_bind=np.eye(4, dtype=F32)[None],
                 trans=trans, rot=rot, scale=scl, rate=rate)
 
@@ -502,6 +532,7 @@ def load_gltf(path: str, flip_uv: bool = True,
         skin_protos, joint_remaps = [], []
 
     meshes: List[Dict] = []
+    rigid_tracks: Dict[int, Dict] = {}   # node → shared 1-joint track
 
     def process_node(node_idx: int, parent: np.ndarray, chain=()):
         chain = (node_idx,) + chain          # node → … → root
@@ -572,9 +603,19 @@ def load_gltf(path: str, flip_uv: bool = True,
                         for n in chain):
                     # Animated node chain: evaluate the global transform
                     # on device through a synthesized 1-joint skin
-                    # (vertices stay authored-local).
-                    skin_obj = _rigid_skin(doc, channels, duration,
-                                           chain, v)
+                    # (vertices stay authored-local); the node's track is
+                    # built once and shared across its primitives.
+                    from softwarerenderer_tpu.models.scene import (
+                        Skin as _Skin,
+                    )
+                    if node_idx not in rigid_tracks:
+                        rigid_tracks[node_idx] = _rigid_track(
+                            doc, channels, duration, chain)
+                    skin_obj = _Skin(
+                        joints=np.zeros((v, 4), np.int32),
+                        weights=np.tile(np.asarray([1, 0, 0, 0], F32),
+                                        (v, 1)),
+                        **rigid_tracks[node_idx])
                     wpos, wn = pos, normal
                 else:
                     # Bake world transform (ModelLoader.cs:196-200) —
@@ -662,12 +703,29 @@ def load_gltf(path: str, flip_uv: bool = True,
     lights: List[Light] = []
     ext = doc.get("extensions", {}).get("KHR_lights_punctual", {})
     for l in ext.get("lights", []):
-        lights.append(Light(
+        kw = dict(
             color=tuple(l.get("color", [1.0, 1.0, 1.0])),
             light_type=_LIGHT_TYPES.get(l.get("type"), LightType.POINT),
             spot_inner=float(l.get("spot", {}).get("innerConeAngle", 0.0)),
             spot_outer=float(l.get("spot", {}).get("outerConeAngle", 0.0)),
-        ))
+        )
+        srt = l.get("extras", {}).get("softwarerenderer_tpu")
+        if srt:
+            # our writer's full-record block (write_gltf): restores the
+            # fields KHR cannot carry (AMBIENT type, position/direction/
+            # attenuation — Light.cs:19-32 imports them all)
+            kw.update(
+                position=tuple(srt.get("position", (0.0, 0.0, 0.0))),
+                direction=tuple(srt.get("direction", (0.0, -1.0, 0.0))),
+                light_type=int(srt.get("light_type", kw["light_type"])),
+                attenuation_constant=float(srt.get("attenuation",
+                                                   (1, 0, 0))[0]),
+                attenuation_linear=float(srt.get("attenuation",
+                                                 (1, 0, 0))[1]),
+                attenuation_quadratic=float(srt.get("attenuation",
+                                                    (1, 0, 0))[2]),
+            )
+        lights.append(Light(**kw))
     return {"meshes": meshes, "lights": lights}
 
 
@@ -744,11 +802,38 @@ def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
         accessors.append(acc)
         return len(accessors) - 1
 
+    def _image_mime(data: bytes) -> Optional[str]:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return "image/png"
+        if data[:3] == b"\xff\xd8\xff":
+            return "image/jpeg"
+        return None                 # glTF allows only PNG/JPEG images
+
     def image_id(tex_path: str) -> int:
         if tex_path not in img_index:
-            img = (load_image(tex_path)
-                   if embed_textures or EMBEDDED_SEP in tex_path else None)
-            if img is not None:
+            embed = embed_textures or EMBEDDED_SEP in tex_path
+            raw = None
+            if embed:
+                # Pass the ORIGINAL encoded bytes through when they are
+                # already PNG/JPEG — byte-identical, full resolution, no
+                # decode (re-encoding via load_image would silently cap
+                # at MAX_TEXTURE_SIZE).
+                try:
+                    if EMBEDDED_SEP in tex_path:
+                        mp, i = tex_path.rsplit(EMBEDDED_SEP, 1)
+                        raw = _embedded_image_bytes(mp, int(i))
+                    else:
+                        with open(tex_path, "rb") as f:
+                            raw = f.read()
+                except (OSError, ValueError, KeyError, GltfError):
+                    raw = None
+            mime = _image_mime(raw) if raw else None
+            if embed and mime is not None:
+                images.append({"bufferView": put_view(raw),
+                               "mimeType": mime})
+            elif embed and (img := load_image(tex_path)) is not None:
+                # exotic source format: decode + PNG-encode (this path
+                # applies load_image's MAX_TEXTURE_SIZE downscale)
                 import io
 
                 from PIL import Image
@@ -939,11 +1024,22 @@ def write_gltf(path: str, meshes: List[Dict], lights: List[Light] = (),
     if lights:
         doc["extensionsUsed"] = ["KHR_lights_punctual"]
         doc["extensions"] = {"KHR_lights_punctual": {"lights": [
+            # KHR carries type/color/spot for foreign loaders (AMBIENT
+            # has no KHR equivalent — written as "point"); the extras
+            # block round-trips the FULL models.scene.Light record
+            # (position/direction/attenuation/ambient) for ours.
             {"type": _LIGHT_NAMES.get(l.light_type, "point"),
              "color": [float(c) for c in l.color[:3]],
              **({"spot": {"innerConeAngle": float(l.spot_inner),
                           "outerConeAngle": float(l.spot_outer)}}
-                if l.light_type == LightType.SPOT else {})}
+                if l.light_type == LightType.SPOT else {}),
+             "extras": {"softwarerenderer_tpu": {
+                 "position": [float(x) for x in l.position[:3]],
+                 "direction": [float(x) for x in l.direction[:3]],
+                 "light_type": int(l.light_type),
+                 "attenuation": [float(l.attenuation_constant),
+                                 float(l.attenuation_linear),
+                                 float(l.attenuation_quadratic)]}}}
             for l in lights]}}
 
     payload = bytes(blob)

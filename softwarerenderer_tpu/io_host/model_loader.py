@@ -364,10 +364,10 @@ def load_ply(path: str) -> Dict:
     return {"meshes": [mesh], "lights": []}
 
 
-def _load_single(path: str) -> Model:
+def _load_single(path: str, rigid_animation: bool = True) -> Model:
     ext = os.path.splitext(path)[1].lower()
     if ext in (".gltf", ".glb"):
-        doc = gltf_mod.load_gltf(path)
+        doc = gltf_mod.load_gltf(path, rigid_animation=rigid_animation)
     elif ext == ".obj":
         doc = load_obj(path)
     elif ext == ".stl":
@@ -388,25 +388,34 @@ def _load_single(path: str) -> Model:
     return Model(meshes=doc["meshes"], lights=doc["lights"])
 
 
-def load_model(path: str) -> Model:
-    """Cached load; a directory = flip-book animation (ModelLoader.cs:79-115)."""
+def load_model(path: str, rigid_animation: bool = True) -> Model:
+    """Cached load; a directory = flip-book animation (ModelLoader.cs:79-115).
+
+    rigid_animation=False statically bakes node-TRS-animated glTF meshes
+    at their rest pose instead of synthesizing device-evaluated 1-joint
+    skins (gltf.load_gltf).  Use False for models whose PACKED positions
+    feed host/world-space consumers — collision worlds, hitscan targets
+    (sim/raycast reads packed vertices; an animated mesh would render
+    transformed but collide untransformed)."""
     norm = os.path.abspath(path)
-    if norm in _MODEL_CACHE:
-        return _MODEL_CACHE[norm]
+    key = (norm, bool(rigid_animation))
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
     if os.path.isdir(norm):
         files = sorted(
             f for f in os.listdir(norm)
             if os.path.splitext(f)[1].lower() in SUPPORTED_EXTENSIONS)
-        frames = [_load_single(os.path.join(norm, f)) for f in files]
+        frames = [_load_single(os.path.join(norm, f), rigid_animation)
+                  for f in files]
         model = Model(animation_frames=frames)
         if frames:
             model.meshes = frames[0].meshes
             model.lights = frames[0].lights
     elif os.path.isfile(norm):
-        model = _load_single(norm)
+        model = _load_single(norm, rigid_animation)
     else:
         raise FileNotFoundError(f"Model path not found: {norm}")
-    _MODEL_CACHE[norm] = model
+    _MODEL_CACHE[key] = model
     return model
 
 

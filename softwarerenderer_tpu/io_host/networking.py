@@ -630,9 +630,14 @@ class Networking:
                 expired = [(ep, cid) for ep, cid in self._clients.items()
                            if now - self._last_heard.get(ep, now)
                            > self.peer_timeout]
-                for ep, _ in expired:
+                for ep, cid in expired:
                     del self._clients[ep]
                     self._last_heard.pop(ep, None)
+                    # same prune as a graceful Disconnect: drop the
+                    # leaver's buffered relayed RPCs (no ghost joins)
+                    self._buffered_rpcs = [
+                        r for r in self._buffered_rpcs
+                        if not r.endswith(f":senderId={cid}")]
             for ep, cid in expired:
                 self.log(f"Client {cid} timed out ({ep})")
                 self.send_rpc("ClientDisconnected", [str(cid)])

@@ -29,9 +29,14 @@ def morph_weights(scene: Dict, uniforms: Dict, xp=np):
     """(S, K) blend weights per morphing mesh slot.
 
     Precedence: uniforms["morph_weights"] (traced override, (S, K) or
-    broadcastable) > animated weight track sampled at the traced
-    uniforms["anim_time"] seconds clock (slots without a track keep
-    their defaults) > packed defaults."""
+    broadcastable) > animated weight track sampled at the traced clock
+    (slots without a track keep their defaults) > packed defaults.
+
+    The clock is uniforms["morph_time"] (scalar or per-morph-slot (S,))
+    when present, else uniforms["anim_time"].  anim_time may also be the
+    per-SKIN clock vector (ops/skinning.skin_matrices) whose length is
+    unrelated to S — in that case morph slots read its first element
+    (one shared clock); pass "morph_time" for per-slot morph clocks."""
     dflt = xp.asarray(scene["morph_default_weights"], F32)   # (S, K)
     S, K = dflt.shape
     if "morph_weights" in uniforms:
@@ -39,8 +44,11 @@ def morph_weights(scene: Dict, uniforms: Dict, xp=np):
         return xp.broadcast_to(xp.atleast_2d(w), (S, K))
     w = dflt
     if "morph_weight_tracks" in scene:
-        t = xp.asarray(uniforms.get("anim_time", 0.0), F32)
-        t = xp.broadcast_to(xp.atleast_1d(t), (S,))
+        t = uniforms.get("morph_time",
+                         uniforms.get("anim_time", 0.0))
+        t = xp.asarray(t, F32).reshape(-1)
+        t = (xp.broadcast_to(t, (S,)) if t.shape[0] in (1, S)
+             else xp.broadcast_to(t[:1], (S,)))
         nf = xp.asarray(scene["morph_track_frames"], np.int32)  # (S,)
         nfc = xp.maximum(nf, 1)
         frame = t * xp.asarray(scene["morph_rate"], F32)

@@ -583,3 +583,69 @@ def test_embedded_texture_renders_through_engine(tmp_path):
     red = (c[..., 0].astype(int) > 2 * c[..., 1].astype(int) + 20) \
         & (c[..., 0] > 50)
     assert red.sum() > 50, "embedded texture did not shade the cube"
+
+
+def test_gltf_light_full_roundtrip(tmp_path):
+    """Regression: lights round-trip ALL Light fields (AMBIENT type,
+    position/direction/attenuation) through the writer's extras block —
+    KHR_lights_punctual alone can't carry them."""
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+    from softwarerenderer_tpu.models import primitives
+    from softwarerenderer_tpu.models.scene import Light, LightType
+
+    lights = [
+        Light(position=(1.0, 2.0, 3.0), direction=(0.0, 0.0, -1.0),
+              color=(0.5, 0.25, 0.125), light_type=LightType.AMBIENT,
+              attenuation_constant=0.5, attenuation_linear=0.125,
+              attenuation_quadratic=0.0625),
+        Light(light_type=LightType.SPOT, spot_inner=0.1, spot_outer=0.3,
+              position=(-1.0, 0.0, 0.0)),
+    ]
+    out = str(tmp_path / "lit.glb")
+    gltf_mod.write_gltf(out, [dict(primitives.cube(1.0))], lights=lights)
+    back = gltf_mod.load_gltf(out)["lights"]
+    assert len(back) == 2
+    for src, got in zip(lights, back):
+        assert got.light_type == src.light_type
+        np.testing.assert_allclose(got.position, src.position, atol=1e-7)
+        np.testing.assert_allclose(got.direction, src.direction,
+                                   atol=1e-7)
+        np.testing.assert_allclose(got.color, src.color, atol=1e-7)
+        assert abs(got.attenuation_constant
+                   - src.attenuation_constant) < 1e-7
+        assert abs(got.attenuation_linear - src.attenuation_linear) < 1e-7
+        assert abs(got.attenuation_quadratic
+                   - src.attenuation_quadratic) < 1e-7
+        assert abs(got.spot_outer - src.spot_outer) < 1e-7
+
+
+def test_gltf_embed_passes_original_bytes_through(tmp_path):
+    """Regression: embedding must carry the ORIGINAL encoded bytes for
+    PNG/JPEG sources (no decode → no silent MAX_TEXTURE_SIZE downscale,
+    byte-identical re-embeds), falling back to decode+PNG only for
+    exotic formats."""
+    from PIL import Image
+
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+    from softwarerenderer_tpu.models import primitives
+    from softwarerenderer_tpu.models.scene import Material
+
+    rng = np.random.default_rng(13)
+    tex = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+    img_path = str(tmp_path / "t.png")
+    Image.fromarray(tex).save(img_path)
+    raw = open(img_path, "rb").read()
+
+    mesh = dict(primitives.cube(1.0))
+    mesh["material"] = Material(texture_paths=(("diffuse", img_path),))
+    out = str(tmp_path / "a.glb")
+    gltf_mod.write_gltf(out, [mesh], embed_textures=True)
+    doc = gltf_mod.load_gltf(out)
+    p = doc["meshes"][0]["material"].texture_path("diffuse")
+    model_path = p.rsplit(gltf_mod.EMBEDDED_SEP, 1)[0]
+    got = gltf_mod._embedded_image_bytes(model_path, 0)
+    assert got == raw, "embedded bytes differ from the source PNG"
+    # re-embedding an embedded source is also byte-identical
+    out2 = str(tmp_path / "b.glb")
+    gltf_mod.write_gltf(out2, doc["meshes"])
+    assert gltf_mod._embedded_image_bytes(out2, 0) == raw

@@ -234,3 +234,86 @@ def test_morph_renders_and_animates(tmp_path):
     f0, f1 = covered(0.0), covered(1.0)
     assert f0.sum() > 40 and f1.sum() > 40
     assert np.any(f0 != f1), "morph weights did not move the quad"
+
+
+def test_morph_clock_with_per_skin_anim_time_vector():
+    """Regression: a per-SKIN anim_time clock vector (ops/skinning) in a
+    scene that also has morph weight tracks must not break the morph
+    clock — morph slots fall back to the vector's first element, and
+    uniforms['morph_time'] gives per-slot morph clocks."""
+    track = np.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], F32)
+    mo = two_target_morph(weight_track=track, rate=1.0)
+    mesh = quad_mesh()
+    scene = build_scene_buffers([MeshInstance(mesh, morph=mo)])
+    vin = {"position": scene["position"], "normal": scene["normal"]}
+
+    # 3-entry per-skin vector vs 1 morph slot: no crash, first element
+    out = morph_mod.apply_morphs(
+        vin, scene, {"anim_time": np.float32([0.5, 9.0, 9.0])}, xp=np)
+    want = morph_mod.morphed_positions_np(mo, mesh["position"],
+                                          [0.5, 0.0])
+    np.testing.assert_allclose(out["position"], want, atol=1e-6)
+    # morph_time overrides anim_time for the morph clock
+    out2 = morph_mod.apply_morphs(
+        vin, scene, {"anim_time": np.float32([9.0, 9.0]),
+                     "morph_time": np.float32(1.5)}, xp=np)
+    np.testing.assert_allclose(
+        out2["position"],
+        morph_mod.morphed_positions_np(mo, mesh["position"], [0.5, 0.5]),
+        atol=1e-6)
+
+
+def test_sparse_accessor_morph_targets(tmp_path):
+    """Regression: Blender's default morph export uses SPARSE accessors
+    for target deltas — they must decode (not abort the import)."""
+    from softwarerenderer_tpu.io_host import gltf as gltf_mod
+
+    mesh = quad_mesh()
+    pos = mesh["position"]
+    idx = np.asarray(mesh["indices"], np.uint16).reshape(-1)
+    sp_idx = np.asarray([1, 3], np.uint16)          # verts 1 and 3 move
+    sp_val = np.asarray([[0, 0, 2], [0, 0, 4]], F32)
+    blob = pos.tobytes() + idx.tobytes() + sp_idx.tobytes() \
+        + sp_val.tobytes()
+    o = np.cumsum([0, pos.nbytes, idx.nbytes, sp_idx.nbytes])
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1,
+            "targets": [{"POSITION": 2}]}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+            {"componentType": 5126, "count": 4, "type": "VEC3",
+             "sparse": {"count": 2,
+                        "indices": {"bufferView": 2,
+                                    "componentType": 5123},
+                        "values": {"bufferView": 3}}},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": int(o[0]),
+             "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": int(o[1]),
+             "byteLength": idx.nbytes},
+            {"buffer": 0, "byteOffset": int(o[2]),
+             "byteLength": sp_idx.nbytes},
+            {"buffer": 0, "byteOffset": int(o[3]),
+             "byteLength": sp_val.nbytes},
+        ],
+        "buffers": [{"byteLength": len(blob),
+                     "uri": "data:application/octet-stream;base64,"
+                            + __import__("base64").b64encode(blob)
+                            .decode()}],
+    }
+    path = str(tmp_path / "sparse.gltf")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    (back,) = gltf_mod.load_gltf(path)["meshes"]
+    dp = back["morph"]["pos"][0]
+    np.testing.assert_allclose(dp[1], [0, 0, 2], atol=1e-6)
+    np.testing.assert_allclose(dp[3], [0, 0, 4], atol=1e-6)
+    np.testing.assert_allclose(dp[[0, 2]], 0.0, atol=1e-6)

@@ -570,3 +570,25 @@ def test_split_batch_roundtrip_and_malformed():
         _split_batch("999:short")
     with pytest.raises((ValueError, IndexError)):
         _split_batch("abc")
+
+
+def test_timeout_expiry_prunes_buffered_relayed_joins(port):
+    """Regression (dedicated-server ghosts): a client that CRASHES (no
+    Disconnect RPC) must have its buffered relayed join pruned by the
+    heartbeat timeout path, exactly like a graceful disconnect — late
+    joiners must not resurrect it."""
+    host = make_peer(port, peer_timeout=0.5, relay_client_rpcs=True,
+                     buffer_relayed_methods={"ConnectedPlayer"})
+    c1 = make_peer(port, client=True)
+    cid = c1.client_id
+    try:
+        c1.send_rpc("ConnectedPlayer", [str(cid), "Ghost"])
+        assert wait_for(lambda: len(host._buffered_rpcs) == 1, timeout=2.0)
+        # c1 crashes silently
+        c1._running = False
+        c1._sock.close(); c1._sock = None
+        assert wait_for(lambda: cid not in
+                        host.connected_clients.values(), timeout=3.0)
+        assert host._buffered_rpcs == [], "ghost join survived the timeout"
+    finally:
+        host.close()

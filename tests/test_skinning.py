@@ -574,3 +574,23 @@ def test_rigid_node_animation_renders_and_moves(tmp_path):
     f0, f1 = frame(0.0), frame(1.0)         # 0° vs 90°
     assert f0.sum() > 40 and f1.sum() > 40
     assert np.any(f0 != f1), "quad did not move with anim_time"
+
+
+def test_load_model_threads_rigid_animation_flag(tmp_path):
+    """model_loader.load_model(rigid_animation=False) statically bakes
+    animated nodes (for collision/hitscan consumers of PACKED positions)
+    and caches the two variants separately."""
+    from softwarerenderer_tpu.io_host import model_loader
+    from tests.test_skinning import _rigid_anim_gltf  # self-import ok
+
+    path, pos = _rigid_anim_gltf(tmp_path)
+    model_loader.clear_caches()
+    animated = model_loader.load_model(path)
+    static = model_loader.load_model(path, rigid_animation=False)
+    assert "skin" in animated.meshes[0]
+    assert "skin" not in static.meshes[0]
+    np.testing.assert_allclose(static.meshes[0]["position"],
+                               pos + np.float32([0, 0, -2]), atol=1e-6)
+    # distinct cache entries: same objects on repeat loads
+    assert model_loader.load_model(path) is animated
+    assert model_loader.load_model(path, rigid_animation=False) is static
