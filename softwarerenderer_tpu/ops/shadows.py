@@ -69,7 +69,24 @@ def render_shadow_depth(scene: Dict, uniforms: Dict, light_view, light_proj,
     u = dict(uniforms)
     u.update(model=model_pv, view=light_view, projection=light_proj)
     vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
+    # Animated geometry must cast shadows in its CURRENT pose: run the
+    # same vertex-update chain as the main frame (flip-book frames,
+    # morph targets, skinning, particle billboards — billboards face the
+    # MAIN camera, which is what their shadow should track too).
+    from softwarerenderer_tpu.engine.renderer import (
+        apply_vertex_updates,
+        camera_matrices,
+    )
+    main_view, _ = camera_matrices(uniforms, S, S)
+    vin = apply_vertex_updates(vin, scene, uniforms, main_view)
     tri_mask = scene.get("tri_valid")
+    if "tri_lod_level" in scene:
+        # Only each mesh's ACTIVE LOD level casts — otherwise every
+        # packed level's triangles shadow simultaneously.
+        from softwarerenderer_tpu.ops import lod
+        h = params.height if params is not None else S
+        lm = lod.lod_tri_mask(scene, uniforms, h, xp=jnp)
+        tri_mask = lm if tri_mask is None else (tri_mask & lm)
 
     def light_vs(vin, uu, xp=jnp):
         world = ml.transform(ml.homogenize(vin["position"], xp=xp),

@@ -255,3 +255,38 @@ def test_spot_shadowed_frame():
 
     darker = (shaded[..., :3].sum(-1) < plain[..., :3].sum(-1) - 0.05)
     assert 20 < darker.sum() < 0.25 * darker.size, int(darker.sum())
+
+
+def test_animated_geometry_casts_posed_shadows():
+    """Regression: the shadow depth pass runs the same vertex-update
+    chain as the main frame — a skinned arm's SHADOW moves with the
+    anim_time clock (it used to cast its rest pose forever)."""
+    from tests.test_skinning import arm_mesh, two_bone_skin
+
+    arm = arm_mesh()
+    insts = [scene_mod.MeshInstance(primitives.plane(20.0),
+                                    ml.translation([0, -1, 0])),
+             scene_mod.MeshInstance(arm,
+                                    ml.translation([0.0, 0.5, -4.0]),
+                                    skin=two_bone_skin(arm["position"]))]
+    scene = scene_mod.build_scene_buffers(insts)
+    params = RenderParams(width=128, height=96, cull_mode=0)
+    u = default_frame_uniforms(params.width, params.height)
+    u["camera_position"] = np.float32([0.0, 2.0, 1.0])
+    u["light_direction"] = np.float32([0.0, -1.0, 0.0])
+
+    frame = jax.jit(functools.partial(render_frame_with_shadows,
+                                      params=params, shadow_size=128))
+
+    def shadow_px(t):
+        uu = dict(u)
+        uu["anim_time"] = np.float32(t)
+        c, _d = map(np.asarray, frame(scene, uu))
+        # shadowed floor pixels are darker than their lit neighbors;
+        # count "dark" pixels as a pose signature
+        lum = c[..., :3].mean(-1)
+        return lum < 0.55 * float(np.median(lum))
+
+    s0, s1 = shadow_px(0.0), shadow_px(1.0)   # 0° vs 90° child bone
+    assert s0.sum() > 10, "no shadow at rest pose"
+    assert np.any(s0 != s1), "shadow did not move with the skin pose"
