@@ -122,7 +122,7 @@ class Dust2Game:
                  max_players: int = 8, out: Optional[str] = None,
                  offline: bool = False, seed: Optional[int] = None,
                  reliable: bool = False, migrate: bool = False,
-                 net_batch: float = 0.0):
+                 net_batch: float = 0.0, upnp: bool = False):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         self.hud = Hud()
@@ -149,6 +149,9 @@ class Dust2Game:
         # RPCs coalesce into one datagram per peer per window (flushed on
         # the game loop's poll_rpcs call each frame).
         self.net.rpc_batch_window = max(0.0, net_batch)
+        # UPnP (Networking.cs:32-69): if this peer becomes the host, map
+        # the session port on the LAN gateway so WAN friends can join.
+        self.net.upnp_enabled = upnp
         if migrate:
             # Elastic recovery (beyond the reference, which strands
             # clients when the host dies): heartbeat failure detection +
@@ -1197,6 +1200,9 @@ def main(argv=None):
                     help="coalesce outgoing RPCs within this window into "
                          "one datagram per peer (0 = off; all peers must "
                          "run this framework)")
+    ap.add_argument("--upnp", action="store_true",
+                    help="map the session UDP port on the LAN gateway "
+                         "when hosting (UPnP IGD)")
     ap.add_argument("--offline", action="store_true",
                     help="skip networking entirely")
     ap.add_argument("--dedicated", action="store_true",
@@ -1217,7 +1223,8 @@ def main(argv=None):
                      headless=args.headless, assets_dir=args.assets,
                      player_name=args.name, out=args.out,
                      offline=args.offline, reliable=args.reliable,
-                     migrate=args.migrate, net_batch=args.net_batch)
+                     migrate=args.migrate, net_batch=args.net_batch,
+                     upnp=args.upnp)
     game.run(frames=args.frames)
 
 

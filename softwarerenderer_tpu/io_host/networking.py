@@ -25,8 +25,9 @@ so peers of the new framework speak the same protocol shape:
     where every client RPC is re-broadcast (sender excluded).
 
 The reference's UPnP port mapping (Open.NAT, Networking.cs:32-69) is a
-no-op hook here (`try_enable_upnp`): this framework targets datacenter /
-LAN deployment where NAT traversal is an external concern.
+first-party stdlib client (io_host/upnp.py — SSDP discovery + SOAP
+AddPortMapping/DeletePortMapping), opt-in via `upnp_enabled` since
+datacenter/LAN deployments have no NAT to traverse; close() unmaps.
 
 Beyond the reference (SURVEY.md §5 "a vanished host strands clients"):
 peer_timeout enables traffic-independent failure detection (transport
@@ -174,6 +175,16 @@ class Networking:
         # migration) is traffic-independent — an idle-but-alive session
         # never reads as a dead one.
         self._last_hb = 0.0
+        # --- UPnP port mapping (Networking.cs:32-69): opt-in; when
+        # enabled, becoming host maps the session's UDP port on the LAN
+        # gateway (io_host/upnp.py) and close() unmaps it
+        # (Networking.cs:550).  upnp_ssdp_addr overrides the SSDP
+        # multicast endpoint so tests discover a loopback fake IGD.
+        self.upnp_enabled = False
+        self.upnp_timeout: float = 1.0
+        self.upnp_ssdp_addr: Optional[Tuple[str, int]] = None
+        self._upnp_gateway = None
+        self._upnp_mapped_port: Optional[int] = None
 
     # -- connection lifecycle ------------------------------------------------
 
@@ -182,9 +193,30 @@ class Networking:
         return self._sock is not None
 
     def try_enable_upnp(self, port: int) -> bool:
-        """UPnP hook (Networking.cs:32-52) — intentionally a no-op."""
-        self.log(f"[UPnP] skipped (datacenter deployment), port {port}")
-        return False
+        """UPnP port mapping (Networking.cs:32-52): when this peer wins
+        the host election, ask the LAN gateway to forward the session's
+        UDP port here.  Off by default (datacenter/LAN deployments have
+        no NAT to traverse); set `upnp_enabled = True` (dust2 `--upnp`)
+        before connect() to opt in.  Failures are logged and non-fatal,
+        matching the reference's try/catch-and-continue."""
+        if not self.upnp_enabled:
+            self.log(f"[UPnP] skipped (disabled), port {port}")
+            return False
+        from softwarerenderer_tpu.io_host import upnp
+        gw = upnp.discover(timeout=self.upnp_timeout,
+                           ssdp_addr=self.upnp_ssdp_addr or upnp.SSDP_ADDR)
+        if gw is None:
+            self.log("[UPnP] no gateway found")
+            return False
+        if not gw.add_port_mapping(port, port, "UDP",
+                                   description="softwarerenderer_tpu"):
+            self.log(f"[UPnP] mapping UDP {port} failed")
+            return False
+        self._upnp_gateway = gw
+        self._upnp_mapped_port = port
+        self.log(f"[UPnP] mapped UDP {port} -> {gw.local_ip}:{port} "
+                 f"(external ip {gw.get_external_ip()})")
+        return True
 
     def connect(self, host: str = "127.0.0.1", port: int = DEFAULT_PORT,
                 handshake_timeout: float = 1.0,
@@ -267,6 +299,15 @@ class Networking:
             pass
         self._flush_rpc_batches()        # forced: drain queued RPCs
         self._flush_acks()
+        if self._upnp_gateway is not None \
+                and self._upnp_mapped_port is not None:
+            try:                          # Networking.cs:550 unmap-on-close
+                self._upnp_gateway.delete_port_mapping(
+                    self._upnp_mapped_port, "UDP")
+            except Exception as e:        # non-fatal, like the reference
+                self.log(f"[UPnP] unmap failed: {e}")
+            self._upnp_gateway = None
+            self._upnp_mapped_port = None
         self._running = False
         if self._sock is not None:
             try:
