@@ -47,11 +47,16 @@ from softwarerenderer_tpu.io_host.window import make_window
 from softwarerenderer_tpu.models import primitives, scene as scene_mod
 from softwarerenderer_tpu.ops import texture as tex_ops
 from softwarerenderer_tpu.sim import (
+    agents_step,
     build_collision_world,
     character_step,
+    default_brain_params,
     default_character_params,
+    initial_agents_state,
     initial_character_state,
     raycast_batch,
+    respawn_agent,
+    scatter_waypoints_on_floor,
 )
 from softwarerenderer_tpu.sim import particles as particles_mod
 from softwarerenderer_tpu.utils import mathlib as ml
@@ -68,6 +73,7 @@ SHOT_COOLDOWN = 0.25                               # Renderer.cs:60
 SHOT_DAMAGE = 10.0                                 # Renderer.cs:223
 SHOT_RANGE = 100.0                                 # Renderer.cs:176
 MOUSE_SENSITIVITY = 0.1                            # Camera.cs:10
+BOT_ID_BASE = 10000          # bot player ids live far above host-assigned
 
 
 class ConnectedPlayer:
@@ -122,7 +128,8 @@ class Dust2Game:
                  max_players: int = 8, out: Optional[str] = None,
                  offline: bool = False, seed: Optional[int] = None,
                  reliable: bool = False, migrate: bool = False,
-                 net_batch: float = 0.0, upnp: bool = False):
+                 net_batch: float = 0.0, upnp: bool = False,
+                 bots: int = 0):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         self.hud = Hud()
@@ -174,6 +181,7 @@ class Dust2Game:
                 [str(self.net.client_id), self.player_name],
                 buffer_rpc=True, reliable=self.reliable)
         self.players: List[ConnectedPlayer] = []
+        self._init_bots(bots)
 
     def _on_migrated(self, is_host: bool) -> None:
         """Landed in the migrated session (runs on the MAIN thread via
@@ -186,6 +194,82 @@ class Dust2Game:
             "ConnectedPlayer",
             [str(self.net.client_id), self.player_name],
             buffer_rpc=True, reliable=self.reliable)
+
+    # -- AI bots (beyond the reference; sim/agents.py) ------------------------
+
+    def _init_bots(self, n: int) -> None:
+        """Spawn n host-owned AI bots: one BATCHED agent crowd stepped by a
+        single jitted call per frame (vmapped character controller +
+        waypoint brain), announced to peers as ordinary players over the
+        reference wire protocol (buffered ConnectedPlayer + Update)."""
+        self._bot_ids: List[int] = []
+        self._bots_state = None
+        if n <= 0:
+            return
+        if self.net.is_connected and not self.net.is_host:
+            self.hud.add_chat("* --bots ignored (this peer is not host)")
+            return
+        n = min(n, max(0, self.max_players - 1))
+        if n <= 0:
+            return
+        self._bot_brain = default_brain_params()
+        # Patrol targets: the two spawns plus points dropped onto the map
+        # floor around them (one batched downward raycast wave).
+        self._bot_waypoints = scatter_waypoints_on_floor(
+            self.world, [SPAWN_1, SPAWN_2], n_points=16,
+            seed=self.rng.randrange(1 << 30),
+            tri_mask=self._map_tri_mask)
+        starts, wp0 = [], []
+        for i in range(n):
+            base = SPAWN_1 if i % 2 == 0 else SPAWN_2
+            starts.append(base + np.asarray(
+                [self.rng.uniform(-1.5, 1.5), 0.0,
+                 self.rng.uniform(-1.5, 1.5)], F32))
+            wp0.append(self.rng.randrange(len(self._bot_waypoints)))
+        self._bots_state = initial_agents_state(
+            np.stack(starts),
+            key=jax.random.PRNGKey(self.rng.randrange(1 << 30)),
+            waypoint_idx=np.asarray(wp0, np.int32))
+        # char params ride as a traced arg: the debug panel's live
+        # character tuning applies to bots without recompiling.
+        self._bots_step = jax.jit(
+            lambda s, dt, cp: agents_step(
+                s, dt, self._bot_waypoints, self.world, cp,
+                self._bot_brain, tri_mask=self._map_tri_mask))
+        for i in range(n):
+            bid = BOT_ID_BASE + i
+            self._bot_ids.append(bid)
+            bot = ConnectedPlayer(bid, f"BOT {i + 1}")
+            bot.position = np.asarray(starts[i], F32)
+            self.players.append(bot)
+            if self.net.is_connected:
+                self.net.send_rpc("ConnectedPlayer", [str(bid), bot.name],
+                                  buffer_rpc=True, reliable=self.reliable)
+
+    def _update_bots(self, dt: float) -> None:
+        """Advance the crowd one tick and publish poses (the bots' analog
+        of _update_network's per-frame Update, batched into one device
+        step + one datagram per peer under rpc_batch_window)."""
+        if self._bots_state is None:
+            return
+        self._bots_state = self._bots_step(
+            self._bots_state, np.float32(max(dt, 1e-4)), self.char_params)
+        pos = np.asarray(self._bots_state["char"]["position"])
+        rot = np.asarray(self._bots_state["rotation"])
+        by_id = {p.id: p for p in self.players}
+        for i, bid in enumerate(self._bot_ids):
+            p = by_id.get(bid)
+            if p is None:
+                continue
+            p.position = pos[i]
+            p.rotation = rot[i]
+            if self.net.is_connected:
+                self.net.send_rpc("Update", [
+                    str(bid),
+                    repr(float(pos[i, 0])), repr(float(pos[i, 1])),
+                    repr(float(pos[i, 2])),
+                    repr(float(rot[i, 0])), repr(float(rot[i, 1])),
+                    repr(float(rot[i, 2])), repr(float(rot[i, 3]))])
 
     # -- scene assembly -------------------------------------------------------
 
@@ -384,6 +468,7 @@ class Dust2Game:
 
         self._update_network()
         self._update_character(dt, inp)
+        self._update_bots(dt)
         self._update_toggles(inp)
         # Scoreboard (hold Tab) — beyond-reference ergonomics (ROADMAP #6).
         self.hud.state.show_scoreboard = "tab" in inp["keys"] \
@@ -513,6 +598,13 @@ class Dust2Game:
                     ml.QUAT_IDENTITY.copy() if spawn_first else
                     np.asarray(ml.quat_from_axis_angle(
                         np.asarray([0, 1, 0], F32), math.pi), F32))
+            elif pid in self._bot_ids and self._bots_state is not None:
+                # This peer owns the bot: respawn it (remote peers just
+                # heal it and wait for the owner's next Update).
+                spawn = SPAWN_1 if self.rng.random() > 0.5 else SPAWN_2
+                self._bots_state = respawn_agent(
+                    self._bots_state, self._bot_ids.index(pid), spawn)
+                p.position = np.asarray(spawn, F32)
             p.health = 100.0
             if pid == self.net.client_id:
                 self.hud.state.health = 100.0
@@ -878,8 +970,12 @@ class Dust2Game:
                         repr(float(normal[0])), repr(float(normal[1])),
                         repr(float(normal[2]))])
                     # (send_rpc's local echo places our own decal)
-            elif hit_player is None and mesh_id is not None \
-                    and mesh_id < self.n_map:
+            elif hit_player is not None:
+                # Offline: no RPC loop to echo the hit — apply directly
+                # (makes --offline --bots a playable practice range).
+                self._handle_player_hit(hit_player.id, SHOT_DAMAGE,
+                                        attacker_id=self.net.client_id)
+            elif mesh_id is not None and mesh_id < self.n_map:
                 # Offline: no RPC loop to echo the hit — place directly.
                 self._place_decal(point, normal)
         # recoil kick (Renderer.cs:248) — 45 is in RADIANS in the reference.
@@ -1100,6 +1196,10 @@ class Dust2Game:
             "noclip": np.asarray(self.noclip),
             "char_params": jax.device_get(self.char_params),
             "particles": jax.device_get(self._particles),
+            # Bot crowd state (PRNG key included) — without it a restored
+            # replay would diverge the moment an agent steps.
+            "bots": (None if self._bots_state is None
+                     else jax.device_get(self._bots_state)),
         })
 
     def load_state(self, path: str) -> None:
@@ -1116,6 +1216,10 @@ class Dust2Game:
         self.char_params = jax.device_put(st["char_params"])
         if "particles" in st:       # absent in pre-particle checkpoints
             self._particles = jax.device_put(st["particles"])
+        if st.get("bots") is not None and self._bots_state is not None:
+            # Only meaningful when this run spawned the same crowd
+            # (--bots N); a mismatched shape should fail loudly.
+            self._bots_state = jax.device_put(st["bots"])
 
     def close(self):
         try:
@@ -1163,11 +1267,12 @@ def serve(port: int = 7777, net_batch: float = 0.0, quiet: bool = False,
     net.peer_timeout = 10.0
     if quiet:
         net.log = lambda s: None
-    if not net.connect("127.0.0.1", port):
-        raise SystemExit(1)
-    if not net.is_host:
-        net.close()
-        raise SystemExit(f"port {port} already hosts a session")
+    # Direct bind, no election: the server must be answering pings the
+    # moment it returns (connect()'s election window is unbound+silent,
+    # and a client pinging into it would elect itself host).
+    if not net.host(port):
+        raise SystemExit(f"port {port} is unavailable "
+                         f"(already hosting a session?)")
     if not quiet:
         print(f"dedicated server on :{port}")
     try:
@@ -1200,6 +1305,9 @@ def main(argv=None):
                     help="coalesce outgoing RPCs within this window into "
                          "one datagram per peer (0 = off; all peers must "
                          "run this framework)")
+    ap.add_argument("--bots", type=int, default=0,
+                    help="host-owned AI bots (batched agent crowd; "
+                         "ignored when joining as a client)")
     ap.add_argument("--upnp", action="store_true",
                     help="map the session UDP port on the LAN gateway "
                          "when hosting (UPnP IGD)")
@@ -1224,7 +1332,7 @@ def main(argv=None):
                      player_name=args.name, out=args.out,
                      offline=args.offline, reliable=args.reliable,
                      migrate=args.migrate, net_batch=args.net_batch,
-                     upnp=args.upnp)
+                     upnp=args.upnp, bots=args.bots)
     game.run(frames=args.frames)
 
 

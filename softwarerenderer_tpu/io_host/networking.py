@@ -173,7 +173,10 @@ class Networking:
         # Transport keepalive: with peer_timeout > 0 both sides emit "hb"
         # datagrams every peer_timeout/3, so failure detection (and
         # migration) is traffic-independent — an idle-but-alive session
-        # never reads as a dead one.
+        # never reads as a dead one.  A peer with peer_timeout == 0
+        # still ANSWERS keepalives it receives with "hba" (reciprocal
+        # mode — see the receive loop), so a detector never expires an
+        # idle-but-alive app.
         self._last_hb = 0.0
         # --- UPnP port mapping (Networking.cs:32-69): opt-in; when
         # enabled, becoming host maps the session's UDP port on the LAN
@@ -270,12 +273,31 @@ class Networking:
         self.try_enable_upnp(port)
         return self._become_host(port)
 
+    def host(self, port: int = DEFAULT_PORT) -> bool:
+        """Bind and host directly, skipping the ping/pong election.
+
+        For deployments that KNOW they must host (the dedicated relay
+        server, apps.dust2.serve): connect()'s election spends a full
+        handshake_timeout unbound and silent, a dead window in which an
+        early client's ping goes unanswered and that client elects
+        ITSELF host on the same port.  Fails (returns False) when the
+        port is already bound — no double-bind."""
+        self._reset_reliable_state()
+        self.host_lost = False
+        self._remote = ("127.0.0.1", port)
+        self.try_enable_upnp(port)       # same opt-in as the election path
+        return self._become_host(port)
+
     def _become_host(self, port: int) -> bool:
-        """Bind the session port and start hosting (shared by the
-        election fallback in connect() and host migration)."""
+        """Bind the session port and start hosting (shared by host(),
+        the election fallback in connect(), and host migration).
+
+        Deliberately NO SO_REUSEADDR: on UDP it would let two sockets
+        share the session port (a second "host" silently splitting the
+        traffic); an occupied port must fail loudly instead.  UDP has no
+        TIME_WAIT, so migration's immediate rebind doesn't need it."""
         try:
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
             self._sock.bind(("0.0.0.0", port))
         except OSError as e:
             self.log(f"Error binding to port {port}: {e}")
@@ -614,7 +636,22 @@ class Networking:
                 self._check_timeouts(now)
             self._pump_resends(now)
             if msg == "hb":
+                # Reciprocal keepalive: the sender runs failure detection
+                # (it emits hb at peer_timeout/3).  A peer WITHOUT its own
+                # detection (peer_timeout == 0) answers with "hba" — sent
+                # to the SENDER only and itself never answered — so an
+                # idle-but-alive app (e.g. busy loading assets for a
+                # minute) is never expired as dead; the reply rate is the
+                # detector's own hb cadence, so it always beats the
+                # detector's timeout, and the asymmetric message pair
+                # (hb→hba, never hba→anything) rules out echo loops.
+                if self.peer_timeout <= 0 and now - self._last_hb >= 0.05:
+                    self._last_hb = now
+                    self._send_raw(
+                        b"hba", sender if self.is_host else None)
                 continue                 # keepalive: already noted above
+            if msg == "hba":
+                continue                 # liveness already noted above
             if now - self._last_ack_flush >= self.ack_flush_interval:
                 # Under load, acks coalesce across every datagram that
                 # arrived within the flush window — one ack datagram per

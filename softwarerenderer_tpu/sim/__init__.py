@@ -11,6 +11,13 @@ from softwarerenderer_tpu.sim.character import (  # noqa: F401
     default_character_params,
     initial_character_state,
 )
+from softwarerenderer_tpu.sim.agents import (  # noqa: F401
+    agents_step,
+    default_brain_params,
+    initial_agents_state,
+    respawn_agent,
+    scatter_waypoints_on_floor,
+)
 from softwarerenderer_tpu.sim.particles import (  # noqa: F401
     default_emitter_params,
     initial_particle_state,

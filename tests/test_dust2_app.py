@@ -447,3 +447,77 @@ def test_dedicated_server_relays_two_clients():
         stop.set()
         srv.join(timeout=5)
         assert not srv.is_alive()
+
+
+def test_offline_bots_practice_range():
+    """--offline --bots N: host-owned AI bots join the local roster,
+    patrol (positions change and stay finite), and the offline hitscan
+    path damages/respawns them without an RPC loop."""
+    from softwarerenderer_tpu.apps.dust2 import BOT_ID_BASE
+
+    g = make_game(offline=True, bots=2)
+    try:
+        bots = [p for p in g.players if p.id >= BOT_ID_BASE]
+        assert {b.name for b in bots} == {"BOT 1", "BOT 2"}
+        p0 = {b.id: np.asarray(b.position).copy() for b in bots}
+        for _ in range(30):
+            g.step(1 / 30)
+        moved = 0.0
+        for b in bots:
+            assert np.isfinite(np.asarray(b.position)).all()
+            assert b.position[1] > -10.0        # on the map, not falling
+            moved += float(np.linalg.norm(
+                np.asarray(b.position) - p0[b.id]))
+        assert moved > 0.05, "bots never moved"
+        # kill a bot directly through the shared hit handler (the offline
+        # shoot path calls this): it respawns at a spawn point, healed
+        b = bots[0]
+        g._handle_player_hit(b.id, 100.0, attacker_id=g.net.client_id)
+        assert b.health == 100.0
+        assert b.deaths == 1
+        # respawned at one of the two spawn points — and the owner's
+        # batched crowd state agrees with the roster entry
+        from softwarerenderer_tpu.apps.dust2 import SPAWN_1, SPAWN_2
+        spawn_dist = min(
+            float(np.linalg.norm(np.asarray(b.position) - s))
+            for s in (SPAWN_1, SPAWN_2))
+        assert spawn_dist < 1e-4, b.position
+        owner_pos = np.asarray(g._bots_state["char"]["position"])[0]
+        np.testing.assert_allclose(np.asarray(b.position), owner_pos,
+                                   atol=1e-5)
+        g.step(1 / 30)                          # roster keeps following
+    finally:
+        g.close()
+
+
+def test_networked_bots_visible_to_client():
+    """Host-owned bots ride the reference wire protocol: a joining
+    client receives their buffered ConnectedPlayer joins and per-frame
+    Update poses — to the client they are indistinguishable from
+    human players."""
+    from softwarerenderer_tpu.apps.dust2 import BOT_ID_BASE
+
+    port = free_port()
+    host = make_game(port=port, player_name="HostP", bots=2)
+    client = None
+    try:
+        assert host.net.is_host
+        client = make_game(port=port, player_name="ClientP", bots=1)
+        for _ in range(10):
+            host.step(1 / 30)
+            client.step(1 / 30)
+            time.sleep(0.01)
+        cbots = {p.name: p for p in client.players
+                 if p.id >= BOT_ID_BASE}
+        assert set(cbots) == {"BOT 1", "BOT 2"}
+        # client-side bot poses track the host's authoritative crowd
+        host_pos = np.asarray(host._bots_state["char"]["position"])
+        for i, name in enumerate(["BOT 1", "BOT 2"]):
+            np.testing.assert_allclose(
+                np.asarray(cbots[name].position), host_pos[i], atol=0.5)
+        # a client requesting --bots is refused (host-owned only)
+        assert client._bots_state is None and client._bot_ids == []
+    finally:
+        if client is not None:
+            client.close()
+        host.close()

@@ -592,3 +592,55 @@ def test_timeout_expiry_prunes_buffered_relayed_joins(port):
         assert host._buffered_rpcs == [], "ghost join survived the timeout"
     finally:
         host.close()
+
+
+def test_idle_client_reciprocates_heartbeats(port):
+    """Regression: an idle-but-alive client with peer_timeout == 0 (no
+    failure detection of its own) must ANSWER a failure-detecting
+    host's keepalives so it is never expired as dead — the dedicated
+    relay server expired a client whose app was busy loading assets for
+    45 s, pruning its buffered join before the next player arrived."""
+    host = make_peer(port, peer_timeout=0.6, relay_client_rpcs=True,
+                     buffer_relayed_methods={"ConnectedPlayer"})
+    c1 = make_peer(port, client=True)          # peer_timeout stays 0
+    cid = c1.client_id
+    try:
+        c1.send_rpc("ConnectedPlayer", [str(cid), "Alice"])
+        assert wait_for(lambda: len(host._buffered_rpcs) == 1, timeout=2.0)
+        # c1 goes app-idle (sends nothing) for >> host.peer_timeout; its
+        # receive thread must keep it alive via reciprocal "hb".
+        time.sleep(2.5)
+        assert cid in host.connected_clients.values(), \
+            "idle client was expired despite reciprocal keepalives"
+        assert len(host._buffered_rpcs) == 1, "buffered join was pruned"
+        # a late joiner still receives the buffered join
+        c2 = make_peer(port, client=True)
+        try:
+            assert wait_for(lambda: any(
+                m == "ConnectedPlayer" and p[:2] == [str(cid), "Alice"]
+                for m, p, _ in c2.poll_rpcs()), timeout=2.0)
+        finally:
+            c2.close()
+    finally:
+        c1.close()
+        host.close()
+
+
+def test_direct_host_refuses_occupied_port(port):
+    """host() binds without SO_REUSEADDR: a second direct host on the
+    same UDP port must FAIL instead of silently double-binding (two
+    'hosts' splitting the session's datagrams)."""
+    a = Networking()
+    a.log = lambda s: None
+    assert a.host(port)
+    b = Networking()
+    b.log = lambda s: None
+    try:
+        assert not b.host(port)
+        assert not b.is_connected
+        # the original host still answers elections
+        c = make_peer(port, client=True)
+        c.close()
+    finally:
+        a.close()
+        b.close()
