@@ -49,6 +49,7 @@ from softwarerenderer_tpu.ops import texture as tex_ops
 from softwarerenderer_tpu.sim import (
     agents_step,
     build_collision_world,
+    build_waypoint_graph,
     character_step,
     default_brain_params,
     default_character_params,
@@ -74,6 +75,50 @@ SHOT_DAMAGE = 10.0                                 # Renderer.cs:223
 SHOT_RANGE = 100.0                                 # Renderer.cs:176
 MOUSE_SENSITIVITY = 0.1                            # Camera.cs:10
 BOT_ID_BASE = 10000          # bot player ids live far above host-assigned
+
+
+def _ray_capsule_t(origin, direction, cap_a, cap_b, radius):
+    """Distance along the ray (origin, unit direction) to a vertical
+    capsule [cap_a, cap_b] of `radius`, or None on a miss.  Host-side
+    analytic test for the one hitbox that has no mesh in the local
+    scene: the local player (see _bot_fire)."""
+    o = np.asarray(origin, np.float64)
+    d = np.asarray(direction, np.float64)
+    d = d / max(np.linalg.norm(d), 1e-12)
+    a = np.asarray(cap_a, np.float64)
+    b = np.asarray(cap_b, np.float64)
+    ab = b - a
+    # Coarse-to-fine: sample the ray's closest approach to the segment.
+    # (A closed-form ray/capsule exists but the quadratic's edge cases —
+    # caps, parallel axis — outweigh its value for an AI hit test; 32
+    # samples over SHOT_RANGE are exact to ~3 m / 32 ≈ 0.1 m in t, and
+    # we refine the winner with a golden-section pass.)
+    def seg_dist(t):
+        p = o + d * t
+        s = np.clip(np.dot(p - a, ab) / max(np.dot(ab, ab), 1e-12), 0, 1)
+        return np.linalg.norm(p - (a + ab * s))
+    ts = np.linspace(0.0, SHOT_RANGE, 64)
+    p = o[None, :] + d[None, :] * ts[:, None]
+    s = np.clip((p - a) @ ab / max(float(ab @ ab), 1e-12), 0.0, 1.0)
+    dd = np.linalg.norm(p - (a[None, :] + ab[None, :] * s[:, None]),
+                        axis=1)
+    k = int(np.argmin(dd))
+    lo = ts[max(k - 1, 0)]
+    hi = ts[min(k + 1, len(ts) - 1)]
+    for _ in range(24):                     # ternary refine
+        m1 = lo + (hi - lo) / 3
+        m2 = hi - (hi - lo) / 3
+        if seg_dist(m1) <= seg_dist(m2):
+            hi = m2
+        else:
+            lo = m1
+    t_best = 0.5 * (lo + hi)
+    if seg_dist(t_best) > radius:
+        return None
+    # walk back to the ENTRY point (first t whose distance == radius)
+    while t_best > 0 and seg_dist(max(t_best - 0.01, 0.0)) <= radius:
+        t_best = max(t_best - 0.01, 0.0)
+    return float(t_best)
 
 
 class ConnectedPlayer:
@@ -214,11 +259,16 @@ class Dust2Game:
             return
         self._bot_brain = default_brain_params()
         # Patrol targets: the two spawns plus points dropped onto the map
-        # floor around them (one batched downward raycast wave).
+        # floor around them (one batched downward raycast wave), routed
+        # through a shortest-path waypoint graph (one batched W² LOS
+        # wave + host Floyd–Warshall) so bots round corners instead of
+        # hugging the wall toward a beeline goal.
         self._bot_waypoints = scatter_waypoints_on_floor(
             self.world, [SPAWN_1, SPAWN_2], n_points=16,
             seed=self.rng.randrange(1 << 30),
             tri_mask=self._map_tri_mask)
+        self._bot_next_hop = build_waypoint_graph(
+            self.world, self._bot_waypoints, tri_mask=self._map_tri_mask)
         starts, wp0 = [], []
         for i in range(n):
             base = SPAWN_1 if i % 2 == 0 else SPAWN_2
@@ -230,12 +280,18 @@ class Dust2Game:
             np.stack(starts),
             key=jax.random.PRNGKey(self.rng.randrange(1 << 30)),
             waypoint_idx=np.asarray(wp0, np.int32))
-        # char params ride as a traced arg: the debug panel's live
-        # character tuning applies to bots without recompiling.
+        # char params + target roster ride as traced args: the debug
+        # panel's live character tuning applies to bots without
+        # recompiling, and per-frame enemy positions never retrace.
+        bot_ids_arr = np.asarray([BOT_ID_BASE + i for i in range(n)],
+                                 np.int32)
         self._bots_step = jax.jit(
-            lambda s, dt, cp: agents_step(
+            lambda s, dt, cp, tpos, talive, tids: agents_step(
                 s, dt, self._bot_waypoints, self.world, cp,
-                self._bot_brain, tri_mask=self._map_tri_mask))
+                self._bot_brain, tri_mask=self._map_tri_mask,
+                next_hop=self._bot_next_hop, targets=tpos,
+                target_alive=talive, target_ids=tids,
+                self_ids=bot_ids_arr))
         for i in range(n):
             bid = BOT_ID_BASE + i
             self._bot_ids.append(bid)
@@ -245,15 +301,39 @@ class Dust2Game:
             if self.net.is_connected:
                 self.net.send_rpc("ConnectedPlayer", [str(bid), bot.name],
                                   buffer_rpc=True, reliable=self.reliable)
+        if not self.net.is_connected:
+            # Offline practice range: a roster entry for the local player
+            # so bot hits/kills land on a scoreboard row (networked games
+            # get this via the ConnectedPlayer local echo).
+            self.players.append(
+                ConnectedPlayer(self.net.client_id, self.player_name))
 
     def _update_bots(self, dt: float) -> None:
         """Advance the crowd one tick and publish poses (the bots' analog
         of _update_network's per-frame Update, batched into one device
-        step + one datagram per peer under rpc_batch_window)."""
+        step + one datagram per peer under rpc_batch_window), then turn
+        the step's fire/aim outputs into hitscan shots."""
         if self._bots_state is None:
             return
+        # Target roster as fixed-shape traced arrays (a varying roster
+        # must never retrace the step): slot 0 = the local player, then
+        # every rendered ConnectedPlayer (bots included — FFA deathmatch).
+        m = self.max_players + 1
+        tpos = np.zeros((m, 3), F32)
+        talive = np.zeros((m,), bool)
+        tids = np.full((m,), -1, np.int32)
+        tpos[0] = np.asarray(self.char["position"])
+        talive[0] = self.spectate_idx < 0       # spectators are ghosts
+        tids[0] = self.net.client_id
+        for i, p in enumerate(self.players[:self.max_players]):
+            if p.id == self.net.client_id:
+                continue    # slot 0 already carries us, live position
+            tpos[1 + i] = np.asarray(p.position)
+            talive[1 + i] = True
+            tids[1 + i] = p.id
         self._bots_state = self._bots_step(
-            self._bots_state, np.float32(max(dt, 1e-4)), self.char_params)
+            self._bots_state, np.float32(max(dt, 1e-4)), self.char_params,
+            tpos, talive, tids)
         pos = np.asarray(self._bots_state["char"]["position"])
         rot = np.asarray(self._bots_state["rotation"])
         by_id = {p.id: p for p in self.players}
@@ -270,6 +350,98 @@ class Dust2Game:
                     repr(float(pos[i, 2])),
                     repr(float(rot[i, 0])), repr(float(rot[i, 1])),
                     repr(float(rot[i, 2])), repr(float(rot[i, 3]))])
+        fire = np.asarray(self._bots_state["fire"])
+        if fire.any():
+            eye = pos[fire] + np.asarray(
+                [0, float(self._bot_brain["eye_height"]), 0], F32)
+            self._bot_fire(eye, np.asarray(self._bots_state["aim"])[fire],
+                           [b for b, f in zip(self._bot_ids, fire) if f])
+
+    def _bot_fire(self, origins: np.ndarray, dirs: np.ndarray,
+                  bot_ids: List[int]) -> None:
+        """Resolve bot shots through the SAME batched hitscan as human
+        shots (shoot() above): one raycast wave vs map + player models,
+        plus an analytic capsule test for the LOCAL player (who has no
+        model in their own scene — remote peers adjudicate hits on us
+        via our mesh exactly like this host adjudicates theirs)."""
+        active_slots = {}
+        for i, p in enumerate(self.players):
+            if p.id == self.net.client_id or i >= self.max_players:
+                continue
+            active_slots[i] = p
+        shoot_mask = self._map_tri_mask.copy()
+        tri_mesh = np.asarray(self.scene["tri_mesh_id"])
+        for slot in active_slots:
+            lo, hi = self.player_slices[slot]
+            shoot_mask |= (tri_mesh >= lo) & (tri_mesh < hi)
+        # (A bot never hits itself: ray origins sit inside its own model,
+        # whose triangles are all backfaces from within — culled by the
+        # hitscan's IgnoreBackfaces mode, Physics.cs:136-179 semantics.)
+        world = self._world_fn(dict(self.scene,
+                                    mesh_matrices=self._mesh_matrices))
+        out = self._shoot_rays(origins.astype(F32), dirs.astype(F32),
+                               world, shoot_mask)
+        hits = np.asarray(out["hit"])
+        dists = np.asarray(out["distance"])
+        points = np.asarray(out["point"])
+        normals = np.asarray(out["normal"])
+        tris = np.asarray(out["tri"])
+
+        # Local-player capsule (axis = char position ± height/2, radius
+        # matched to the scaled player model the remote peers raycast).
+        h = float(self.char_params["height"])
+        my_pos = np.asarray(self.char["position"], F32)
+        cap_a = my_pos - np.asarray([0, h * 0.5, 0], F32)
+        cap_b = my_pos + np.asarray([0, h * 0.5, 0], F32)
+        cap_r = h * 0.35
+
+        for k, bid in enumerate(bot_ids):
+            hit_dist = float(dists[k]) if hits[k] else float("inf")
+            t_cap = (_ray_capsule_t(origins[k], dirs[k], cap_a, cap_b,
+                                    cap_r)
+                     if self.spectate_idx < 0 else None)
+            if self.net.is_connected:
+                self.net.send_rpc("Shoot", [          # muzzle report
+                    repr(float(origins[k][0])), repr(float(origins[k][1])),
+                    repr(float(origins[k][2]))])
+            if t_cap is not None and t_cap < min(hit_dist, SHOT_RANGE):
+                # bot shot us: same PlayerHit path a human shooter uses
+                if self.net.is_connected:
+                    self.net.send_rpc("PlayerHit", [
+                        str(self.net.client_id), str(bid),
+                        str(SHOT_DAMAGE)], reliable=self.reliable)
+                else:
+                    self._handle_player_hit(self.net.client_id,
+                                            SHOT_DAMAGE, attacker_id=bid)
+                continue
+            if not hits[k] or hit_dist >= SHOT_RANGE:
+                continue
+            mesh_id = int(tri_mesh[int(tris[k])])
+            hit_player = None
+            for slot, p in active_slots.items():
+                lo, hi = self.player_slices[slot]
+                if lo <= mesh_id < hi:
+                    hit_player = p
+                    break
+            if hit_player is not None:
+                if self.net.is_connected:
+                    self.net.send_rpc("PlayerHit", [
+                        str(hit_player.id), str(bid),
+                        str(SHOT_DAMAGE)], reliable=self.reliable)
+                else:
+                    self._handle_player_hit(hit_player.id, SHOT_DAMAGE,
+                                            attacker_id=bid)
+            elif mesh_id < self.n_map:
+                if self.net.is_connected:
+                    self.net.send_rpc("LevelHit", [
+                        str(bid),
+                        repr(float(points[k][0])), repr(float(points[k][1])),
+                        repr(float(points[k][2])),
+                        repr(float(normals[k][0])),
+                        repr(float(normals[k][1])),
+                        repr(float(normals[k][2]))])
+                else:
+                    self._place_decal(points[k], normals[k])
 
     # -- scene assembly -------------------------------------------------------
 
@@ -608,6 +780,8 @@ class Dust2Game:
             p.health = 100.0
             if pid == self.net.client_id:
                 self.hud.state.health = 100.0
+            if not self.net.is_connected:
+                return                      # offline: nobody to notify
             self.net.send_rpc("Update", [
                 str(p.id),
                 repr(float(p.position[0])), repr(float(p.position[1])),

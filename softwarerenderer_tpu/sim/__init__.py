@@ -13,6 +13,7 @@ from softwarerenderer_tpu.sim.character import (  # noqa: F401
 )
 from softwarerenderer_tpu.sim.agents import (  # noqa: F401
     agents_step,
+    build_waypoint_graph,
     default_brain_params,
     initial_agents_state,
     respawn_agent,

@@ -490,6 +490,69 @@ def test_offline_bots_practice_range():
         g.close()
 
 
+def test_offline_bots_fight_deathmatch():
+    """Bots engage: two bots teleported face-to-face with zero aim
+    spread trade hitscan shots through the same shoot pipeline as
+    humans — health drops / kills land on the shared scoreboard."""
+    from softwarerenderer_tpu.apps.dust2 import BOT_ID_BASE
+    from softwarerenderer_tpu.sim import respawn_agent
+
+    g = make_game(offline=True, bots=2)
+    try:
+        # deterministic duel: dead-on aim, fast trigger (mutate BEFORE
+        # the first step — the jitted closure traces these on first use)
+        g._bot_brain["aim_spread"] = np.float32(0.0)
+        g._bot_brain["fire_cooldown"] = np.float32(0.1)
+        # park the local player out of sight range so the bots pick each
+        # other as nearest targets, and face off 4 m apart in the open
+        # ground the player spawned on
+        me = np.asarray(g.char["position"], np.float32)
+        g.char["position"] = np.asarray([500.0, 50.0, 500.0], np.float32)
+        a = me + np.asarray([0.0, 0.0, 0.0], np.float32)
+        b = me + np.asarray([0.0, 0.0, 4.0], np.float32)
+        g._bots_state = respawn_agent(g._bots_state, 0, a)
+        g._bots_state = respawn_agent(g._bots_state, 1, b)
+        bots = {p.id: p for p in g.players if p.id >= BOT_ID_BASE}
+        for bid, p in bots.items():
+            p.position = np.asarray(
+                g._bots_state["char"]["position"])[bid - BOT_ID_BASE]
+        for _ in range(120):
+            g.step(1 / 30)
+            if any(p.deaths > 0 for p in bots.values()) :
+                break
+        damaged = any(p.health < 100.0 or p.deaths > 0 or p.kills > 0
+                      for p in bots.values())
+        assert damaged, [(p.health, p.deaths) for p in bots.values()]
+    finally:
+        g.close()
+
+
+def test_offline_bots_can_hit_local_player():
+    """The local player has no mesh in their own scene — bot shots at
+    us resolve through the analytic capsule test and land on the HUD
+    health + our scoreboard row."""
+    from softwarerenderer_tpu.apps.dust2 import BOT_ID_BASE, SPAWN_1
+    from softwarerenderer_tpu.sim import respawn_agent
+
+    g = make_game(offline=True, bots=1)
+    try:
+        g._bot_brain["aim_spread"] = np.float32(0.0)
+        g._bot_brain["fire_cooldown"] = np.float32(0.1)
+        # park the bot right in front of the player, facing them
+        me = np.asarray(g.char["position"], np.float32)
+        g._bots_state = respawn_agent(
+            g._bots_state, 0, me + np.asarray([0, 0, 3.0], np.float32))
+        for _ in range(90):
+            g.step(1 / 30)
+            if g.hud.state.health < 100.0:
+                break
+        assert g.hud.state.health < 100.0
+        mine = next(p for p in g.players if p.id == g.net.client_id)
+        assert mine.health < 100.0          # scoreboard row tracks it
+    finally:
+        g.close()
+
+
 def test_networked_bots_visible_to_client():
     """Host-owned bots ride the reference wire protocol: a joining
     client receives their buffered ConnectedPlayer joins and per-frame
