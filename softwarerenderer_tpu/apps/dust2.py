@@ -174,7 +174,7 @@ class Dust2Game:
                  offline: bool = False, seed: Optional[int] = None,
                  reliable: bool = False, migrate: bool = False,
                  net_batch: float = 0.0, upnp: bool = False,
-                 bots: int = 0):
+                 bots: int = 0, bot_skill: str = "normal"):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         self.hud = Hud()
@@ -226,7 +226,7 @@ class Dust2Game:
                 [str(self.net.client_id), self.player_name],
                 buffer_rpc=True, reliable=self.reliable)
         self.players: List[ConnectedPlayer] = []
-        self._init_bots(bots)
+        self._init_bots(bots, bot_skill)
 
     def _on_migrated(self, is_host: bool) -> None:
         """Landed in the migrated session (runs on the MAIN thread via
@@ -242,7 +242,17 @@ class Dust2Game:
 
     # -- AI bots (beyond the reference; sim/agents.py) ------------------------
 
-    def _init_bots(self, n: int) -> None:
+    # Difficulty presets: brain tunables only — the controller physics
+    # stay identical to a human player's (no speed cheats).
+    BOT_SKILLS = {
+        "easy":   {"aim_spread": 0.09, "fire_cooldown": 1.6,
+                   "sight_range": 18.0, "fire_range": 15.0},
+        "normal": {},                            # default_brain_params
+        "hard":   {"aim_spread": 0.012, "fire_cooldown": 0.45,
+                   "sight_range": 40.0, "fire_range": 32.0},
+    }
+
+    def _init_bots(self, n: int, skill: str = "normal") -> None:
         """Spawn n host-owned AI bots: one BATCHED agent crowd stepped by a
         single jitted call per frame (vmapped character controller +
         waypoint brain), announced to peers as ordinary players over the
@@ -258,6 +268,8 @@ class Dust2Game:
         if n <= 0:
             return
         self._bot_brain = default_brain_params()
+        for k, v in self.BOT_SKILLS.get(skill, {}).items():
+            self._bot_brain[k] = np.float32(v)
         # Patrol targets: the two spawns plus points dropped onto the map
         # floor around them (one batched downward raycast wave), routed
         # through a shortest-path waypoint graph (one batched W² LOS
@@ -1482,6 +1494,10 @@ def main(argv=None):
     ap.add_argument("--bots", type=int, default=0,
                     help="host-owned AI bots (batched agent crowd; "
                          "ignored when joining as a client)")
+    ap.add_argument("--bot-skill", choices=sorted(Dust2Game.BOT_SKILLS),
+                    default="normal",
+                    help="bot difficulty preset (brain tunables only — "
+                         "bot physics match human players)")
     ap.add_argument("--upnp", action="store_true",
                     help="map the session UDP port on the LAN gateway "
                          "when hosting (UPnP IGD)")
@@ -1506,7 +1522,8 @@ def main(argv=None):
                      player_name=args.name, out=args.out,
                      offline=args.offline, reliable=args.reliable,
                      migrate=args.migrate, net_batch=args.net_batch,
-                     upnp=args.upnp, bots=args.bots)
+                     upnp=args.upnp, bots=args.bots,
+                     bot_skill=args.bot_skill)
     game.run(frames=args.frames)
 
 

@@ -490,6 +490,18 @@ def test_offline_bots_practice_range():
         g.close()
 
 
+def test_bot_skill_presets():
+    """--bot-skill only retunes the brain; physics params are shared
+    with human players (no speed cheats)."""
+    g = make_game(offline=True, bots=1, bot_skill="hard")
+    try:
+        assert float(g._bot_brain["aim_spread"]) == pytest.approx(0.012)
+        assert float(g._bot_brain["fire_cooldown"]) == pytest.approx(0.45)
+        assert float(g._bot_brain["sight_range"]) == pytest.approx(40.0)
+    finally:
+        g.close()
+
+
 def test_offline_bots_fight_deathmatch():
     """Bots engage: two bots teleported face-to-face with zero aim
     spread trade hitscan shots through the same shoot pipeline as
