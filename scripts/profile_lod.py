@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--width", type=int, default=3840)
     ap.add_argument("--height", type=int, default=2160)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="measure only these config tags (compiles are "
+                         "minutes each on this host — skip the rest)")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +75,8 @@ def main():
     base_params = RenderParams(width=W, height=H)
 
     def measure(tag, sc_host, cap_mode=None):
+        if args.only is not None and tag not in args.only:
+            return
         sc_np = scene_mod.build_scene_buffers(sc_host)
         sc = jax.device_put(sc_np)
         u0 = dict(Engine(sc, base_params).uniforms)
@@ -90,7 +95,7 @@ def main():
         if cap_mode == "suggested":
             # the always-exact static bound (ignores culling/selection)
             cap = lod.suggested_active_cap(sc_np)
-        elif cap_mode == "tight":
+        elif cap_mode in ("tight", "tight_pair", "tight_pair_lazy"):
             # workload-chosen cap: this camera's active slots + 25%
             # headroom, 128-aligned — exactness guarded by the traced
             # n_valid overflow counter (compact_triangles docstring)
@@ -98,7 +103,6 @@ def main():
         else:
             cap = 0
         params = base_params.replace(active_cap=cap)
-        eng = Engine(sc, params)
 
         def report(sub, fn, n=args.frames):
             jf = jax.jit(fn)
@@ -114,6 +118,7 @@ def main():
                 "tag": f"{tag}_{sub}", "ms": round(spf * 1e3, 2),
                 "fps": round(1 / spf, 2), "tris_packed": n_tri,
                 "tris_active": active, "active_cap": cap,
+                "pair_cap": params.pair_cap,
                 "compile_s": round(time.time() - t0 - spf * n, 1)}),
                 flush=True)
 
@@ -150,9 +155,29 @@ def main():
                        "tex_w": jnp.take(asiz[:, 1], tid2)}
             if params.active_cap:
                 tris, per_tri, _ = geometry.compact_triangles(
-                    tris, params.active_cap, per_tri)
+                    tris, params.active_cap, per_tri,
+                    lazy_attrs=(cap_mode == "tight_pair_lazy"))
             fb_d = jnp.full((H, W), raster.DEPTH_CLEAR, jnp.float32)
             return tris, uu, per_tri, fb_d
+
+        if cap_mode in ("tight_pair", "tight_pair_lazy"):
+            # workload-chosen pair-table cap: this camera's live
+            # (tile, triangle) pairs + 25% headroom, 128-aligned —
+            # exactness guarded by the traced pair_cap_overflow counter.
+            def live_counts(scene, u):
+                tris = prep(scene, u)[0]
+                bins = binning.bin_triangles(
+                    tris, params, 32, params.tile_w, params.span_cap, 0)
+                return jnp.sum(bins["counts"]), bins["n_global"]
+            live, nglob = map(int, jax.jit(live_counts)(sc, u0))
+            params = params.replace(
+                pair_cap=-(-int(live * 1.25) // 128) * 128)
+            if cap_mode == "tight_pair_lazy":
+                # + global-stream truncation (params.global_cap) and lazy
+                # attr compaction — guarded by global_cap_overflow.
+                params = params.replace(
+                    global_cap=max(256, -(-int(nglob * 2) // 128) * 128))
+        eng = Engine(sc, params)
 
         def full(scene, u):
             c, d = eng._frame(scene, u)
@@ -183,6 +208,13 @@ def main():
     # should now track ACTIVE triangles, making LOD a win, not a loss
     measure("lod_cap", build_instances(True), cap_mode="suggested")
     measure("lod_cap_tight", build_instances(True), cap_mode="tight")
+    # + pair-table truncation (params.pair_cap): the pair sort and the
+    # Pallas stream gathers track live tile overlap, not cap*span_cap
+    measure("lod_cap_pair", build_instances(True), cap_mode="tight_pair")
+    # + lazy attr compaction (payload gathers ride the composed
+    # permutation — cost ∝ stream lengths) + global-stream truncation
+    measure("lod_cap_pair_lazy", build_instances(True),
+            cap_mode="tight_pair_lazy")
 
 
 if __name__ == "__main__":

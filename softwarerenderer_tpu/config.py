@@ -112,13 +112,48 @@ class RenderParams:
     # slots fit (ops/lod.suggested_active_cap gives a bound that always
     # does); overflow drops the last-submitted triangles.  0 = off.
     active_cap: int = 0
-    # With active_cap: ALSO return {"active_cap_overflow"} — the traced
-    # count of valid slots the cap dropped this frame (0 = the frame is
-    # exact; the runtime guard for tight workload-chosen caps).  Changes
-    # render_frame's return to (color, depth, stats); incompatible with
-    # ssaa/post-fx recursion (ValueError); merges into the kbuffer_stats
-    # dict when both are set.
+    # Capacity counters: ALSO return a stats dict with "live_pairs" (the
+    # frame's live (tile, triangle) pair count — measure a workload with
+    # this before choosing pair_cap), "live_globals" (the frame's
+    # global-triangle count — measure before choosing global_cap),
+    # "active_cap_overflow" (with active_cap: valid slots the cap
+    # dropped; 0 = exact), "pair_cap_overflow" (with pair_cap: live
+    # pairs dropped; 0 = exact) and "global_cap_overflow" (with
+    # global_cap: globals dropped; 0 = exact).  Changes render_frame's
+    # return to (color, depth, stats);
+    # incompatible with ssaa/post-fx recursion (ValueError); merges into
+    # the kbuffer_stats dict when both are set.
     active_cap_stats: bool = False
+    # Pair-table truncation (ops/binning.bin_triangles): stable-compact
+    # the LIVE (tile, triangle) pairs to this static prefix BEFORE the
+    # pair sort, so the sort and the Pallas stream gathers scale with
+    # actual triangle-tile overlap instead of the padded N·span_cap
+    # table (which dominates large compacted scenes: the pair table is
+    # ~90% sentinel tail at profile_lod's tight active_cap).  Exact
+    # whenever the frame's live pairs fit; overflow drops the
+    # last-submitted pairs deterministically — guard tight caps with
+    # active_cap_stats' "pair_cap_overflow" counter.  0 = off (full
+    # N·span_cap table).
+    pair_cap: int = 0
+    # Global-stream truncation (ops/pallas_tile): keep only the first
+    # `global_cap` entries of the binning order stream — the global
+    # (span > span_cap) triangles lead it in submission order, so the
+    # stream's setup/payload gathers scale with this cap instead of the
+    # full slot count.  Exact whenever the frame's global-triangle count
+    # fits (typical scenes have tens: dust2 @1080p has 49); overflow
+    # drops the last-submitted globals — guard with active_cap_stats'
+    # "global_cap_overflow" counter.  Rounded up to the kernel's
+    # VMEM-resident minimum (256).  0 = off (full-slot stream).
+    global_cap: int = 0
+    # Lazy attr compaction (ops/geometry.compact_triangles lazy_attrs):
+    # with active_cap on the Pallas route, leave the wide per-triangle
+    # attr payload UN-gathered at full slot count and fold the
+    # compaction permutation into the stream gathers instead — payload
+    # gather cost then scales with live pairs (pair_cap) + global_cap,
+    # not with active_cap × payload width.  Bit-exact (the composed
+    # gather reproduces the eager rows); False forces the eager gather
+    # everywhere (debug / A-B).
+    lazy_compaction: bool = True
     # Mip-mapped texture sampling (beyond the reference):
     # per-triangle LOD from the uv-area/screen-area ratio selects a
     # box-filtered mip from the atlas chain.  False = off (mip 0, the

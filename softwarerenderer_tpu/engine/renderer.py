@@ -353,6 +353,19 @@ def apply_vertex_updates(vin: Dict, scene: Dict, uniforms: Dict,
     return vin
 
 
+def _pallas_route(params: RenderParams) -> bool:
+    """True iff render_frame's _dispatch will take a Mosaic kernel path
+    (single-pass opaque or depth-peeled K-buffer) — the routes that run
+    pallas_tile._prepare_ctx and therefore understand lazy compaction's
+    attr_perm/attr_full keys and params.global_cap."""
+    from softwarerenderer_tpu.config import DebugMode, DepthTest
+    return (params.use_pallas and params.deferred and params.binned
+            and params.debug_mode != DebugMode.WIREFRAME
+            and params.depth_test == DepthTest.LESS_EQUAL
+            and (jax.default_backend() == "tpu"
+                 or params.pallas_interpret))
+
+
 def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                  vertex_shader: Callable = scene_vertex_shader,
                  fragment_shader: Callable = scene_fragment_shader,
@@ -369,12 +382,11 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         raise ValueError("kbuffer_stats needs kbuffer > 1 and no "
                          "ssaa/post-fx (the stats dict is a third return "
                          "value the recursive wrappers don't thread)")
-    if params.active_cap_stats and (not params.active_cap
-                                    or params.ssaa > 1
+    if params.active_cap_stats and (params.ssaa > 1
                                     or _enabled_post_fx(params, uniforms)):
-        raise ValueError("active_cap_stats needs active_cap set and no "
-                         "ssaa/post-fx (the stats dict is a third return "
-                         "value the recursive wrappers don't thread)")
+        raise ValueError("active_cap_stats needs no ssaa/post-fx (the "
+                         "stats dict is a third return value the "
+                         "recursive wrappers don't thread)")
     if params.ssaa > 1:
         # Supersampled AA: render the whole frame at ssaa× and box-filter
         # down (beyond the reference — it has no AA at all).  fb seeds are
@@ -566,10 +578,14 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         # tracks ACTIVE triangles, not packed slots (LOD levels, hidden
         # meshes).  Exact while the frame fits the cap — use
         # ops/lod.suggested_active_cap for a bound that always does, or
-        # a tighter workload cap watched via active_cap_stats.
+        # a tighter workload cap watched via active_cap_stats.  On the
+        # Pallas route the wide attr payload stays un-gathered and the
+        # permutation folds into the stream gathers (bit-exact —
+        # geometry.compact_triangles lazy_attrs).
         n_slots = tris["valid"].shape[0]
         tris, per_tri, n_valid = geometry.compact_triangles(
-            tris, params.active_cap, per_tri)
+            tris, params.active_cap, per_tri,
+            lazy_attrs=params.lazy_compaction and _pallas_route(params))
         cap_overflow = jnp.maximum(
             0, n_valid - min(params.active_cap, n_slots))
 
@@ -600,10 +616,7 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                 # Order-correct translucency / discard-reveal: K-layer replay
                 # of the reference's sequential shade-blend (Rasterizer.cs:
                 # 509-523) at binned cost.
-                if params.use_pallas \
-                        and params.depth_test == DepthTest.LESS_EQUAL \
-                        and (jax.default_backend() == "tpu"
-                             or params.pallas_interpret):
+                if _pallas_route(params):
                     # Depth-peeled kernel passes.  (A single-pass K-deep
                     # kernel — K winners in scratch, streams DMA'd twice —
                     # was built and measured SLOWER on v5e: 64 vs 39 ms at
@@ -625,9 +638,7 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
                                              fb_color, fb_depth,
                                              per_tri_extra=per_tri,
                                              with_stats=params.kbuffer_stats)
-            if params.use_pallas and params.depth_test == DepthTest.LESS_EQUAL \
-                    and (jax.default_backend() == "tpu"
-                         or params.pallas_interpret):
+            if _pallas_route(params):
                 # Mosaic kernels need real TPU hardware; every other backend
                 # (CPU tests, virtual meshes) takes the XLA fused path, which
                 # is pixel-exact with the kernel (tests/test_pallas_raster.py)
@@ -652,9 +663,25 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
 
     out = _dispatch()
     if params.active_cap_stats:
-        # Runtime capacity counter (the K-overflow analog):
-        # frames are exact iff active_cap_overflow == 0.
-        stats = {"active_cap_overflow": cap_overflow}
+        # Runtime capacity counters (the K-overflow analog): frames are
+        # exact iff every *_overflow == 0.  live_pairs is always
+        # reported so workloads can be MEASURED before choosing
+        # params.pair_cap (size the cap to live_pairs × headroom).
+        from softwarerenderer_tpu.ops import binning
+        live = binning.live_pair_count(tris, params)
+        live_glob = binning.global_count(tris, params)
+        stats = {"live_pairs": live, "live_globals": live_glob}
+        if params.active_cap:
+            stats["active_cap_overflow"] = cap_overflow
+        if params.pair_cap:
+            stats["pair_cap_overflow"] = jnp.maximum(
+                0, live - params.pair_cap)
+        if params.global_cap:
+            # 256 mirrors pallas_tile.GLOB_RESIDENT (the kernel keeps at
+            # least that many globals VMEM-resident, so the effective cap
+            # never drops below it).
+            stats["global_cap_overflow"] = jnp.maximum(
+                0, live_glob - max(params.global_cap, 256))
         if len(out) == 3:
             return out[0], out[1], {**out[2], **stats}
         return out[0], out[1], stats

@@ -81,8 +81,17 @@ def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
     is_binned = valid & ~is_global
 
     # Stable partition: global triangle ids first, in submission order.
-    order = jnp.argsort(jnp.where(is_global, 0, 1), stable=True)
+    # Built as a cumsum + scatter permutation (target of slot i = its
+    # running count within its class) — equivalent to the stable argsort
+    # it replaces (scripts/profile_compaction.py: both sub-0.04 ms/M
+    # slots on v5e; the scatter avoids the sort's log²-pass scaling).
     n_global = jnp.sum(is_global.astype(jnp.int32))
+    gi = is_global.astype(jnp.int32)
+    posg = jnp.cumsum(gi) - 1
+    posb = jnp.cumsum(1 - gi) - 1
+    tgt = jnp.where(is_global, posg, n_global + posb)
+    order = jnp.zeros((n,), jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32))
 
     # Pair expansion: slot s of triangle t covers bbox tile (s//span_w,
     # s%span_w); slots ≥ span (or non-binned tris) get the ntiles sentinel
@@ -99,6 +108,27 @@ def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
     tri_id = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None],
         (n, span_cap)).reshape(-1)
+
+    # Live-pair compaction (params.pair_cap): stable-compact the live
+    # pairs to a static prefix with a cumsum + scatter BEFORE sorting —
+    # the sort and every downstream stream gather then scale with the
+    # cap instead of the n·span_cap table.  Order within the compacted
+    # prefix is the original tri-major pair order, so sorting the
+    # compacted keys yields exactly the live prefix of the full table's
+    # sort.  Overflow (live pairs > cap) drops the LAST pairs in
+    # submission order; engine.render_frame surfaces the traced count as
+    # "pair_cap_overflow" when active_cap_stats is set (0 = exact).
+    pair_cap = int(getattr(params, "pair_cap", 0) or 0)
+    if pair_cap >= n * span_cap:
+        pair_cap = 0
+    live = tile_id < ntiles            # == pair_ok, flattened
+
+    def compact(arr, sentinel):
+        pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+        tgt = jnp.where(live, pos, pair_cap)
+        return jnp.full((pair_cap,), sentinel, arr.dtype).at[tgt].set(
+            arr, mode="drop")
+
     if tri_bits + tile_bits <= 32:
         # Packed single-key sort: key = tile_id << tri_bits | tri_id.
         # A triangle emits each tile AT MOST ONCE (its span_cap slots map
@@ -111,6 +141,8 @@ def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
         # on the ~4.5 ms binning stage at 1080p dust2).
         key = (tile_id.astype(jnp.uint32) << tri_bits) \
             | tri_id.astype(jnp.uint32)
+        if pair_cap:
+            key = compact(key, jnp.uint32(ntiles) << tri_bits)
         skey = jnp.sort(key)
         sorted_tile = (skey >> tri_bits).astype(jnp.int32)
         sorted_tri = (skey & jnp.uint32((1 << tri_bits) - 1)) \
@@ -120,6 +152,9 @@ def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
         # (tile, tri) composite keys are unique, so is_stable is not
         # needed and the carried value replaces argsort + two
         # n·span_cap-element gathers.
+        if pair_cap:
+            tile_id = compact(tile_id, jnp.int32(ntiles))
+            tri_id = compact(tri_id, jnp.int32(0))
         sorted_tile, sorted_tri = jax.lax.sort(
             (tile_id, tri_id), num_keys=2, is_stable=False)
 
@@ -134,6 +169,62 @@ def bin_triangles(tris: Dict, params: RenderParams, tile_h: int, tile_w: int,
         "counts": (ends - starts).astype(jnp.int32),
         "ntx": ntx, "nty": nty,
     }
+
+
+def live_pair_count(tris: Dict, params: RenderParams,
+                    tile_h: int | None = None, tile_w: int | None = None,
+                    span_cap: int | None = None, row_offset=0):
+    """Traced count of live (tile, triangle) pairs this frame's binning
+    emits — the quantity params.pair_cap truncates.  Recomputes the
+    bbox→tile-span arithmetic of bin_triangles (cheap: no sort, no pair
+    table) so the engine can surface capacity counters without plumbing
+    bins through every render path, and so users can MEASURE a workload
+    before choosing a cap (run one frame with active_cap_stats and read
+    stats["live_pairs"])."""
+    span, valid = _tile_spans(tris, params, tile_h, tile_w, row_offset)
+    span_cap = params.span_cap if span_cap is None else span_cap
+    return jnp.sum(jnp.where(valid & (span <= span_cap), span, 0)
+                   .astype(jnp.int32))
+
+
+def _tile_spans(tris, params, tile_h, tile_w, row_offset):
+    """(tile span, validity) per slot — the bbox→tile arithmetic of
+    bin_triangles without the pair table."""
+    tile_h = params.tile_h if tile_h is None else tile_h
+    tile_w = params.tile_w if tile_w is None else tile_w
+    bbox = tris["bbox"]
+    valid = tris["valid"]
+    off = jnp.asarray(row_offset, jnp.int32)
+    by0 = bbox[:, 1] - off
+    by1 = bbox[:, 3] - off
+    valid = valid & (by1 >= 0) & (by0 <= params.height - 1)
+    tx0 = bbox[:, 0] // tile_w
+    ty0 = jnp.clip(by0, 0, params.height - 1) // tile_h
+    tx1 = bbox[:, 2] // tile_w
+    ty1 = jnp.clip(by1, 0, params.height - 1) // tile_h
+    span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    return span, valid
+
+
+def global_count(tris: Dict, params: RenderParams,
+                 tile_h: int | None = None, tile_w: int | None = None,
+                 span_cap: int | None = None, row_offset=0):
+    """Traced count of GLOBAL (span > span_cap) triangles this frame —
+    the quantity params.global_cap truncates.  Measure a workload with
+    active_cap_stats (stats["live_globals"]) before choosing a cap."""
+    span, valid = _tile_spans(tris, params, tile_h, tile_w, row_offset)
+    span_cap = params.span_cap if span_cap is None else span_cap
+    return jnp.sum((valid & (span > span_cap)).astype(jnp.int32))
+
+
+def pair_cap_overflow(tris: Dict, params: RenderParams,
+                      tile_h: int | None = None, tile_w: int | None = None,
+                      span_cap: int | None = None, row_offset=0):
+    """Traced count of live (tile, triangle) pairs params.pair_cap drops
+    this frame (0 = the frame is exact)."""
+    live = live_pair_count(tris, params, tile_h, tile_w, span_cap,
+                           row_offset)
+    return jnp.maximum(0, live - params.pair_cap)
 
 
 def visibility_binned(tris: Dict, params: RenderParams, chunk: int = 32,

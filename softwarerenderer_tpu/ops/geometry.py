@@ -237,7 +237,8 @@ def _edge_function(ax, ay, bx, by, cx, cy):
 
 
 def compact_triangles(tris: Dict, cap: int,
-                      per_tri_extra: Dict | None = None):
+                      per_tri_extra: Dict | None = None,
+                      lazy_attrs: bool = False):
     """Stable-partition the VALID triangle slots into a static `cap`-slot
     prefix — every downstream stage (pair-table sort, stream gathers,
     payload packing) then scales with the ACTIVE triangle count instead of
@@ -250,33 +251,73 @@ def compact_triangles(tris: Dict, cap: int,
     setup+payload rows (measured: a 4K LOD crowd was ~1.8× SLOWER than
     its LOD-less twin, scripts/profile_lod.py).
 
-    Exactness: the permutation (jnp.argsort of ~valid, stable) keeps valid
-    slots in submission order, and every reduction downstream is the
-    lexicographic (depth, submission index) fold — invariant under an
-    order-preserving index remap — so results are identical to the
-    uncompacted frame whenever the frame's valid-slot count fits in cap.
-    On overflow the LAST-submitted valid slots are dropped
-    (deterministically); callers watch the returned traced n_valid
-    (overflow = max(0, n_valid - cap)).  ops/lod.suggested_active_cap
-    computes a static bound that can never overflow.
+    Exactness: the permutation keeps valid slots in submission order, and
+    every reduction downstream is the lexicographic (depth, submission
+    index) fold — invariant under an order-preserving index remap — so
+    results are identical to the uncompacted frame whenever the frame's
+    valid-slot count fits in cap.  On overflow the LAST-submitted valid
+    slots are dropped (deterministically); callers watch the returned
+    traced n_valid (overflow = max(0, n_valid - cap)).
+    ops/lod.suggested_active_cap computes a static bound that can never
+    overflow.
+
+    The permutation is built with a cumsum + scatter (position of valid
+    slot i = its running count; out-of-cap targets drop) instead of the
+    round-3-initial stable argsort over all n slots: identical prefix
+    (scripts/profile_compaction.py asserts it), comparable cost today
+    (~0.03 ms at the 1.17M-slot LOD-crowd scale on v5e) but free of the
+    sort's log²-pass scaling.  Unfilled tail slots (n_valid < cap)
+    gather slot 0's data; their `valid` is forced False below, which is
+    all any downstream stage reads.
+
+    lazy_attrs: leave the wide `attrs` payload UN-gathered.  The
+    gathered-up-front attr rows are the dominant compaction cost (a
+    cap × 128-padded-float row gather once packed — charged per element
+    on TPU), yet the Pallas stream build re-gathers payload rows again
+    by pair/order index.  With lazy_attrs the compacted dict instead
+    carries "attr_perm" (the (cap,) permutation) and "attr_full" (the
+    ORIGINAL full-size attrs/screen/inv_area/valid + extras), and
+    ops/pallas_tile composes the permutation into its stream gathers —
+    payload[perm[pair]] row for row equals the eager path's
+    payload_c[pair], so frames are bit-identical while gather cost
+    scales with the (much smaller) stream lengths.  Only the Pallas
+    route understands these keys; every other consumer must use the
+    eager mode.
 
     Returns (tris, per_tri_extra, n_valid) with all arrays cap-sized.
     """
     valid = tris["valid"]
     n = valid.shape[0]
     cap = min(int(cap), n)
-    perm = jnp.argsort(jnp.where(valid, 0, 1), stable=True)[:cap]
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    tgt = jnp.where(valid, pos, cap)
+    perm = jnp.zeros((cap,), jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
     n_valid = jnp.sum(valid.astype(jnp.int32))
+    tail_ok = jnp.arange(cap, dtype=jnp.int32) < n_valid
 
     def g(a):
         return jnp.take(a, perm, axis=0)
 
+    # In lazy mode "attrs" is OMITTED from the compacted dict (a consumer
+    # that can't compose the permutation should fail loudly, not read
+    # mis-shaped rows); the full rows ride in "attr_full" below.
     out = {k: ({ak: g(av) for ak, av in v.items()} if k == "attrs"
                else g(v))
-           for k, v in tris.items()}
+           for k, v in tris.items() if not (lazy_attrs and k == "attrs")}
+    out["valid"] = out["valid"] & tail_ok
     extra = None
     if per_tri_extra is not None:
         extra = {k: g(jnp.asarray(v)) for k, v in per_tri_extra.items()}
+    if lazy_attrs:
+        out["attr_perm"] = perm
+        out["attr_full"] = {
+            "attrs": tris["attrs"], "screen": tris["screen"],
+            "inv_area": tris["inv_area"], "valid": valid,
+            "extra": ({k: jnp.asarray(v)
+                       for k, v in per_tri_extra.items()}
+                      if per_tri_extra is not None else None),
+        }
     return out, extra, n_valid
 
 

@@ -54,7 +54,15 @@ F32 = jnp.float32
 N_FIELDS = 16     # setup-stream rows: s0x s0y s1x s1y s2x s2y d0 d1 d2 ia idx
 
 
-def _build_streams(tris, bins, payload):
+def _build_streams(tris, bins, payload, glob_idx=None, attr_perm=None):
+    """Gather the per-stream setup and payload rows.
+
+    glob_idx: the (possibly params.global_cap-truncated) prefix of
+    bins["order"] to stream; None = the full order.
+    attr_perm: lazy-compaction permutation (geometry.compact_triangles
+    lazy_attrs) — `payload` then holds FULL pre-compaction rows and the
+    gathers compose perm[idx], which reproduces the eager path's rows
+    exactly (payload_c[i] == payload_full[perm[i]] for every slot)."""
     screen = tris["screen"]
     depth = tris["depth"]
     inv_area = jnp.where(tris["valid"], tris["inv_area"], 0.0)
@@ -68,10 +76,16 @@ def _build_streams(tris, bins, payload):
         depth[:, 0], depth[:, 1], depth[:, 2],
         inv_area, idx_f, zeros, zeros, zeros, zeros, zeros,
     ])                                                    # (16, N)
-    glob_setup = jnp.take(setup, bins["order"], axis=1)
-    seg_setup = jnp.take(setup, bins["sorted_tri"], axis=1)
-    glob_payload = jnp.take(payload, bins["order"], axis=0)
-    seg_payload = jnp.take(payload, bins["sorted_tri"], axis=0)
+    if glob_idx is None:
+        glob_idx = bins["order"]
+    seg_idx = bins["sorted_tri"]
+    glob_setup = jnp.take(setup, glob_idx, axis=1)
+    seg_setup = jnp.take(setup, seg_idx, axis=1)
+    if attr_perm is not None:
+        glob_idx = jnp.take(attr_perm, glob_idx)
+        seg_idx = jnp.take(attr_perm, seg_idx)
+    glob_payload = jnp.take(payload, glob_idx, axis=0)
+    seg_payload = jnp.take(payload, seg_idx, axis=0)
     return glob_setup, seg_setup, glob_payload, seg_payload
 
 SUB = 32          # sub-chunk width (predicated evaluation granularity)
@@ -357,25 +371,36 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
     # (z, w) channels only — x/y are read by nothing downstream (z feeds
     # fog, w the perspective division) and dropping them narrows the
     # winner-merge scratch, the kernel's dominant VMEM traffic.
+    #
+    # Lazy compaction (geometry.compact_triangles lazy_attrs): the payload
+    # is packed from the FULL pre-compaction rows riding in "attr_full"
+    # (elementwise — no gather) and _build_streams composes "attr_perm"
+    # into its row gathers, so payload-gather cost scales with the stream
+    # lengths (params.pair_cap / global_cap) instead of active_cap × the
+    # 128-padded payload width.
+    attr_perm = tris.get("attr_perm")
+    src = tris["attr_full"] if attr_perm is not None else tris
+    src_extra = (src["extra"] if attr_perm is not None else per_tri_extra) \
+        or {}
     prune_clip = gb_keep is not None and "clip_position" not in gb_keep
-    keys = sorted(tris["attrs"].keys())
+    keys = sorted(src["attrs"].keys())
     parts, slices, off = [], {}, 0
     for k in keys:
-        arr = tris["attrs"][k]
+        arr = src["attrs"][k]
         if k == "clip_position" and prune_clip:
             arr = arr[..., 2:4]
         parts.append(arr)
         slices[k] = (off, off + arr.shape[-1])
         off += arr.shape[-1]
-    n = tris["screen"].shape[0]
-    parts.append(tris["screen"])
+    n = src["screen"].shape[0]
+    parts.append(src["screen"])
     sl_screen = off; off += 2
-    parts.append(jnp.broadcast_to(tris["inv_area"][:, None, None], (n, 3, 1)))
+    parts.append(jnp.broadcast_to(src["inv_area"][:, None, None], (n, 3, 1)))
     sl_ia = off; off += 1
     extra_keys = sorted(per_tri_extra.keys()) if per_tri_extra else []
     extra_slices = {}
     for k in extra_keys:
-        v = jnp.asarray(per_tri_extra[k], F32)[:, None, None]
+        v = jnp.asarray(src_extra[k], F32)[:, None, None]
         parts.append(jnp.broadcast_to(v, (n, 3, 1)))
         extra_slices[k] = off
         off += 1
@@ -391,7 +416,7 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
     kp3 = _cdiv(3 * kp, 8) * 8
     kp3_dma = _cdiv(3 * kp, 128) * 128
     payload = jnp.concatenate(parts, axis=-1).reshape(n, 3 * kp)
-    payload = jnp.where(tris["valid"][:, None], payload, 0.0)
+    payload = jnp.where(src["valid"][:, None], payload, 0.0)
     payload = jnp.pad(payload, ((0, 0), (0, kp3_dma - 3 * kp)))
     clip_w_off = slices["clip_position"][1] - 1
 
@@ -428,7 +453,21 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
     kpi = _cdiv(j, 8) * 8
 
     # ---- streams ----------------------------------------------------------
-    glob_s, seg_s, glob_p, seg_p = _build_streams(tris, bins, payload)
+    # params.global_cap: stream only the first global_cap order entries —
+    # globals lead the order in submission order, so the truncation is
+    # exact whenever the frame's global count fits (overflow drops the
+    # last-submitted globals; binning.global_count is the runtime guard).
+    # The kernel's n_global bound is clamped to match so the DMA never
+    # reads past the truncated stream.
+    gcap = int(getattr(params, "global_cap", 0) or 0)
+    n_global = bins["n_global"]
+    glob_idx = None
+    if gcap and gcap < bins["order"].shape[0]:
+        gcap = max(gcap, GLOB_RESIDENT)
+        glob_idx = bins["order"][:gcap]
+        n_global = jnp.minimum(n_global, gcap)
+    glob_s, seg_s, glob_p, seg_p = _build_streams(tris, bins, payload,
+                                                  glob_idx, attr_perm)
 
     def pad_streams(s, p, min_len):
         ln = s.shape[1]
@@ -449,7 +488,7 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
         gb_slices=gb_slices, extra_keys=extra_keys, sl_screen=sl_screen,
         sl_ia=sl_ia, clip_w_off=clip_w_off, row_offset=row_offset,
         starts=bins["starts"], counts=bins["counts"],
-        n_global=jnp.asarray([bins["n_global"]], jnp.int32),
+        n_global=jnp.asarray([n_global], jnp.int32),
         row_offset_arr=jnp.asarray(row_offset, jnp.int32).reshape(1),
         fbd=fbd, globres=globres, globres_pl=globres_pl,
         glob_s=glob_s, seg_s=seg_s, glob_p=glob_p, seg_p=seg_p)

@@ -149,3 +149,129 @@ def test_shade_binned_fused_matches_render_binned_fused():
                          jax.jit(both)(vin, mesh["indices"], u))
     np.testing.assert_allclose(c2, c1, atol=2e-6)
     np.testing.assert_allclose(d2, d1, atol=2e-6)
+
+
+def _vin_idx(mesh):
+    return shaders.make_vertex_input(
+        mesh["position"], mesh["uv"], mesh["normal"],
+        mesh["color"]), mesh["indices"]
+
+
+def _build_tris(vin, idx, u):
+    return geometry.build_triangles(
+        shaders.default_vertex_shader, vin, idx, u,
+        width=W, height=H, cull_mode=0)
+
+
+def test_pair_cap_exact_when_pairs_fit():
+    """Pair-table truncation (params.pair_cap) with a sufficient cap is
+    EXACT: live pairs stable-compact to the prefix before the sort, so
+    the truncated table's sorted live section equals the full table's."""
+    vin, idx = _vin_idx(primitives.random_triangle_soup(120, seed=4))
+    u = make_uniforms()
+    kw = dict(tile_h=16, tile_w=32, span_cap=6)
+
+    def vis(vin, idx, u, pair_cap):
+        tris = _build_tris(vin, idx, u)
+        p = RenderParams(width=W, height=H, cull_mode=0, pair_cap=pair_cap)
+        bins = binning.bin_triangles(tris, p, 16, 32, 6)
+        d, i = binning.visibility_binned(tris, p, 32, tile_group=4, **kw)
+        over = binning.pair_cap_overflow(tris, p, **kw) if pair_cap \
+            else jnp.int32(0)
+        return bins["sorted_tri"], bins["counts"], d, i, over
+
+    st0, cn0, d0, i0, _ = jax.jit(
+        functools.partial(vis, pair_cap=0))(vin, idx, u)
+    live = int(np.asarray(cn0).sum())
+    cap = -(-live // 128) * 128 + 128
+    st1, cn1, d1, i1, over = jax.jit(
+        functools.partial(vis, pair_cap=cap))(vin, idx, u)
+    assert int(over) == 0
+    np.testing.assert_array_equal(np.asarray(cn0), np.asarray(cn1))
+    np.testing.assert_array_equal(np.asarray(st0)[:live],
+                                  np.asarray(st1)[:live])
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+def test_pair_cap_overflow_counter_and_determinism():
+    """A too-small pair_cap reports the exact dropped-pair count and
+    drops deterministically (two runs identical)."""
+    vin, idx = _vin_idx(primitives.random_triangle_soup(120, seed=4))
+    u = make_uniforms()
+    kw = dict(tile_h=16, tile_w=32, span_cap=6)
+
+    def vis(vin, idx, u, pair_cap):
+        tris = _build_tris(vin, idx, u)
+        p = RenderParams(width=W, height=H, cull_mode=0, pair_cap=pair_cap)
+        bins = binning.bin_triangles(tris, p, 16, 32, 6)
+        d, i = binning.visibility_binned(tris, p, 32, tile_group=4, **kw)
+        return jnp.sum(bins["counts"]), d, i, \
+            binning.pair_cap_overflow(tris, p, **kw)
+
+    total0, _, _, _ = jax.jit(
+        functools.partial(vis, pair_cap=0))(vin, idx, u)
+    live = int(total0)
+    cap = max(32, live // 2)
+    f = jax.jit(functools.partial(vis, pair_cap=cap))
+    tot_a, d_a, i_a, over_a = f(vin, idx, u)
+    tot_b, d_b, i_b, over_b = f(vin, idx, u)
+    assert int(over_a) == live - cap == int(over_b)
+    assert int(tot_a) == cap
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+
+
+def test_global_partition_matches_stable_argsort():
+    """bin_triangles' cumsum+scatter order == the stable argsort it
+    replaced: global ids first in submission order, then the rest."""
+    soup = primitives.random_triangle_soup(60, seed=8)
+    plane = primitives.plane(40.0, y=-1.5)
+    n = soup["position"].shape[0]
+    mesh = {k: np.concatenate([soup[k], plane[k]])
+            for k in ("position", "uv", "normal", "color")}
+    mesh["indices"] = np.concatenate([soup["indices"],
+                                      plane["indices"] + n])
+    vin, idx = _vin_idx(mesh)
+    u = make_uniforms()
+
+    def bins_of(vin, idx, u):
+        tris = _build_tris(vin, idx, u)
+        p = RenderParams(width=W, height=H, cull_mode=0)
+        b = binning.bin_triangles(tris, p, 16, 32, 6)
+        return b["order"], b["n_global"], tris["valid"], tris["bbox"]
+
+    order, n_global, valid, bbox = map(
+        np.asarray, jax.jit(bins_of)(vin, idx, u))
+    # recompute the classification in NumPy
+    tx0, ty0 = bbox[:, 0] // 32, np.clip(bbox[:, 1], 0, H - 1) // 16
+    tx1, ty1 = bbox[:, 2] // 32, np.clip(bbox[:, 3], 0, H - 1) // 16
+    span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    is_global = valid & (span > 6)
+    ref = np.argsort(np.where(is_global, 0, 1), kind="stable")
+    assert int(n_global) == int(is_global.sum()) > 0
+    np.testing.assert_array_equal(order, ref)
+
+
+def test_global_count_matches_bins():
+    """binning.global_count (the params.global_cap runtime guard)
+    recomputes exactly the global classification bin_triangles makes."""
+    soup = primitives.random_triangle_soup(60, seed=8)
+    plane = primitives.plane(40.0, y=-1.5)
+    n = soup["position"].shape[0]
+    mesh = {k: np.concatenate([soup[k], plane[k]])
+            for k in ("position", "uv", "normal", "color")}
+    mesh["indices"] = np.concatenate([soup["indices"],
+                                      plane["indices"] + n])
+    vin, idx = _vin_idx(mesh)
+    u = make_uniforms()
+
+    def counts(vin, idx, u):
+        tris = _build_tris(vin, idx, u)
+        p = RenderParams(width=W, height=H, cull_mode=0)
+        b = binning.bin_triangles(tris, p, 16, 32, 6)
+        return b["n_global"], binning.global_count(
+            tris, p, tile_h=16, tile_w=32, span_cap=6)
+
+    n_global, counted = jax.jit(counts)(vin, idx, u)
+    assert int(counted) == int(n_global) > 0

@@ -261,10 +261,16 @@ def test_active_cap_stats_overflow_counter():
     _, _, stats = jax.jit(lambda s, u: render_frame(s, u, p_tight))(
         scene, u)
     assert int(stats["active_cap_overflow"]) > 0
-    # guard: stats without a cap is a config error
+    # stats without a cap is MEASUREMENT mode: live_pairs only
+    _, _, stats = jax.jit(lambda s, u: render_frame(
+        s, u, RenderParams(width=W, height=H, active_cap_stats=True)))(
+        scene, u)
+    assert int(stats["live_pairs"]) > 0
+    assert "active_cap_overflow" not in stats
+    # but stats still refuses to compose with ssaa/post-fx
     import pytest
     with pytest.raises(ValueError):
-        render_frame(scene, u, RenderParams(width=W, height=H,
+        render_frame(scene, u, RenderParams(width=W, height=H, ssaa=2,
                                             active_cap_stats=True))
 
 
@@ -283,3 +289,70 @@ def test_active_cap_through_pallas_interpret():
     assert (np.abs(np.asarray(c0) - np.asarray(c1)).max(axis=-1)
             <= 1e-6).all()
     assert (np.abs(np.asarray(d0) - np.asarray(d1)) <= 1e-6).all()
+
+
+def test_pair_cap_engine_exact_with_stats():
+    """params.pair_cap (live-pair table truncation) composes with
+    active_cap in render_frame: with fitting caps the frame matches the
+    uncapped one to 1e-6 and both overflow counters read 0; a starved
+    pair_cap reports a positive pair_cap_overflow."""
+    scene = _sphere_scene(True, z=-3.0)
+    u = default_frame_uniforms(W, H)
+    p0 = RenderParams(width=W, height=H)
+    c0, d0 = jax.jit(lambda s, u: render_frame(s, u, p0))(scene, u)
+    cap = lod.suggested_active_cap(scene)
+    p1 = p0.replace(active_cap=cap, pair_cap=cap * p0.span_cap // 2,
+                    active_cap_stats=True)
+    c1, d1, stats = jax.jit(lambda s, u: render_frame(s, u, p1))(scene, u)
+    assert int(stats["active_cap_overflow"]) == 0
+    assert int(stats["pair_cap_overflow"]) == 0
+    assert int(stats["live_pairs"]) > 0
+    assert int(stats["live_pairs"]) <= p1.pair_cap
+    assert (np.abs(np.asarray(c0) - np.asarray(c1)).max(axis=-1)
+            <= 1e-6).all()
+    assert (np.abs(np.asarray(d0) - np.asarray(d1)) <= 1e-6).all()
+    # starved pair table: the counter reports the dropped pairs
+    p2 = p1.replace(pair_cap=64)
+    _, _, stats2 = jax.jit(lambda s, u: render_frame(s, u, p2))(scene, u)
+    assert int(stats2["pair_cap_overflow"]) > 0
+    assert int(stats2["pair_cap_overflow"]) == \
+        int(stats2["live_pairs"]) - 64
+    # measurement mode: stats without any cap set reports live_pairs
+    p3 = p0.replace(active_cap_stats=True)
+    _, _, stats3 = jax.jit(lambda s, u: render_frame(s, u, p3))(scene, u)
+    assert int(stats3["live_pairs"]) == int(stats["live_pairs"])
+    assert "active_cap_overflow" not in stats3
+    assert "pair_cap_overflow" not in stats3
+
+
+def test_lazy_compaction_pallas_interpret_exact():
+    """lazy_compaction (attrs un-gathered; the permutation composes into
+    the Pallas stream gathers) is bit-identical to the eager gather
+    through the kernel code path, alone and with pair_cap + global_cap
+    stacked on top."""
+    scene = _sphere_scene(True)
+    cap = lod.suggested_active_cap(scene)
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.0, 0.5])
+    # span_cap=1 forces multi-tile triangles GLOBAL so the global_cap-
+    # truncated stream actually carries rows at this tiny frame size
+    # (default span_cap 8 == the whole 2x4 tile grid: nothing is ever
+    # global there).
+    base = RenderParams(width=W, height=H, pallas_interpret=True,
+                        active_cap=cap, span_cap=1)
+    c0, d0 = jax.jit(lambda s, u: render_frame(
+        s, u, base.replace(lazy_compaction=False)))(scene, u)
+    c1, d1 = jax.jit(lambda s, u: render_frame(s, u, base))(scene, u)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    # pair_cap + global_cap composed, overflow counters prove exactness
+    p2 = base.replace(pair_cap=-(-cap * 2 // 128) * 128,
+                      global_cap=cap - 1 if cap > 257 else 257,
+                      active_cap_stats=True)
+    c2, d2, stats = jax.jit(lambda s, u: render_frame(s, u, p2))(scene, u)
+    assert int(stats["active_cap_overflow"]) == 0
+    assert int(stats["pair_cap_overflow"]) == 0
+    assert int(stats["global_cap_overflow"]) == 0
+    assert int(stats["live_globals"]) > 0
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d2))
