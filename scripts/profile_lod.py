@@ -56,6 +56,11 @@ def main():
     ap.add_argument("--only", nargs="*", default=None,
                     help="measure only these config tags (compiles are "
                          "minutes each on this host — skip the rest)")
+    ap.add_argument("--span-cap", type=int, default=None,
+                    help="override RenderParams.span_cap: with pair_cap "
+                         "compaction the pair table tracks LIVE pairs, so "
+                         "a bigger span keeps wide triangles binned "
+                         "instead of global (globals fold on EVERY tile)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +78,8 @@ def main():
 
     W, H = args.width, args.height
     base_params = RenderParams(width=W, height=H)
+    if args.span_cap is not None:
+        base_params = base_params.replace(span_cap=args.span_cap)
 
     def measure(tag, sc_host, cap_mode=None):
         if args.only is not None and tag not in args.only:
@@ -95,11 +102,21 @@ def main():
         if cap_mode == "suggested":
             # the always-exact static bound (ignores culling/selection)
             cap = lod.suggested_active_cap(sc_np)
-        elif cap_mode in ("tight", "tight_pair", "tight_pair_lazy"):
+        elif cap_mode in ("tight", "tight_pair", "tight_pair_lazy",
+                          "tight_defer"):
             # workload-chosen cap: this camera's active slots + 25%
             # headroom, 128-aligned — exactness guarded by the traced
             # n_valid overflow counter (compact_triangles docstring)
             cap = -(-int(2 * active * 1.25) // 128) * 128
+        elif cap_mode == "valid_defer":
+            # cap from the frame's MEASURED valid-slot count (the
+            # active_cap_overflow counter's quantity): the LOD-mask bound
+            # above overshoots ~5× because backface culling halves the
+            # selected triangles and fan slots rarely fire — and every
+            # cap-proportional stage (materialize gathers, setup/payload
+            # builds) pays for the overshoot.  Placeholder; measured
+            # below once prep is defined.
+            cap = 0          # measured below once prep is defined
         else:
             cap = 0
         params = base_params.replace(active_cap=cap)
@@ -145,7 +162,8 @@ def main():
                 scene_vertex_shader, vin, scene["indices"], uu, width=W,
                 height=H, cull_mode=params.cull_mode,
                 near_clip=uu["near_clip"], tri_mask=tri_mask,
-                keep_varyings=scene_fragment_shader.varyings)
+                keep_varyings=scene_fragment_shader.varyings,
+                defer_attrs=cap_mode in ("tight_defer", "valid_defer"))
             tid2 = jnp.repeat(scene["tri_texture_id"], 2)
             aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
             asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
@@ -157,10 +175,21 @@ def main():
                 tris, per_tri, _ = geometry.compact_triangles(
                     tris, params.active_cap, per_tri,
                     lazy_attrs=(cap_mode == "tight_pair_lazy"))
+            if cap_mode in ("tight_defer", "valid_defer") \
+                    and params.active_cap:
+                tris = geometry.materialize_attrs(tris)
             fb_d = jnp.full((H, W), raster.DEPTH_CLEAR, jnp.float32)
             return tris, uu, per_tri, fb_d
 
-        if cap_mode in ("tight_pair", "tight_pair_lazy"):
+        if cap_mode == "valid_defer":
+            def count_valid(scene, u):
+                tris = prep(scene, u)[0]
+                return jnp.sum(tris["valid"].astype(jnp.int32))
+            nv = int(jax.jit(count_valid)(sc, u0))
+            cap = -(-int(nv * 1.25) // 128) * 128
+            params = params.replace(active_cap=cap)
+        if cap_mode in ("tight_pair", "tight_pair_lazy", "tight_defer",
+                        "valid_defer"):
             # workload-chosen pair-table cap: this camera's live
             # (tile, triangle) pairs + 25% headroom, 128-aligned —
             # exactness guarded by the traced pair_cap_overflow counter.
@@ -172,7 +201,8 @@ def main():
             live, nglob = map(int, jax.jit(live_counts)(sc, u0))
             params = params.replace(
                 pair_cap=-(-int(live * 1.25) // 128) * 128)
-            if cap_mode == "tight_pair_lazy":
+            if cap_mode in ("tight_pair_lazy", "tight_defer",
+                            "valid_defer"):
                 # + global-stream truncation (params.global_cap) and lazy
                 # attr compaction — guarded by global_cap_overflow.
                 params = params.replace(
@@ -198,7 +228,13 @@ def main():
             frag, bd, bi = pallas_tile._run_pass(ctx, False)
             return jnp.sum(bd) + jnp.sum(bi)
 
+        def prep_only(scene, u):
+            tris, uu, per_tri, fb_d = prep(scene, u)
+            leaves = jax.tree_util.tree_leaves(tris)
+            return sum(jnp.sum(l) for l in leaves if l.dtype == jnp.float32)
+
         report("full", full)
+        report("prep_only", prep_only)
         report("bin_only", bin_only)
         report("kernel_only", kernel_only)
 
@@ -215,6 +251,16 @@ def main():
     # permutation — cost ∝ stream lengths) + global-stream truncation
     measure("lod_cap_pair_lazy", build_instances(True),
             cap_mode="tight_pair_lazy")
+    # + deferred varying materialization (geometry.materialize_attrs
+    # runs AFTER compaction — the engine default with active_cap): the
+    # per-slot vertex gathers scale with cap, not packed slots
+    measure("lod_cap_defer", build_instances(True),
+            cap_mode="tight_defer")
+    # + cap sized from the frame's MEASURED valid-slot count (×1.25,
+    # overflow-guarded): the LOD-mask bound overshoots ~5× (backface
+    # culling), and materialize/setup/payload all scale with cap
+    measure("lod_cap_valid", build_instances(True),
+            cap_mode="valid_defer")
 
 
 if __name__ == "__main__":

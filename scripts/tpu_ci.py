@@ -198,6 +198,33 @@ def main():
           color_mismatch_frac=cfrac, depth_mismatch_frac=dfrac,
           active_cap=cap)
 
+    # ---- 5b. capacity truncations (pair_cap / global_cap / lazy) --------
+    # The full capacity stack through the real kernel: lazy compaction
+    # (default-on above), live-pair table truncation and global-stream
+    # truncation must stay bit-identical to the uncapped frame with every
+    # overflow counter at 0.  Caps are sized from the measured counters
+    # (the documented workflow).
+    engm = Engine(sc, RenderParams(width=640, height=360,
+                                   active_cap_stats=True))
+    _, _, st0 = engm.render(uu)
+    pair_cap = -(-int(st0["live_pairs"]) * 5 // 4 // 128) * 128
+    glob_cap = max(256, int(st0["live_globals"]) * 2)
+    engt = Engine(sc, RenderParams(width=640, height=360, active_cap=cap,
+                                   pair_cap=pair_cap, global_cap=glob_cap,
+                                   active_cap_stats=True))
+    ct, dt, st = engt.render(uu)
+    ct, dt = np.asarray(ct), np.asarray(dt)
+    overflow = {k: int(v) for k, v in st.items() if k.endswith("overflow")}
+    cfrac = float((np.abs(c0 - ct).max(axis=-1) > 1e-5).mean())
+    dfrac = float((np.abs(d0 - dt) > 1e-5).mean())
+    check("mosaic_capacity_caps_parity",
+          cfrac == 0.0 and dfrac == 0.0
+          and all(v == 0 for v in overflow.values()),
+          color_mismatch_frac=cfrac, depth_mismatch_frac=dfrac,
+          pair_cap=pair_cap, global_cap=glob_cap,
+          live_pairs=int(st0["live_pairs"]),
+          live_globals=int(st0["live_globals"]), **overflow)
+
     # ---- 6. skeletal skinning (level-scheduled FK) parity on Mosaic -----
     # Three two-bone arms with a per-skin anim_time vector: the Mosaic
     # kernel frame must match the XLA fused frame pixel-exactly, and the

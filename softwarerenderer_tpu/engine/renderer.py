@@ -460,11 +460,17 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     vin = {"position": scene["position"], "uv": scene["uv"],
            "normal": scene["normal"], "color": scene["color"]}
     vin = apply_vertex_updates(vin, scene, uniforms, view)
+    # With active_cap, varying materialization is DEFERRED past the
+    # compaction below (geometry.materialize_attrs) — the per-slot vertex
+    # gathers are the dominant geometry cost at LOD-crowd scale and they
+    # then run at cap size instead of packed-slot size.  Bit-exact.
+    keep_v = getattr(fragment_shader, "varyings", None)
+    defer = bool(params.active_cap)
     tris = geometry.build_triangles(
         vertex_shader, vin, scene["indices"], u,
         width=W, height=H, cull_mode=params.cull_mode,
         near_clip=u["near_clip"], tri_mask=tri_mask,
-        keep_varyings=getattr(fragment_shader, "varyings", None))
+        keep_varyings=keep_v, defer_attrs=defer)
 
     # Per-triangle material plumbing; ×2 to match the clipper's fan slots.
     # Atlas regions resolve here (T-level takes ≈ free) so the fragment
@@ -588,6 +594,8 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
             lazy_attrs=params.lazy_compaction and _pallas_route(params))
         cap_overflow = jnp.maximum(
             0, n_valid - min(params.active_cap, n_slots))
+    if defer:
+        tris = geometry.materialize_attrs(tris)
 
     if fb is None:
         clear = jnp.asarray(uniforms["clear_color"], dtype=F32)

@@ -98,14 +98,22 @@ def assemble_triangles(vs_out: Dict, indices: jnp.ndarray
     return {k: jnp.take(v, indices, axis=0) for k, v in flat.items()}
 
 
-def clip_triangles(attrs: Dict[str, jnp.ndarray], near_clip
-                   ) -> tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+def clip_triangles(attrs: Dict[str, jnp.ndarray], near_clip, *,
+                   return_sources: bool = False):
     """Vectorized near-plane clip.  attrs: flat varying dict of (T, 3, K).
 
     Returns (attrs2, valid) where attrs2 arrays are (2T, 3, K) — for each
     input triangle, fan slots [2t] = (p0,p1,p2) and [2t+1] = (p0,p2,p3) in
     the reference's emission order — and valid is (2T,) bool.  Triangles
     needing no clip pass through slot [2t] unchanged (case-7 identity row).
+
+    return_sources: additionally return (ia_local, ib_local, t) arrays of
+    shape (T, 4) describing each emitted polygon vertex as the lerp
+    `a + (b - a) * t` of the LOCAL input vertices ia/ib (kept vertices
+    have ia == ib, t == 0) — the deferred-attribute decomposition
+    build_triangles(defer_attrs=True) fans into per-slot sources so
+    varyings can be materialized AFTER compaction with identical
+    arithmetic.
     """
     clip = attrs["clip_position"]            # (T, 3, 4)
     near = jnp.asarray(near_clip, dtype=F32)
@@ -153,7 +161,20 @@ def clip_triangles(attrs: Dict[str, jnp.ndarray], near_clip
     valid_a = count >= 3
     valid_b = count == 4
     valid = jnp.stack([valid_a, valid_b], axis=1).reshape(-1)
-    return attrs2, valid
+    if not return_sources:
+        return attrs2, valid
+    # Source decomposition per candidate id: 0-2 = vertex c (a=b=c, t=0);
+    # 3-5 = lerp on edge (c-3) → (c-3+1)%3 with this triangle's t[c-3];
+    # 6 = padding (never consumed: it only lands in fan slot 3 of
+    # count==3 polygons, whose second triangle is invalid).
+    loc_a = jnp.asarray(np.array([0, 1, 2, 0, 1, 2, 0], np.int32))
+    loc_b = jnp.asarray(np.array([0, 1, 2, 1, 2, 0, 0], np.int32))
+    ia_l = loc_a[table]                                     # (T, 4)
+    ib_l = loc_b[table]
+    edge = jnp.clip(table - 3, 0, 2)
+    t4 = jnp.where((table >= 3) & (table <= 5),
+                   jnp.take_along_axis(t, edge, axis=1), F32(0.0))
+    return attrs2, valid, (ia_l, ib_l, t4)
 
 
 def setup_triangles(attrs: Dict[str, jnp.ndarray], valid: jnp.ndarray,
@@ -287,6 +308,9 @@ def compact_triangles(tris: Dict, cap: int,
     Returns (tris, per_tri_extra, n_valid) with all arrays cap-sized.
     """
     valid = tris["valid"]
+    # Deferred dicts (build_triangles defer_attrs) make lazy mode a
+    # no-op: their wide varyings are per-vertex already.
+    lazy_attrs = lazy_attrs and "vert_attrs" not in tris
     n = valid.shape[0]
     cap = min(int(cap), n)
     pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
@@ -302,9 +326,19 @@ def compact_triangles(tris: Dict, cap: int,
     # In lazy mode "attrs" is OMITTED from the compacted dict (a consumer
     # that can't compose the permutation should fail loudly, not read
     # mis-shaped rows); the full rows ride in "attr_full" below.
-    out = {k: ({ak: g(av) for ak, av in v.items()} if k == "attrs"
-               else g(v))
-           for k, v in tris.items() if not (lazy_attrs and k == "attrs")}
+    # Deferred-attr dicts (build_triangles defer_attrs): "attr_src" rows
+    # are per-slot (gathered), "vert_attrs" is per-VERTEX (untouched —
+    # this is the whole point: the wide varying tables never see a
+    # slot-count-sized gather).
+    out = {}
+    for k, v in tris.items():
+        if k == "vert_attrs":
+            out[k] = v
+        elif k in ("attrs", "attr_src"):
+            if not (lazy_attrs and k == "attrs"):
+                out[k] = {ak: g(av) for ak, av in v.items()}
+        else:
+            out[k] = g(v)
     out["valid"] = out["valid"] & tail_ok
     extra = None
     if per_tri_extra is not None:
@@ -327,7 +361,8 @@ def build_triangles(vertex_shader: Callable, vertex_input: Dict,
                     cull_mode: CullMode = CullMode.BACK,
                     near_clip=0.1,
                     tri_mask: jnp.ndarray | None = None,
-                    keep_varyings=None) -> Dict:
+                    keep_varyings=None,
+                    defer_attrs: bool = False) -> Dict:
     """Full geometry stage: shade → assemble → clip → setup.
 
     tri_mask: optional (T,) bool per INPUT triangle (e.g. frustum-cull mask
@@ -340,8 +375,63 @@ def build_triangles(vertex_shader: Callable, vertex_input: Dict,
     (SURVEY.md §7 hard-part (c)).  Unused varyings are dropped before
     clipping so they never enter the resolve payload; clip_position is
     always kept.
+
+    defer_attrs: skip materializing per-slot varyings entirely — the
+    dominant geometry cost at LOD-crowd scale (per-slot vertex gathers of
+    every varying channel are charged per ELEMENT on TPU; measured
+    ~145 ms of a 280 ms 4K frame at 1.17M packed slots,
+    scripts/profile_lod.py prep_only).  The returned dict instead carries
+    "vert_attrs" (the per-VERTEX shaded varyings, untouched) and
+    "attr_src" ((N, 3) ia/ib/t lerp decompositions per slot vertex);
+    materialize_attrs() rebuilds "attrs" bit-exactly at any later point —
+    in the engine, AFTER active_cap compaction, so gather cost scales
+    with the cap instead of packed slots.  Geometry/validity outputs are
+    identical to the eager path (clip_position math runs at full size
+    either way).
     """
     vs_out = shade_vertices(vertex_shader, vertex_input, uniforms)
+    if defer_attrs:
+        flat = _flatten_varyings(vs_out)
+        if keep_varyings is not None:
+            keep = set(keep_varyings) | {"clip_position"}
+            flat = {k: v for k, v in flat.items() if k in keep}
+        idx3 = jnp.asarray(indices, dtype=jnp.int32).reshape(-1, 3)
+        attrs = {"clip_position": jnp.take(flat["clip_position"], idx3,
+                                           axis=0)}
+        attrs2, valid, (ia_l, ib_l, t4) = clip_triangles(
+            attrs, uniforms.get("near_clip", near_clip),
+            return_sources=True)
+        if tri_mask is not None:
+            valid = valid & jnp.repeat(jnp.asarray(tri_mask, bool), 2)
+        tris = setup_triangles(attrs2, valid, width, height, cull_mode)
+        # Per-slot synthesized varyings stay eager (elementwise from the
+        # slot's own screen positions — no vertex gather to defer, and
+        # recomputing them post-compaction can fuse differently by 1 ulp);
+        # the vertex-sourced varyings are what materialize_attrs rebuilds.
+        full_attrs = tris.pop("attrs")
+        tris["attrs"] = (
+            {"screen_coords": full_attrs["screen_coords"]}
+            if keep_varyings is None or "screen_coords" in keep_varyings
+            else {})
+
+        # Fan-slice the (T, 4) polygon sources into the (2T, 3) slot
+        # layout exactly like clip_one, then apply setup's vertex
+        # reversal so slot vertex v matches attrs row v everywhere.
+        ga = jnp.take_along_axis(idx3, ia_l, axis=1)        # global ids
+        gb = jnp.take_along_axis(idx3, ib_l, axis=1)
+        fan_a = jnp.asarray([0, 1, 2])
+        fan_b = jnp.asarray([0, 2, 3])
+        rev = jnp.asarray([2, 1, 0])
+
+        def fan2(a4):
+            out = jnp.stack([a4[:, fan_a], a4[:, fan_b]],
+                            axis=1).reshape(-1, 3)
+            return out[:, rev]
+
+        tris["attr_src"] = {"ia": fan2(ga), "ib": fan2(gb),
+                            "t": fan2(t4)}
+        tris["vert_attrs"] = flat
+        return tris
     attrs = assemble_triangles(vs_out, indices)
     if keep_varyings is not None:
         keep = set(keep_varyings) | {"clip_position"}
@@ -352,4 +442,48 @@ def build_triangles(vertex_shader: Callable, vertex_input: Dict,
     tris = setup_triangles(attrs2, valid, width, height, cull_mode)
     if keep_varyings is not None and "screen_coords" not in keep_varyings:
         tris["attrs"].pop("screen_coords", None)
+    return tris
+
+
+def materialize_attrs(tris: Dict) -> Dict:
+    """Gather + lerp the deferred per-vertex varyings into per-slot
+    (N, 3, K) "attrs" — the second half of build_triangles(
+    defer_attrs=True), run AFTER compaction so the per-element vertex
+    gathers scale with the active cap instead of packed slots.
+
+    Bit-exact vs the eager path for every CONSUMED value: kept vertices
+    read their vertex value (a + (b - a)·0 == a), clipped vertices apply
+    the clipper's own `a + (b - a) * t` to the same operand values, and
+    the synthesized screen_coords varying was kept eager at build time
+    (it has no vertex source).  Only invalid/pad slots differ (eager
+    zeros vs arbitrary rows) — no downstream stage reads those (winner
+    folds and payload masks are validity-gated)."""
+    tris = dict(tris)
+    flat = tris.pop("vert_attrs")
+    src = tris.pop("attr_src")
+    attrs_eager = dict(tris.get("attrs", {}))
+    keys = sorted(flat.keys())
+    # One wide row-gather per endpoint instead of per-key element
+    # gathers — group by dtype so exotic shader outputs stay exact.
+    by_dtype: Dict = {}
+    for k in keys:
+        by_dtype.setdefault(jnp.asarray(flat[k]).dtype, []).append(k)
+    attrs: Dict[str, jnp.ndarray] = attrs_eager
+    t = src["t"][..., None]
+    for dt, group in by_dtype.items():
+        parts, slices, off = [], {}, 0
+        for k in group:
+            a = jnp.asarray(flat[k])
+            parts.append(a)
+            slices[k] = (off, off + a.shape[-1])
+            off += a.shape[-1]
+        cat = jnp.concatenate(parts, axis=-1) if len(parts) > 1 \
+            else parts[0]
+        va = jnp.take(cat, src["ia"], axis=0)               # (N, 3, K)
+        vb = jnp.take(cat, src["ib"], axis=0)
+        # clip_one's exact expression (dtype promotion included)
+        m = va + (vb - va) * t
+        for k, (lo, hi) in slices.items():
+            attrs[k] = m[..., lo:hi]
+    tris["attrs"] = attrs
     return tris

@@ -253,6 +253,54 @@ def test_global_partition_matches_stable_argsort():
     np.testing.assert_array_equal(order, ref)
 
 
+def test_defer_attrs_bit_exact_incl_clipping():
+    """build_triangles(defer_attrs=True) + materialize_attrs reproduces
+    the eager varyings BIT-exactly on every valid slot — including
+    near-plane-clipped fan slots, whose vertices are lerps the deferred
+    path re-applies from (ia, ib, t) decompositions."""
+    soup = primitives.random_triangle_soup(80, seed=11)
+    # a triangle straddling the camera plane (camera z=3, looking -z):
+    # one vertex behind the camera -> some-but-not-all w <= 0 -> clipped
+    n = soup["position"].shape[0]
+    mesh = {
+        "position": np.concatenate([soup["position"], np.float32(
+            [[-1.0, -0.5, 0.0], [1.0, -0.5, 0.0], [0.0, 0.8, 4.0]])]),
+        "uv": np.concatenate([soup["uv"], np.float32(
+            [[0, 0], [1, 0], [0.5, 1]])]),
+        "normal": np.concatenate([soup["normal"], np.float32(
+            [[0, 0, 1]] * 3)]),
+        "color": np.concatenate([soup["color"],
+                                 np.ones((3, 4), np.float32)]),
+        "indices": np.concatenate([soup["indices"],
+                                   np.int32([[n, n + 1, n + 2]])]),
+    }
+    vin, idx = _vin_idx(mesh)
+    u = make_uniforms()
+
+    def both(vin, idx, u):
+        e = geometry.build_triangles(
+            shaders.default_vertex_shader, vin, idx, u,
+            width=W, height=H, cull_mode=0)
+        d = geometry.build_triangles(
+            shaders.default_vertex_shader, vin, idx, u,
+            width=W, height=H, cull_mode=0, defer_attrs=True)
+        d = geometry.materialize_attrs(d)
+        return e, d
+
+    e, d = jax.jit(both)(vin, idx, u)
+    valid = np.asarray(e["valid"])
+    assert valid.any()
+    # clipping actually happened: some second fan slot is live
+    assert valid[1::2].any()
+    for k in ("screen", "depth", "bbox", "valid", "inv_area"):
+        np.testing.assert_array_equal(np.asarray(e[k]), np.asarray(d[k]))
+    assert set(e["attrs"]) == set(d["attrs"])
+    for k in e["attrs"]:
+        np.testing.assert_array_equal(
+            np.asarray(e["attrs"][k])[valid],
+            np.asarray(d["attrs"][k])[valid], err_msg=k)
+
+
 def test_global_count_matches_bins():
     """binning.global_count (the params.global_cap runtime guard)
     recomputes exactly the global classification bin_triangles makes."""
