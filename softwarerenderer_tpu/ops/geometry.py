@@ -58,6 +58,24 @@ _CLIP_TABLE = np.array(
 _CLIP_COUNT = np.array([0, 3, 3, 4, 3, 4, 4, 3], dtype=np.int32)
 
 
+def _select_rows(arr: jnp.ndarray, sel: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Per-row candidate select: arr (T, n[, K]) picked by sel (T, S) →
+    (T, S[, K]), as a branchless where-chain.
+
+    Replaces jnp.take_along_axis on the clip tables: XLA lowers that to a
+    serial per-element gather on TPU — measured 25-28 ms PER CALL at the
+    584k-triangle 4K crowd (the whole clip stage's cost, four calls =
+    ~100 ms/frame; see BENCHMARKS.md capacity-caps section) — while the
+    n-way select chain fuses into sub-ms elementwise ops.  Bit-exact:
+    the same candidate values are selected."""
+    a = arr[:, :, None] if arr.ndim == 2 else arr
+    out = jnp.broadcast_to(a[:, 0:1], (a.shape[0], sel.shape[1],
+                                       a.shape[2]))
+    for c in range(1, n):
+        out = jnp.where((sel == c)[:, :, None], a[:, c:c + 1], out)
+    return out[..., 0] if arr.ndim == 2 else out
+
+
 def shade_vertices(vertex_shader: Callable, vertex_input: Dict, uniforms: Dict
                    ) -> Dict:
     """Run the user vertex shader over all packed vertices at once.
@@ -141,8 +159,17 @@ def clip_triangles(attrs: Dict[str, jnp.ndarray], near_clip, *,
     t = jnp.where(jnp.abs(denom) < EPSILON, F32(0.5),
                   jnp.clip(t_raw, 0.0, 1.0))  # (T, 3)
 
-    table = jnp.asarray(_CLIP_TABLE)[case]    # (T, 4) source ids
-    count = jnp.asarray(_CLIP_COUNT)[case]    # (T,)
+    # Constant-table lookups as where-chains over the 8 rows (same
+    # rationale as _select_rows: gathers with tiny tables still lower to
+    # serial per-element gathers on TPU).
+    table = jnp.broadcast_to(jnp.asarray(_CLIP_TABLE[0]),
+                             (case.shape[0], 4))            # (T, 4)
+    count = jnp.full_like(case, _CLIP_COUNT[0])             # (T,)
+    for c in range(1, 8):
+        is_c = case == c
+        table = jnp.where(is_c[:, None], jnp.asarray(_CLIP_TABLE[c]),
+                          table)
+        count = jnp.where(is_c, _CLIP_COUNT[c], count)
 
     def clip_one(arr):
         # arr: (T, 3, K) → candidates (T, 7, K): verts, edge lerps, pad.
@@ -150,7 +177,7 @@ def clip_triangles(attrs: Dict[str, jnp.ndarray], near_clip, *,
         b = arr[:, nxt]
         x = a + (b - a) * t[..., None]        # Shaders.Lerp order: a+(b-a)*t
         cand = jnp.concatenate([a, x, jnp.zeros_like(a[:, :1])], axis=1)
-        out4 = jnp.take_along_axis(cand, table[:, :, None], axis=1)  # (T,4,K)
+        out4 = _select_rows(cand, table, 7)                          # (T,4,K)
         tri_a = out4[:, jnp.asarray([0, 1, 2])]
         tri_b = out4[:, jnp.asarray([0, 2, 3])]
         # Interleave so global order matches sequential fan emission.
@@ -167,13 +194,17 @@ def clip_triangles(attrs: Dict[str, jnp.ndarray], near_clip, *,
     # 3-5 = lerp on edge (c-3) → (c-3+1)%3 with this triangle's t[c-3];
     # 6 = padding (never consumed: it only lands in fan slot 3 of
     # count==3 polygons, whose second triangle is invalid).
-    loc_a = jnp.asarray(np.array([0, 1, 2, 0, 1, 2, 0], np.int32))
-    loc_b = jnp.asarray(np.array([0, 1, 2, 1, 2, 0, 0], np.int32))
-    ia_l = loc_a[table]                                     # (T, 4)
-    ib_l = loc_b[table]
+    loc_a = np.array([0, 1, 2, 0, 1, 2, 0], np.int32)
+    loc_b = np.array([0, 1, 2, 1, 2, 0, 0], np.int32)
+    ia_l = jnp.full_like(table, loc_a[0])                   # (T, 4)
+    ib_l = jnp.full_like(table, loc_b[0])
+    for c in range(1, 7):
+        is_c = table == c
+        ia_l = jnp.where(is_c, loc_a[c], ia_l)
+        ib_l = jnp.where(is_c, loc_b[c], ib_l)
     edge = jnp.clip(table - 3, 0, 2)
     t4 = jnp.where((table >= 3) & (table <= 5),
-                   jnp.take_along_axis(t, edge, axis=1), F32(0.0))
+                   _select_rows(t, edge, 3), F32(0.0))
     return attrs2, valid, (ia_l, ib_l, t4)
 
 
@@ -417,8 +448,8 @@ def build_triangles(vertex_shader: Callable, vertex_input: Dict,
         # Fan-slice the (T, 4) polygon sources into the (2T, 3) slot
         # layout exactly like clip_one, then apply setup's vertex
         # reversal so slot vertex v matches attrs row v everywhere.
-        ga = jnp.take_along_axis(idx3, ia_l, axis=1)        # global ids
-        gb = jnp.take_along_axis(idx3, ib_l, axis=1)
+        ga = _select_rows(idx3, ia_l, 3)                    # global ids
+        gb = _select_rows(idx3, ib_l, 3)
         fan_a = jnp.asarray([0, 1, 2])
         fan_b = jnp.asarray([0, 2, 3])
         rev = jnp.asarray([2, 1, 0])
