@@ -108,7 +108,7 @@ def main():
             # headroom, 128-aligned — exactness guarded by the traced
             # n_valid overflow counter (compact_triangles docstring)
             cap = -(-int(2 * active * 1.25) // 128) * 128
-        elif cap_mode == "valid_defer":
+        elif cap_mode in ("valid_defer", "geom"):
             # cap from the frame's MEASURED valid-slot count (the
             # active_cap_overflow counter's quantity): the LOD-mask bound
             # above overshoots ~5× because backface culling halves the
@@ -163,7 +163,8 @@ def main():
                 height=H, cull_mode=params.cull_mode,
                 near_clip=uu["near_clip"], tri_mask=tri_mask,
                 keep_varyings=scene_fragment_shader.varyings,
-                defer_attrs=cap_mode in ("tight_defer", "valid_defer"))
+                defer_attrs=cap_mode in ("tight_defer", "valid_defer",
+                                         "geom"))
             tid2 = jnp.repeat(scene["tri_texture_id"], 2)
             aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
             asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
@@ -175,13 +176,13 @@ def main():
                 tris, per_tri, _ = geometry.compact_triangles(
                     tris, params.active_cap, per_tri,
                     lazy_attrs=(cap_mode == "tight_pair_lazy"))
-            if cap_mode in ("tight_defer", "valid_defer") \
+            if cap_mode in ("tight_defer", "valid_defer", "geom") \
                     and params.active_cap:
                 tris = geometry.materialize_attrs(tris)
             fb_d = jnp.full((H, W), raster.DEPTH_CLEAR, jnp.float32)
             return tris, uu, per_tri, fb_d
 
-        if cap_mode == "valid_defer":
+        if cap_mode in ("valid_defer", "geom"):
             def count_valid(scene, u):
                 tris = prep(scene, u)[0]
                 return jnp.sum(tris["valid"].astype(jnp.int32))
@@ -189,7 +190,7 @@ def main():
             cap = -(-int(nv * 1.25) // 128) * 128
             params = params.replace(active_cap=cap)
         if cap_mode in ("tight_pair", "tight_pair_lazy", "tight_defer",
-                        "valid_defer"):
+                        "valid_defer", "geom"):
             # workload-chosen pair-table cap: this camera's live
             # (tile, triangle) pairs + 25% headroom, 128-aligned —
             # exactness guarded by the traced pair_cap_overflow counter.
@@ -202,11 +203,18 @@ def main():
             params = params.replace(
                 pair_cap=-(-int(live * 1.25) // 128) * 128)
             if cap_mode in ("tight_pair_lazy", "tight_defer",
-                            "valid_defer"):
+                            "valid_defer", "geom"):
                 # + global-stream truncation (params.global_cap) and lazy
                 # attr compaction — guarded by global_cap_overflow.
                 params = params.replace(
                     global_cap=max(256, -(-int(nglob * 2) // 128) * 128))
+        if cap_mode == "geom":
+            # + pre-geometry compaction (params.geom_cap): assemble/clip/
+            # setup run on the masked-in INPUT triangles — sized from the
+            # measured LOD-mask count ×1.25, guarded by the traced
+            # geom_cap_overflow counter.
+            params = params.replace(
+                geom_cap=-(-int(active * 1.25) // 128) * 128)
         eng = Engine(sc, params)
 
         def full(scene, u):
@@ -234,6 +242,8 @@ def main():
             return sum(jnp.sum(l) for l in leaves if l.dtype == jnp.float32)
 
         report("full", full)
+        if cap_mode == "geom":
+            return   # prep/bin/kernel splits don't model geom_cap
         report("prep_only", prep_only)
         report("bin_only", bin_only)
         report("kernel_only", kernel_only)
@@ -261,6 +271,10 @@ def main():
     # culling), and materialize/setup/payload all scale with cap
     measure("lod_cap_valid", build_instances(True),
             cap_mode="valid_defer")
+    # + pre-geometry compaction (params.geom_cap): the BUILD stage
+    # (assemble/clip/setup — the remaining ~34 ms at 1.17M packed slots,
+    # scripts/profile_build_stages.py) also scales with active triangles
+    measure("lod_cap_geom", build_instances(True), cap_mode="geom")
 
 
 if __name__ == "__main__":

@@ -210,6 +210,7 @@ def main():
     pair_cap = -(-int(st0["live_pairs"]) * 5 // 4 // 128) * 128
     glob_cap = max(256, int(st0["live_globals"]) * 2)
     engt = Engine(sc, RenderParams(width=640, height=360, active_cap=cap,
+                                   geom_cap=lod_mod.suggested_geom_cap(sc),
                                    pair_cap=pair_cap, global_cap=glob_cap,
                                    active_cap_stats=True))
     ct, dt, st = engt.render(uu)
@@ -222,6 +223,7 @@ def main():
           and all(v == 0 for v in overflow.values()),
           color_mismatch_frac=cfrac, depth_mismatch_frac=dfrac,
           pair_cap=pair_cap, global_cap=glob_cap,
+          geom_cap=lod_mod.suggested_geom_cap(sc),
           live_pairs=int(st0["live_pairs"]),
           live_globals=int(st0["live_globals"]), **overflow)
 

@@ -112,6 +112,21 @@ class RenderParams:
     # slots fit (ops/lod.suggested_active_cap gives a bound that always
     # does); overflow drops the last-submitted triangles.  0 = off.
     active_cap: int = 0
+    # Pre-geometry compaction (engine.render_frame): stable-partition the
+    # INPUT triangles selected by the frame's visibility+LOD mask into
+    # this many slots BEFORE vertex assembly/clip/setup, so the whole
+    # geometry build scales with ACTIVE triangles instead of packed input
+    # slots (every LOD level, hidden meshes).  The mask is known before
+    # geometry runs, so this removes the build-stage cost active_cap
+    # cannot touch (measured ~34 ms of the 4K LOD-crowd frame at 1.17M
+    # fan slots, scripts/profile_build_stages.py).  Exact whenever the
+    # frame's masked-in triangles fit (ops/lod.suggested_geom_cap gives a
+    # bound that always does); overflow drops the last-submitted
+    # triangles deterministically — guard tight caps with
+    # active_cap_stats' "geom_cap_overflow" counter.  Composes with
+    # active_cap (which then compacts the much smaller post-cull set).
+    # 0 = off.
+    geom_cap: int = 0
     # Capacity counters: ALSO return a stats dict with "live_pairs" (the
     # frame's live (tile, triangle) pair count — measure a workload with
     # this before choosing pair_cap), "live_globals" (the frame's

@@ -171,7 +171,8 @@ scene_fragment_shader_trilinear.alpha_sources = ("color", "texture")
 
 
 def opaque_tri_flags(scene: Dict, vin: Dict, fragment_shader,
-                     params: RenderParams):
+                     params: RenderParams, indices=None,
+                     tri_texture_id=None):
     """Per-triangle 'semantically opaque' flags for the K-buffer peel's
     short-circuit, or None when unprovable.
 
@@ -196,7 +197,8 @@ def opaque_tri_flags(scene: Dict, vin: Dict, fragment_shader,
     srcs = getattr(fragment_shader, "alpha_sources", None)
     if srcs is None or params.blend_mode != BlendMode.ALPHA:
         return None
-    idx = jnp.asarray(scene["indices"], jnp.int32)
+    idx = jnp.asarray(scene["indices"] if indices is None else indices,
+                      jnp.int32)
     opq = jnp.ones((idx.shape[0],), bool)
     if "color" in srcs:
         a = jnp.asarray(vin["color"], F32)[:, 3]
@@ -211,7 +213,9 @@ def opaque_tri_flags(scene: Dict, vin: Dict, fragment_shader,
         if "tex_min_alpha" not in scene:
             return None
         ta = jnp.take(jnp.asarray(scene["tex_min_alpha"], F32),
-                      jnp.asarray(scene["tri_texture_id"], jnp.int32))
+                      jnp.asarray(scene["tri_texture_id"]
+                                  if tri_texture_id is None
+                                  else tri_texture_id, jnp.int32))
         opq = opq & (ta >= F32(1.0))
     # ×2 for the clipper's fan slots, like every per-triangle channel.
     return jnp.repeat(opq.astype(jnp.int32), 2)
@@ -449,6 +453,27 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         from softwarerenderer_tpu.ops import lod
         tri_mask = tri_mask & lod.lod_tri_mask(scene, uniforms, H, xp=jnp)
 
+    # Per-input-triangle arrays every later stage reads; geom_cap below
+    # swaps them for compacted views.
+    indices = scene["indices"]
+    tri_tex = jnp.asarray(scene["tri_texture_id"], jnp.int32)
+    tri_mesh = jnp.asarray(scene["tri_mesh_id"], jnp.int32)
+    tri_ntex = (jnp.asarray(scene["tri_normal_tex_id"], jnp.int32)
+                if "tri_normal_tex_id" in scene else None)
+    geom_overflow = None
+    if params.geom_cap:
+        # Pre-GEOMETRY compaction (geometry.precompact_inputs): the
+        # visibility+LOD mask is known before any vertex assembly, so
+        # the build stage runs on the masked-in input triangles only —
+        # counted by geom_overflow / "geom_cap_overflow".
+        pt = {"tex": tri_tex, "mesh": tri_mesh}
+        if tri_ntex is not None:
+            pt["ntex"] = tri_ntex
+        tri_mask, indices, pt, geom_overflow = geometry.precompact_inputs(
+            tri_mask, params.geom_cap, indices, pt)
+        tri_tex, tri_mesh = pt["tex"], pt["mesh"]
+        tri_ntex = pt.get("ntex")
+
     model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"], axis=0)
     u = dict(uniforms)
     u.update(model=model_pv, view=view, projection=proj,
@@ -467,7 +492,7 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     keep_v = getattr(fragment_shader, "varyings", None)
     defer = bool(params.active_cap)
     tris = geometry.build_triangles(
-        vertex_shader, vin, scene["indices"], u,
+        vertex_shader, vin, indices, u,
         width=W, height=H, cull_mode=params.cull_mode,
         near_clip=u["near_clip"], tri_mask=tri_mask,
         keep_varyings=keep_v, defer_attrs=defer)
@@ -478,17 +503,17 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     # Shaders can declare `tri_extras` (like `varyings`) to prune unused
     # channels from the resolve payload — fewer payload rows = less VMEM
     # traffic in the tile kernel's winner merge.
-    tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+    tid2 = jnp.repeat(tri_tex, 2)
     aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
     asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
     per_tri = {"tex_id": tid2,
-               "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
+               "mesh_id": jnp.repeat(tri_mesh, 2),
                "tex_oy": jnp.take(aoff[:, 0], tid2),
                "tex_ox": jnp.take(aoff[:, 1], tid2),
                "tex_h": jnp.take(asiz[:, 0], tid2),
                "tex_w": jnp.take(asiz[:, 1], tid2)}
-    if "tri_normal_tex_id" in scene:
-        nid2 = jnp.repeat(scene["tri_normal_tex_id"], 2)
+    if tri_ntex is not None:
+        nid2 = jnp.repeat(tri_ntex, 2)
         per_tri.update(nm_oy=jnp.take(aoff[:, 0], nid2),
                        nm_ox=jnp.take(aoff[:, 1], nid2),
                        nm_h=jnp.take(asiz[:, 0], nid2),
@@ -496,7 +521,7 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
     if "mesh_metallic" in scene:
         # PBR material channels, 8-bit-quantized into the integer
         # per-triangle extras (pruned unless the shader declares them).
-        mid2 = jnp.repeat(scene["tri_mesh_id"], 2)
+        mid2 = jnp.repeat(tri_mesh, 2)
 
         def q256(table):
             return jnp.clip(jnp.round(jnp.take(
@@ -522,14 +547,13 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         # per-polygon-mip engines did.
         from softwarerenderer_tpu.models.scene import MAX_MIP_LEVELS
         uvb = jnp.asarray(scene["uv"], F32)
-        idx = jnp.asarray(scene["indices"], jnp.int32)
+        idx = jnp.asarray(indices, jnp.int32).reshape(-1, 3)
         e1 = jnp.take(uvb, idx[:, 1], axis=0) \
             - jnp.take(uvb, idx[:, 0], axis=0)
         e2 = jnp.take(uvb, idx[:, 2], axis=0) \
             - jnp.take(uvb, idx[:, 0], axis=0)
         uv_cross = jnp.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
-        texels = jnp.take((asiz[:, 0] * asiz[:, 1]).astype(F32),
-                          scene["tri_texture_id"])
+        texels = jnp.take((asiz[:, 0] * asiz[:, 1]).astype(F32), tri_tex)
         uv2 = jnp.repeat(uv_cross * texels, 2)
         ratio = jnp.maximum(uv2 * jnp.abs(tris["inv_area"]), F32(1.0))
         lod = F32(0.5) * jnp.log2(ratio)
@@ -574,7 +598,8 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         # VISIBLE winners and lax.cond-skip entirely-empty passes
         # (pallas_tile.render_tile_pallas_kbuffer; the XLA fold ignores
         # the channel).
-        opq = opaque_tri_flags(scene, vin, fragment_shader, params)
+        opq = opaque_tri_flags(scene, vin, fragment_shader, params,
+                               indices=indices, tri_texture_id=tri_tex)
         if opq is not None:
             per_tri["opq"] = opq
 
@@ -681,6 +706,8 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         stats = {"live_pairs": live, "live_globals": live_glob}
         if params.active_cap:
             stats["active_cap_overflow"] = cap_overflow
+        if params.geom_cap:
+            stats["geom_cap_overflow"] = geom_overflow
         if params.pair_cap:
             stats["pair_cap_overflow"] = jnp.maximum(
                 0, live - params.pair_cap)

@@ -386,6 +386,53 @@ def compact_triangles(tris: Dict, cap: int,
     return out, extra, n_valid
 
 
+def precompact_inputs(tri_mask: jnp.ndarray, cap: int,
+                      indices: jnp.ndarray,
+                      per_tri: Dict | None = None):
+    """Pre-GEOMETRY compaction (RenderParams.geom_cap): stable-partition
+    the masked-in INPUT triangles into a static `cap`-slot prefix BEFORE
+    vertex assembly, so the whole geometry build (assemble/clip/setup —
+    and everything after) scales with ACTIVE triangles instead of packed
+    input slots (every LOD level, hidden meshes).
+
+    compact_triangles (active_cap) runs AFTER build_triangles and can
+    only shrink the post-geometry stages; the visibility+LOD mask is
+    known before geometry runs, so this removes the build-stage cost too
+    (measured ~34 ms of the 4K LOD-crowd frame at 1.17M fan slots,
+    scripts/profile_build_stages.py).
+
+    Exactness: same argument as compact_triangles — the partition keeps
+    submission order, and every downstream reduction is the
+    lexicographic (depth, submission index) fold, which is invariant
+    under an order-preserving index remap.  Unfilled tail slots gather
+    triangle 0's data with the returned mask forced False; on overflow
+    the LAST-submitted masked-in triangles drop deterministically
+    (overflow = max(0, n_active - cap); ops/lod.suggested_geom_cap gives
+    a bound that never overflows).
+
+    per_tri: optional dict of (T,)-leading per-input-triangle arrays
+    (texture ids, mesh ids, ...) compacted with the same permutation.
+
+    Returns (tri_mask(cap,), indices(cap, 3), per_tri, overflow).
+    """
+    idx3 = jnp.asarray(indices, jnp.int32).reshape(-1, 3)
+    n_in = idx3.shape[0]
+    cap = min(int(cap), n_in)
+    pos = jnp.cumsum(tri_mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(tri_mask, pos, cap)
+    perm = jnp.zeros((cap,), jnp.int32).at[tgt].set(
+        jnp.arange(n_in, dtype=jnp.int32), mode="drop")
+    n_act = jnp.sum(tri_mask.astype(jnp.int32))
+    overflow = jnp.maximum(0, n_act - cap)
+    out_mask = jnp.arange(cap, dtype=jnp.int32) < n_act
+    out_idx = jnp.take(idx3, perm, axis=0)
+    out_pt = None
+    if per_tri is not None:
+        out_pt = {k: jnp.take(jnp.asarray(v), perm, axis=0)
+                  for k, v in per_tri.items()}
+    return out_mask, out_idx, out_pt, overflow
+
+
 def build_triangles(vertex_shader: Callable, vertex_input: Dict,
                     indices: jnp.ndarray, uniforms: Dict, *,
                     width: int, height: int,

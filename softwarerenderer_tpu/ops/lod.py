@@ -100,6 +100,19 @@ def suggested_active_cap(scene: Dict) -> int:
     return int(2 * counts.max(axis=1).sum())
 
 
+def suggested_geom_cap(scene: Dict) -> int:
+    """Static bound on a frame's masked-in INPUT triangle count — the
+    always-exact value for RenderParams.geom_cap (pre-geometry
+    compaction in engine.render_frame).
+
+    Same argument as suggested_active_cap at input-triangle granularity
+    (no ×2 — the clip fan happens after the pre-compaction): one LOD
+    level per mesh, so sum_m max_l tris(m, l) bounds the mask.  Frustum
+    culling only shrinks further.  Host-side (pack-time) helper.
+    """
+    return suggested_active_cap(scene) // 2
+
+
 def lod_tri_mask(scene: Dict, uniforms: Dict, height: int, xp=np):
     """(T,) bool — triangles of each mesh's ACTIVE LOD level.
 

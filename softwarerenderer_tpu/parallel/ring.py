@@ -161,6 +161,20 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
         if "tri_lod_level" in scene:
             from softwarerenderer_tpu.ops import lod
             tri_mask = tri_mask & lod.lod_tri_mask(scene, u, H, xp=jnp)
+        indices = scene["indices"]
+        tri_tex = jnp.asarray(scene["tri_texture_id"], jnp.int32)
+        tri_mesh_c = jnp.asarray(scene["tri_mesh_id"], jnp.int32)
+        if params.geom_cap:
+            # Pre-geometry compaction per ring shard (params.geom_cap,
+            # geometry.precompact_inputs — same per-shard-slice contract
+            # as the sharded path: compacted local ids stay inside the
+            # shard's 2·t_local global offset window, so the rotated
+            # (depth, gidx) fold is order-isomorphic).  Size with
+            # ops/lod.suggested_geom_cap ÷ n_devices.
+            pt = {"tex": tri_tex, "mesh": tri_mesh_c}
+            tri_mask, indices, pt, _ = geometry.precompact_inputs(
+                tri_mask, params.geom_cap, indices, pt)
+            tri_tex, tri_mesh_c = pt["tex"], pt["mesh"]
         model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
                             axis=0)
         uu = dict(u)
@@ -177,7 +191,7 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
         )
         vin = apply_vertex_updates(vin, scene, u, view)
         tris = geometry.build_triangles(
-            vertex_shader, vin, scene["indices"], uu,
+            vertex_shader, vin, indices, uu,
             width=W, height=H, cull_mode=params.cull_mode,
             near_clip=uu["near_clip"], tri_mask=tri_mask,
             keep_varyings=getattr(fragment_shader, "varyings", None))
@@ -186,11 +200,11 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
         # shader's tri_extras registry) so band-local shading is
         # gather-lean — same plumbing as the single-chip engine.  Built
         # BEFORE payload packing so compaction covers them too.
-        tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+        tid2 = jnp.repeat(tri_tex, 2)
         aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
         asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
         per_tri = {"tex_id": tid2,
-                   "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
+                   "mesh_id": jnp.repeat(tri_mesh_c, 2),
                    "tex_oy": jnp.take(aoff[:, 0], tid2),
                    "tex_ox": jnp.take(aoff[:, 1], tid2),
                    "tex_h": jnp.take(asiz[:, 0], tid2),

@@ -253,6 +253,26 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
             tri_mask = tri_mask & lod.lod_tri_mask(scene, uniforms, H,
                                                    xp=jnp)
 
+        indices = scene["indices"]
+        tri_tex = jnp.asarray(scene["tri_texture_id"], jnp.int32)
+        tri_mesh = jnp.asarray(scene["tri_mesh_id"], jnp.int32)
+        if params.geom_cap:
+            # Pre-geometry compaction per shard (the single-chip
+            # engine's params.geom_cap, geometry.precompact_inputs).
+            # The cap is PER SHARD SLICE here: fb shards see the whole
+            # replicated triangle set (identical permutation on every
+            # band); tri shards compact their own slice
+            # order-preservingly, and compacted local ids stay inside
+            # the shard's 2·t_local submission window (gcap ≤ t_local),
+            # so the global (depth, index) fold stays order-isomorphic.
+            # No stats surface on this path — size it with
+            # ops/lod.suggested_geom_cap (÷ n_tri for tri shards),
+            # which never overflows.
+            pt = {"tex": tri_tex, "mesh": tri_mesh}
+            tri_mask, indices, pt, _ = geometry.precompact_inputs(
+                tri_mask, params.geom_cap, indices, pt)
+            tri_tex, tri_mesh = pt["tex"], pt["mesh"]
+
         model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
                             axis=0)
         u = dict(uniforms)
@@ -271,7 +291,7 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         )
         vin = apply_vertex_updates(vin, scene, uniforms, view)
         tris = geometry.build_triangles(
-            vertex_shader, vin, scene["indices"], u,
+            vertex_shader, vin, indices, u,
             width=W, height=H, cull_mode=params.cull_mode,
             near_clip=u["near_clip"], tri_mask=tri_mask)
 
@@ -279,11 +299,11 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
         # pruned by the shader's tri_extras registry like the single-chip
         # engine — built BEFORE visibility because the Pallas kernel path
         # folds it into its winner payload.
-        tid2 = jnp.repeat(scene["tri_texture_id"], 2)
+        tid2 = jnp.repeat(tri_tex, 2)
         aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
         asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
         per_tri_in = {"tex_id": tid2,
-                      "mesh_id": jnp.repeat(scene["tri_mesh_id"], 2),
+                      "mesh_id": jnp.repeat(tri_mesh, 2),
                       "tex_oy": jnp.take(aoff[:, 0], tid2),
                       "tex_ox": jnp.take(aoff[:, 1], tid2),
                       "tex_h": jnp.take(asiz[:, 0], tid2),
@@ -301,7 +321,8 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
             from softwarerenderer_tpu.engine.renderer import (
                 opaque_tri_flags,
             )
-            opq = opaque_tri_flags(scene, vin, fragment_shader, params)
+            opq = opaque_tri_flags(scene, vin, fragment_shader, params,
+                                   indices=indices, tri_texture_id=tri_tex)
             if opq is not None:
                 per_tri_in["opq"] = opq
 

@@ -356,3 +356,135 @@ def test_lazy_compaction_pallas_interpret_exact():
     assert int(stats["live_globals"]) > 0
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d2))
+
+
+def test_geom_cap_exact_with_suggested_bound():
+    """Pre-geometry compaction (params.geom_cap): the build stage runs on
+    the masked-in input triangles only, and at the sound bound
+    (lod.suggested_geom_cap) the frame matches the uncapped one — alone
+    and composed with active_cap."""
+    scene = _sphere_scene(True)
+    gcap = lod.suggested_geom_cap(scene)
+    assert gcap < scene["tri_mesh_id"].shape[0]   # LOD levels compact away
+    assert gcap == lod.suggested_active_cap(scene) // 2
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.0, 0.5])   # mid level
+    p0 = RenderParams(width=W, height=H)
+    c0, d0 = jax.jit(lambda s, u: render_frame(s, u, p0))(scene, u)
+    p1 = p0.replace(geom_cap=gcap)
+    c1, d1 = jax.jit(lambda s, u: render_frame(s, u, p1))(scene, u)
+    assert (np.abs(np.asarray(c0) - np.asarray(c1)).max(axis=-1)
+            <= 1e-6).all()
+    assert (np.abs(np.asarray(d0) - np.asarray(d1)) <= 1e-6).all()
+    # composed with active_cap (which now compacts the post-cull set of
+    # the ALREADY pre-compacted slots) through the kernel code path
+    p2 = p1.replace(active_cap=lod.suggested_active_cap(scene),
+                    pallas_interpret=True)
+    c2, d2 = jax.jit(lambda s, u: render_frame(s, u, p2))(scene, u)
+    assert (np.abs(np.asarray(c0) - np.asarray(c2)).max(axis=-1)
+            <= 1e-6).all()
+    assert (np.abs(np.asarray(d0) - np.asarray(d2)) <= 1e-6).all()
+
+
+def test_geom_cap_overflow_counter_and_order():
+    """geom_cap overflow: the counter reads 0 at the sound bound and
+    positive under a starved cap; dropped triangles are the LAST
+    submitted (deterministic), mirroring active_cap's contract."""
+    from softwarerenderer_tpu.config import CullMode
+    from softwarerenderer_tpu.models.scene import MeshInstance
+    scene = _sphere_scene(True)
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.0, 0.5])
+    p_ok = RenderParams(width=W, height=H,
+                        geom_cap=lod.suggested_geom_cap(scene),
+                        active_cap_stats=True)
+    _, _, stats = jax.jit(lambda s, u: render_frame(s, u, p_ok))(scene, u)
+    assert int(stats["geom_cap_overflow"]) == 0
+    p_tight = p_ok.replace(geom_cap=32)
+    _, _, stats = jax.jit(lambda s, u: render_frame(s, u, p_tight))(
+        scene, u)
+    assert int(stats["geom_cap_overflow"]) > 0
+    # drop order: red (submitted first) survives a 2-triangle cap
+    red = dict(plane_colored([1.0, 0.0, 0.0, 1.0]))
+    green = dict(plane_colored([0.0, 1.0, 0.0, 1.0]))
+    sc = scene_mod.build_scene_buffers([
+        MeshInstance(red, ml.translation([0.0, 0.0, -3.0])),
+        MeshInstance(green, ml.translation([0.0, 0.0, -2.0])),
+    ])
+    sc_red = scene_mod.build_scene_buffers([
+        MeshInstance(red, ml.translation([0.0, 0.0, -3.0])),
+    ])
+    u2 = default_frame_uniforms(W, H)
+    p_full = RenderParams(width=W, height=H, cull_mode=CullMode.NONE)
+    c_red, d_red = jax.jit(lambda s, u: render_frame(s, u, p_full))(
+        sc_red, u2)
+    p_cap = p_full.replace(geom_cap=2)
+    c_cap, d_cap = jax.jit(lambda s, u: render_frame(s, u, p_cap))(sc, u2)
+    assert (np.abs(np.asarray(c_cap) - np.asarray(c_red)).max(axis=-1)
+            <= 1e-6).all()
+    assert (np.abs(np.asarray(d_cap) - np.asarray(d_red)) <= 1e-6).all()
+
+
+def test_geom_cap_sharded_and_ring_parity():
+    """params.geom_cap composes with BOTH scale-out modes: per-shard
+    pre-geometry compaction is order-preserving inside each shard's
+    global-offset window, so the (fb, tri) sharded path and the ring
+    pass match the single-device frame to 1e-6."""
+    from softwarerenderer_tpu.parallel import (make_mesh,
+                                               render_frame_sharded,
+                                               shard_scene_triangles)
+    from softwarerenderer_tpu.parallel.ring import (make_ring_mesh,
+                                                    render_frame_ring)
+
+    scene = _sphere_scene(True, z=-8.0)
+    gcap = lod.suggested_geom_cap(scene)   # global bound ≥ any shard's
+    params = RenderParams(width=128, height=96, tile_h=8, tile_w=64,
+                          tile_group=4, chunk=16, geom_cap=gcap,
+                          active_cap=lod.suggested_active_cap(scene))
+    u = default_frame_uniforms(128, 96)
+    u["camera_position"] = np.float32([0.0, 0.0, 0.0])
+
+    ref_c, ref_d = map(np.asarray, jax.jit(
+        lambda s, u: render_frame(
+            s, u, params.replace(geom_cap=0, active_cap=0)))(scene, u))
+
+    sscene = shard_scene_triangles(scene, 2)
+    mesh = make_mesh(2, 2)
+    with mesh:
+        c, d = map(np.asarray, jax.jit(
+            lambda s, u: render_frame_sharded(s, u, params, mesh))(
+            sscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
+
+    rmesh = make_ring_mesh(2)
+    rscene = shard_scene_triangles(scene, 2)
+    with rmesh:
+        c, d = map(np.asarray, jax.jit(
+            lambda s, u: render_frame_ring(s, u, params, rmesh))(
+            rscene, u))
+    assert (np.abs(c - ref_c).max(axis=-1) <= 1e-6).all()
+    assert (np.abs(d - ref_d) <= 1e-6).all()
+
+
+def test_geom_cap_with_mipmaps_and_texture():
+    """geom_cap re-routes every per-triangle consumer (texture ids, mip
+    uv-cross, material channels): a textured + mipped LOD scene matches
+    its uncapped frame."""
+    import functools
+    from softwarerenderer_tpu.ops import texture as tex_ops
+    checker = np.asarray(tex_ops.checkerboard(64, 8)["data"])
+    base = primitives.uv_sphere(0.8, rings=12, sectors=18)
+    mesh = lod.add_lods(base, cells=(6, 3), px=(40.0, 15.0))
+    insts = [scene_mod.MeshInstance(
+        mesh, ml.translation([dx, 0.0, -2.5]), texture=checker)
+        for dx in (-1.2, 1.2)]
+    scene = scene_mod.build_scene_buffers(insts)
+    u = default_frame_uniforms(W, H)
+    p0 = RenderParams(width=W, height=H, use_mipmaps=True)
+    c0, d0 = jax.jit(functools.partial(render_frame, params=p0))(scene, u)
+    p1 = p0.replace(geom_cap=lod.suggested_geom_cap(scene))
+    c1, d1 = jax.jit(functools.partial(render_frame, params=p1))(scene, u)
+    assert (np.abs(np.asarray(c0) - np.asarray(c1)).max(axis=-1)
+            <= 1e-6).all()
+    assert (np.abs(np.asarray(d0) - np.asarray(d1)) <= 1e-6).all()
