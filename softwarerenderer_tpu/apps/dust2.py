@@ -174,9 +174,14 @@ class Dust2Game:
                  offline: bool = False, seed: Optional[int] = None,
                  reliable: bool = False, migrate: bool = False,
                  net_batch: float = 0.0, upnp: bool = False,
-                 bots: int = 0, bot_skill: str = "normal"):
+                 bots: int = 0, bot_skill: str = "normal",
+                 burn_hud: bool = False):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
+        # Burn the HUD into the framebuffer ON DEVICE (ops/text.py post-FX
+        # stage) so headless captures / recordings carry it; the host
+        # overlay (io_host/ui.py) still draws for interactive windows.
+        self.burn_hud = burn_hud
         self.hud = Hud()
         # Layout persistence (the reference restores its ImGui dock layout
         # from OutputAssets/Layouts/DefaultLayout.ini, Renderer.cs:304-308;
@@ -239,6 +244,49 @@ class Dust2Game:
             "ConnectedPlayer",
             [str(self.net.client_id), self.player_name],
             buffer_rpc=True, reliable=self.reliable)
+
+    # Static shape of the burned-in HUD text (ops/text.py): slots × chars.
+    HUD_TEXT_SLOTS = 16
+    HUD_TEXT_CHARS = 48
+
+    def _burn_hud_entries(self):
+        """Mirror the host HUD's key elements (crosshair, health, fps,
+        chat, spectator banner, nametags — Renderer.cs:310-656) into
+        packed device-text uniforms for the burn-in overlay."""
+        from softwarerenderer_tpu.ops import text as text_ops
+        p = self.engine.params
+        # Post-FX stages run inside the ssaa branch's inner call, so the
+        # overlay composites at the supersampled resolution — lay out
+        # against that buffer (glyphs then downsample with the frame).
+        rw, rh = p.width * p.ssaa, p.height * p.ssaa
+        f = self._hud_font
+        cw, chh = int(f["cell_w"]), int(f["cell_h"])
+        hs = self.hud.state
+        entries = [("+", (rw // 2 - cw // 2, rh // 2 - chh // 2),
+                    (1.0, 1.0, 1.0, 0.9))]
+        entries.append((f"hp {max(0, int(hs.health))}",
+                        (4, rh - chh - 4), (0.35, 1.0, 0.35)))
+        fps = self.stats.counters()["fps"]
+        fps_s = f"{fps:5.1f} fps"
+        entries.append((fps_s, (rw - len(fps_s) * cw - 4, 4),
+                        (1.0, 1.0, 0.4)))
+        row = 4
+        if hs.spectating:
+            entries.append((f"spectating {hs.spectating}", (4, row),
+                            (1.0, 0.75, 0.2)))
+            row += chh + 2
+        for msg in hs.chat_messages[-4:]:
+            entries.append((msg, (4, row), (1.0, 1.0, 1.0, 0.85)))
+            row += chh + 1
+        # Nametags project at window resolution; rescale to render pixels.
+        sx = rw / max(1, self.window.width)
+        sy = rh / max(1, self.window.height)
+        for tx, ty, name in self._nametags():
+            entries.append((name,
+                            (int(tx * sx - len(name) * cw * 0.5),
+                             int(ty * sy - chh)), (0.9, 0.9, 1.0)))
+        return text_ops.pack_text(entries, max_strings=self.HUD_TEXT_SLOTS,
+                                  max_chars=self.HUD_TEXT_CHARS)
 
     # -- AI bots (beyond the reference; sim/agents.py) ------------------------
 
@@ -553,8 +601,22 @@ class Dust2Game:
         self.n_meshes = self.scene["mesh_matrices"].shape[0]
 
         params = RenderParams(*self.window.render_size)
+        if self.burn_hud:
+            from softwarerenderer_tpu.ops import text as text_ops
+            from softwarerenderer_tpu.utils import font as font_mod
+            self._hud_font = font_mod.build_font(cell_h=14)
+            self._hud_fx = text_ops.text_overlay_fx(self._hud_font)
+            # The fx rides in params, so every engine rebuild
+            # (render-scale, ssaa/ssao toggles, wireframe) keeps it.
+            params = params.replace(post_fx=params.post_fx
+                                    + (self._hud_fx,))
         self.engine = Engine(self.scene, params)
         u = self.engine.uniforms
+        if self.burn_hud:
+            from softwarerenderer_tpu.ops import text as text_ops
+            u["hud_text"] = text_ops.pack_text(
+                [], max_strings=self.HUD_TEXT_SLOTS,
+                max_chars=self.HUD_TEXT_CHARS)
         # The game's live-tuned defaults (Renderer.cs:39-46).
         u["fog_start"] = np.float32(1.0)
         u["fog_end"] = np.float32(25.0)
@@ -1300,6 +1362,8 @@ class Dust2Game:
             eng = self._wire_engine
         else:
             eng = self.engine
+        if self.burn_hud:
+            u["hud_text"] = self._burn_hud_entries()
         # One-frame present pipeline: dispatch this frame on device (async)
         # and convert/display the PREVIOUS frame's result, overlapping the
         # device->host copy with device compute (the reference instead
@@ -1506,6 +1570,10 @@ def main(argv=None):
     ap.add_argument("--dedicated", action="store_true",
                     help="run a dedicated relay server on --port (no "
                          "scene, no rendering, no player slot)")
+    ap.add_argument("--burn-hud", action="store_true",
+                    help="composite the HUD (crosshair/health/fps/chat/"
+                         "nametags) into the framebuffer ON DEVICE "
+                         "(ops/text.py) so headless captures carry it")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", default=None, help="headless PNG output path")
     ap.add_argument("--assets", default=DEFAULT_ASSETS)
@@ -1523,7 +1591,7 @@ def main(argv=None):
                      offline=args.offline, reliable=args.reliable,
                      migrate=args.migrate, net_batch=args.net_batch,
                      upnp=args.upnp, bots=args.bots,
-                     bot_skill=args.bot_skill)
+                     bot_skill=args.bot_skill, burn_hud=args.burn_hud)
     game.run(frames=args.frames)
 
 
