@@ -175,13 +175,20 @@ class Dust2Game:
                  reliable: bool = False, migrate: bool = False,
                  net_batch: float = 0.0, upnp: bool = False,
                  bots: int = 0, bot_skill: str = "normal",
-                 burn_hud: bool = False):
+                 burn_hud: bool = False, record: Optional[str] = None,
+                 record_fps: float = 30.0):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         # Burn the HUD into the framebuffer ON DEVICE (ops/text.py post-FX
         # stage) so headless captures / recordings carry it; the host
         # overlay (io_host/ui.py) still draws for interactive windows.
         self.burn_hud = burn_hud
+        # Gameplay capture to an uncompressed AVI (utils/video.py) — works
+        # headless; combine with burn_hud for a complete recording.
+        self._recorder = None
+        if record:
+            from softwarerenderer_tpu.utils.video import AviWriter
+            self._recorder = AviWriter(record, fps=record_fps)
         self.hud = Hud()
         # Layout persistence (the reference restores its ImGui dock layout
         # from OutputAssets/Layouts/DefaultLayout.ini, Renderer.cs:304-308;
@@ -1373,6 +1380,8 @@ class Dust2Game:
         if rgb_dev is None:
             rgb_dev = pending
         rgb = np.asarray(rgb_dev)
+        if self._recorder is not None:
+            self._recorder.add(rgb)
         self.hud.state.rendered_meshes = int(visible.sum())
         self.hud.state.nametags = self._nametags()
         rw, rh = self.window.render_size
@@ -1472,6 +1481,9 @@ class Dust2Game:
             self._bots_state = jax.device_put(st["bots"])
 
     def close(self):
+        if self._recorder is not None:
+            self._recorder.close()
+            self._recorder = None
         try:
             self.hud.save_layout(self.layout_path)
         except OSError:
@@ -1574,6 +1586,11 @@ def main(argv=None):
                     help="composite the HUD (crosshair/health/fps/chat/"
                          "nametags) into the framebuffer ON DEVICE "
                          "(ops/text.py) so headless captures carry it")
+    ap.add_argument("--record", default=None, metavar="PATH.avi",
+                    help="record presented frames to an uncompressed AVI "
+                         "(utils/video.py; works headless)")
+    ap.add_argument("--record-fps", type=float, default=30.0,
+                    help="playback rate stamped into the recording")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", default=None, help="headless PNG output path")
     ap.add_argument("--assets", default=DEFAULT_ASSETS)
@@ -1591,7 +1608,8 @@ def main(argv=None):
                      offline=args.offline, reliable=args.reliable,
                      migrate=args.migrate, net_batch=args.net_batch,
                      upnp=args.upnp, bots=args.bots,
-                     bot_skill=args.bot_skill, burn_hud=args.burn_hud)
+                     bot_skill=args.bot_skill, burn_hud=args.burn_hud,
+                     record=args.record, record_fps=args.record_fps)
     game.run(frames=args.frames)
 
 
