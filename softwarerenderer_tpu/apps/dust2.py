@@ -672,6 +672,9 @@ class Dust2Game:
         self._prev_keys = set()
         self._tune_idx = 0
         self.mouse_sensitivity = MOUSE_SENSITIVITY  # Camera.cs:10, tunable
+        # Right-stick look rate: mouse-pixel-equivalents/s at full
+        # deflection (gamepad support is beyond the reference).
+        self.stick_look_speed = 600.0
         self.wireframe = False
         self._wire_engine = None
         self._pending_rgb = None
@@ -712,7 +715,7 @@ class Dust2Game:
         if inp["quit"]:
             self.window.should_close = True
 
-        self._update_mouse_look(inp)
+        self._update_mouse_look(inp, dt)
         # weapon sway/recoil (Renderer.cs:261-262)
         self.weapon_sway = np.asarray(ml.quat_slerp(
             self.weapon_sway, self.cam_rotation, 15.0 * dt), F32)
@@ -731,7 +734,8 @@ class Dust2Game:
                 (q.name, q.kills, q.deaths, q.health)
                 for q in sorted(self.players,
                                 key=lambda q: (-q.kills, q.deaths))]
-        if inp["mouse_down"] and self.mouse_locked \
+        gp_fire = bool(inp.get("gamepad") and inp["gamepad"]["fire"])
+        if (inp["mouse_down"] or gp_fire) and self.mouse_locked \
                 and self.spectate_idx < 0 \
                 and self.time - self.last_shot >= SHOT_COOLDOWN:
             self.shoot()
@@ -740,11 +744,18 @@ class Dust2Game:
         self._render(dt)
         self.hud.tick(dt)
 
-    def _update_mouse_look(self, inp):
-        """HandleMouseMovement (Renderer.cs:140-161)."""
+    def _update_mouse_look(self, inp, dt: float = 0.0):
+        """HandleMouseMovement (Renderer.cs:140-161), plus right-stick
+        look (beyond reference): full stick deflection turns at
+        `stick_look_speed` mouse-pixel-equivalents per second, through
+        the same sensitivity math as the mouse."""
         if not self.mouse_locked:
             return
         dx, dy = inp["mouse_delta"]
+        gp = inp.get("gamepad")
+        if gp is not None:
+            dx += gp["look"][0] * self.stick_look_speed * dt
+            dy += gp["look"][1] * self.stick_look_speed * dt
         if dx == 0 and dy == 0:
             return
         euler = np.asarray(ml.quat_to_euler_degrees(self.cam_rotation))
@@ -884,6 +895,8 @@ class Dust2Game:
         right = right / n if n > 0 else right
 
         move = np.zeros(3, F32)
+        gp = inp.get("gamepad")
+        gp_jump = bool(gp and gp["jump"])
         if not self.hud.state.chat_active and self.spectate_idx < 0:
             if "w" in keys:
                 move += front
@@ -893,12 +906,16 @@ class Dust2Game:
                 move -= right
             if "d" in keys:
                 move += right
-            if "space" in keys:
+            if gp is not None:
+                # left stick: analog strafing/advance (beyond reference)
+                move += right * F32(gp["move"][0]) \
+                    + front * F32(gp["move"][1])
+            if "space" in keys or gp_jump:
                 move[1] += 1
             if "shift" in keys:
                 move[1] -= 1
-        jump = "space" in keys and not self.hud.state.chat_active \
-            and self.spectate_idx < 0
+        jump = ("space" in keys or gp_jump) \
+            and not self.hud.state.chat_active and self.spectate_idx < 0
 
         self.char["noclip"] = jnp.asarray(self.noclip)
         self.char = self._char_step(self.char, move.astype(F32), jump,

@@ -41,7 +41,15 @@ class WindowBase:
 
     def poll(self) -> dict:
         """Returns {"keys": set[str], "mouse_delta": (dx, dy),
-        "mouse_down": bool, "chars": str, "quit": bool}."""
+        "mouse_down": bool, "chars": str, "quit": bool,
+        "gamepad": {"move": (x, y), "look": (x, y), "jump": bool,
+        "fire": bool} | None}.
+
+        Gamepad convention (beyond the reference, which reads keyboard +
+        mouse only, Renderer.cs:140-161, 358-383): move/look are
+        deadzone-filtered stick values in [-1, 1] (+x right, +y forward /
+        look-down-positive like mouse dy), jump = south button,
+        fire = right trigger/bumper."""
         raise NotImplementedError
 
     def present(self, rgb: np.ndarray, overlay=None) -> None:
@@ -66,7 +74,8 @@ class HeadlessWindow(WindowBase):
 
     def poll(self) -> dict:
         return {"keys": set(), "mouse_delta": (0.0, 0.0),
-                "mouse_down": False, "chars": "", "quit": False}
+                "mouse_down": False, "chars": "", "quit": False,
+                "gamepad": None}
 
     def present(self, rgb: np.ndarray, overlay=None) -> None:
         self.last_frame = np.asarray(rgb)
@@ -104,6 +113,15 @@ class PygameWindow(WindowBase):
         pygame.display.set_caption(title)
         self._resize_at: Optional[float] = None
         self._resize_to: Optional[Tuple[int, int]] = None
+        self._joystick = None
+        self.gamepad_deadzone = 0.15
+        try:
+            pygame.joystick.init()
+            if pygame.joystick.get_count() > 0:
+                self._joystick = pygame.joystick.Joystick(0)
+                self._joystick.init()
+        except Exception:
+            self._joystick = None
 
     def poll(self) -> dict:
         pg = self._pg
@@ -121,6 +139,18 @@ class PygameWindow(WindowBase):
                 mouse_down = True
             elif ev.type == pg.TEXTINPUT:
                 chars += ev.text
+            elif (self._joystick is None
+                  and ev.type == getattr(pg, "JOYDEVICEADDED", -1)):
+                try:                          # hot-plug a first controller
+                    self._joystick = pg.joystick.Joystick(ev.device_index)
+                    self._joystick.init()
+                except Exception:
+                    self._joystick = None
+            elif ev.type == getattr(pg, "JOYDEVICEREMOVED", -2) \
+                    and self._joystick is not None \
+                    and getattr(ev, "instance_id", None) \
+                    == self._joystick.get_instance_id():
+                self._joystick = None
         if self._resize_at is not None \
                 and time.monotonic() >= self._resize_at:
             self.width, self.height = self._resize_to
@@ -138,7 +168,39 @@ class PygameWindow(WindowBase):
                 pass
         dx, dy = pg.mouse.get_rel() if self.mouse_captured else (0, 0)
         return {"keys": keys, "mouse_delta": (float(dx), float(dy)),
-                "mouse_down": mouse_down, "chars": chars, "quit": quit_}
+                "mouse_down": mouse_down, "chars": chars, "quit": quit_,
+                "gamepad": self._poll_gamepad()}
+
+    def _poll_gamepad(self) -> Optional[dict]:
+        """Map joystick 0 onto the poll() gamepad convention.
+
+        Axis layout: left stick = axes 0/1; right stick = axes 2/3 on
+        4-axis pads, 3/4 on XInput-style 6-axis pads (2/5 are triggers
+        there, right trigger = axis 5).  Stick y is negated so +y means
+        forward; look y stays SDL-signed (down-positive, like mouse dy).
+        """
+        js = self._joystick
+        if js is None:
+            return None
+        try:
+            n_ax = js.get_numaxes()
+            n_bt = js.get_numbuttons()
+
+            def ax(i):
+                return float(js.get_axis(i)) if i < n_ax else 0.0
+
+            def dz(v):
+                return v if abs(v) > self.gamepad_deadzone else 0.0
+
+            look_x, look_y = (3, 4) if n_ax >= 6 else (2, 3)
+            trigger = ax(5) > 0.25 if n_ax >= 6 else False
+            bumper = bool(js.get_button(5)) if n_bt > 5 else False
+            return {"move": (dz(ax(0)), dz(-ax(1))),
+                    "look": (dz(ax(look_x)), dz(ax(look_y))),
+                    "jump": bool(js.get_button(0)) if n_bt > 0 else False,
+                    "fire": trigger or bumper}
+        except Exception:
+            return None
 
     def set_mouse_capture(self, captured: bool) -> None:
         super().set_mouse_capture(captured)

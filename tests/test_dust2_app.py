@@ -596,3 +596,37 @@ def test_networked_bots_visible_to_client():
         if client is not None:
             client.close()
         host.close()
+
+
+def test_gamepad_inputs_drive_game():
+    """Left stick moves, right stick looks, trigger fires — through the
+    same step() path as keyboard/mouse (gamepad is beyond-reference)."""
+    g = make_game(offline=True)
+    try:
+        g.step(1 / 60)
+        idle = {"quit": False, "keys": set(), "chars": "",
+                "mouse_delta": (0.0, 0.0), "mouse_down": False,
+                "gamepad": None}
+        p0 = np.asarray(g.char["position"]).copy()
+        rot0 = g.cam_rotation.copy()
+        gp = dict(idle, gamepad={"move": (0.0, 1.0), "look": (0.0, 0.0),
+                                 "jump": False, "fire": False})
+        for _ in range(8):
+            g.step(1 / 30, inputs=gp)
+        p1 = np.asarray(g.char["position"])
+        assert np.linalg.norm((p1 - p0)[[0, 2]]) > 0.05   # walked forward
+        np.testing.assert_allclose(g.cam_rotation, rot0)  # look untouched
+
+        look = dict(idle, gamepad={"move": (0.0, 0.0), "look": (1.0, 0.0),
+                                   "jump": False, "fire": False})
+        g.step(1 / 30, inputs=look)
+        assert not np.allclose(g.cam_rotation, rot0)      # stick turned
+
+        r0 = g.recoil.copy()
+        fire = dict(idle, gamepad={"move": (0.0, 0.0), "look": (0.0, 0.0),
+                                   "jump": False, "fire": True})
+        g.time = g.last_shot + 10.0                       # clear cooldown
+        g.step(1 / 30, inputs=fire)
+        assert not np.allclose(g.recoil, r0)              # trigger shot
+    finally:
+        g.close()

@@ -121,3 +121,67 @@ def test_hud_layout_roundtrip(tmp_path):
     bad.write_text("{not json")
     assert not hud3.load_layout(str(bad))
     assert hud3.layout.chat_pos == (16, 16)
+
+
+class _FakeJoystick:
+    """Scriptable stand-in (SDL dummy exposes no real controllers)."""
+
+    def __init__(self, axes, buttons):
+        self.axes = list(axes)
+        self.buttons = list(buttons)
+
+    def get_numaxes(self):
+        return len(self.axes)
+
+    def get_numbuttons(self):
+        return len(self.buttons)
+
+    def get_axis(self, i):
+        return self.axes[i]
+
+    def get_button(self, i):
+        return self.buttons[i]
+
+    def get_instance_id(self):
+        return 0
+
+
+def test_gamepad_absent_is_none(window):
+    assert window.poll()["gamepad"] is None
+
+
+def test_gamepad_xinput_layout_and_deadzone(window):
+    # 6-axis XInput-style pad: left stick 0/1, right stick 3/4,
+    # right trigger 5.  Axis 1 is SDL down-positive → move y negates.
+    window._joystick = _FakeJoystick(
+        axes=[0.5, -0.8, 0.0, 0.3, -0.4, 0.9],
+        buttons=[1, 0, 0, 0, 0, 0])
+    gp = window.poll()["gamepad"]
+    assert gp["move"] == (0.5, 0.8)
+    assert gp["look"] == (0.3, -0.4)
+    assert gp["jump"] and gp["fire"]
+    # inside the deadzone → exactly zero
+    window._joystick = _FakeJoystick(
+        axes=[0.1, -0.05, 0.0, 0.02, -0.1, 0.0],
+        buttons=[0, 0, 0, 0, 0, 0])
+    gp = window.poll()["gamepad"]
+    assert gp["move"] == (0.0, 0.0) and gp["look"] == (0.0, 0.0)
+    assert not gp["jump"] and not gp["fire"]
+
+
+def test_gamepad_four_axis_layout(window):
+    # 4-axis pad: right stick on 2/3, fire only via bumper (button 5).
+    window._joystick = _FakeJoystick(
+        axes=[0.0, 0.0, 0.7, 0.6], buttons=[0, 0, 0, 0, 0, 1])
+    gp = window.poll()["gamepad"]
+    assert gp["look"] == (0.7, 0.6)
+    assert gp["fire"] and not gp["jump"]
+
+
+def test_gamepad_errors_fall_back_to_none(window):
+    class Broken:
+        def get_numaxes(self):
+            raise RuntimeError("unplugged")
+
+    window._joystick = Broken()
+    assert window.poll()["gamepad"] is None
