@@ -45,7 +45,8 @@ class Viewer:
     def __init__(self, path: str, width: int = 960, height: int = 720,
                  render_scale: float = 0.5, headless: bool = False,
                  out: Optional[str] = None, lod: bool = False,
-                 fallback_checker: bool = True):
+                 fallback_checker: bool = True,
+                 record: Optional[str] = None, record_fps: float = 30.0):
         model = model_loader.load_model(path)
         fallback = None
         if fallback_checker:
@@ -76,6 +77,10 @@ class Viewer:
 
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
+        self._recorder = None
+        if record:
+            from softwarerenderer_tpu.utils.video import AviWriter
+            self._recorder = AviWriter(record, fps=record_fps)
         self.hud = Hud()
         self.stats = FrameStats()
         rw, rh = self.window.render_size
@@ -149,6 +154,8 @@ class Viewer:
         eng = self.engines[self.mode]
         rgb = eng.present(u)
         self._last_rgb = rgb
+        if self._recorder is not None:
+            self._recorder.add(rgb)
         self.stats.frame(pixels=rgb.shape[0] * rgb.shape[1],
                          triangles=self.n_tris)
         self.hud.tick(dt)
@@ -199,6 +206,9 @@ class Viewer:
                 if frames is not None and n >= frames:
                     break
         finally:
+            if self._recorder is not None:
+                self._recorder.close()
+                self._recorder = None
             self.window.close()
 
 
@@ -212,13 +222,18 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", default=None,
                     help="headless PNG path (frame index appended)")
+    ap.add_argument("--record", default=None, metavar="PATH.avi",
+                    help="record presented frames to an uncompressed AVI "
+                         "(utils/video.py)")
+    ap.add_argument("--record-fps", type=float, default=30.0)
     ap.add_argument("--lod", action="store_true",
                     help="attach vertex-clustering LOD levels to meshes "
                          "with >=64 triangles")
     args = ap.parse_args(argv)
     v = Viewer(args.model, width=args.width, height=args.height,
                render_scale=args.render_scale, headless=args.headless,
-               out=args.out, lod=args.lod)
+               out=args.out, lod=args.lod, record=args.record,
+               record_fps=args.record_fps)
     v.run(args.frames if args.frames else (3 if args.headless else None))
 
 

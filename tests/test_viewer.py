@@ -56,3 +56,22 @@ def test_viewer_exports_glb(tmp_path, monkeypatch):
                                       src.meshes[0]["position"])
     finally:
         v.window.close()
+
+
+@pytest.mark.slow
+def test_viewer_records_avi(tmp_path):
+    from softwarerenderer_tpu.apps.viewer import Viewer
+    from softwarerenderer_tpu.io_host import model_loader
+    from softwarerenderer_tpu.utils.video import read_avi
+
+    model_loader.clear_caches()
+    clip = str(tmp_path / "orbit.avi")
+    v = Viewer(os.path.join(FIXDIR, "cube.dae"), width=96, height=64,
+               render_scale=1.0, headless=True, record=clip,
+               record_fps=12.0)
+    v.run(frames=3)
+    frames, fps = read_avi(clip)
+    assert frames.shape == (3, 64, 96, 3)
+    assert fps == pytest.approx(12.0, abs=1e-3)
+    # recorded pixels == the last presented frame
+    assert (frames[-1] == v.window.last_frame).all()
