@@ -85,12 +85,10 @@ class Viewer:
         self.stats = FrameStats()
         rw, rh = self.window.render_size
         self.params = RenderParams(width=rw, height=rh)
-        self.engines = {
-            DebugMode.NONE: Engine(self.scene, self.params),
-            DebugMode.WIREFRAME: Engine(
-                self.scene, self.params.replace(
-                    debug_mode=DebugMode.WIREFRAME)),
-        }
+        # Engines per debug mode, created lazily on first use ('f'
+        # cycles NONE → WIREFRAME → OVERDRAW → DEPTH; the last two are
+        # beyond-reference visualizations, ops/debugviz.py).
+        self.engines = {DebugMode.NONE: Engine(self.scene, self.params)}
         self.mode = DebugMode.NONE
         self.uniforms = default_frame_uniforms(rw, rh)
         self.anim_frame = 0
@@ -129,8 +127,8 @@ class Viewer:
             self.distance = max(self.radius * 0.3,
                                 self.distance * (1.0 - 0.9 * dt * zoom))
         if "f" in keys and "f" not in self._prev_keys:
-            self.mode = (DebugMode.WIREFRAME if self.mode == DebugMode.NONE
-                         else DebugMode.NONE)
+            order = list(DebugMode)
+            self.mode = order[(order.index(self.mode) + 1) % len(order)]
         if "f3" in keys and "f3" not in self._prev_keys:
             self.hud.state.show_debug = not self.hud.state.show_debug
         if "f12" in keys and "f12" not in self._prev_keys:
@@ -151,7 +149,7 @@ class Viewer:
         u["anim_frame"] = np.int32(self.anim_frame)
         u["anim_time"] = np.float32(time.monotonic() % 3600.0)
 
-        eng = self.engines[self.mode]
+        eng = self._engine_for(self.mode)
         rgb = eng.present(u)
         self._last_rgb = rgb
         if self._recorder is not None:
@@ -171,6 +169,12 @@ class Viewer:
                 f"mean {c.get('frame_ms_mean', 0):.2f} ms",
             ]
         self.window.present(rgb, overlay=self.hud)
+
+    def _engine_for(self, mode):
+        if mode not in self.engines:
+            self.engines[mode] = Engine(
+                self.scene, self.params.replace(debug_mode=mode))
+        return self.engines[mode]
 
     def screenshot(self) -> Optional[str]:
         if self._last_rgb is None:       # nothing rendered yet

@@ -62,10 +62,15 @@ class CullMode(enum.IntEnum):
 
 
 class DebugMode(enum.IntEnum):
-    """Raster debug modes (Rasterizer.cs:14-18)."""
+    """Raster debug modes.  NONE/WIREFRAME mirror the reference
+    (Rasterizer.cs:14-18); OVERDRAW (per-pixel coverage heatmap) and
+    DEPTH (normalized depth-buffer view) are beyond-reference debug
+    tools (ops/debugviz.py)."""
 
     NONE = 0
     WIREFRAME = 1
+    OVERDRAW = 2
+    DEPTH = 3
 
 
 # Epsilon used by EQUAL/NOT_EQUAL depth tests and by the clipper's

@@ -364,7 +364,7 @@ def _pallas_route(params: RenderParams) -> bool:
     attr_perm/attr_full keys and params.global_cap."""
     from softwarerenderer_tpu.config import DebugMode, DepthTest
     return (params.use_pallas and params.deferred and params.binned
-            and params.debug_mode != DebugMode.WIREFRAME
+            and params.debug_mode == DebugMode.NONE
             and params.depth_test == DepthTest.LESS_EQUAL
             and (jax.default_backend() == "tpu"
                  or params.pallas_interpret))
@@ -632,6 +632,15 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         from softwarerenderer_tpu.config import DebugMode, DepthTest
         order_dependent = params.depth_test in (DepthTest.EQUAL,
                                                 DepthTest.NOT_EQUAL)
+        if params.debug_mode == DebugMode.OVERDRAW:
+            # Coverage heatmap (beyond reference; ops/debugviz.py) — the
+            # returned depth plane carries the raw per-pixel counts.
+            from softwarerenderer_tpu.ops import debugviz
+            return debugviz.render_overdraw(tris, params)
+        if params.debug_mode == DebugMode.DEPTH:
+            from softwarerenderer_tpu.ops import debugviz
+            return debugviz.render_depth_view(tris, params, fb_depth,
+                                              chunk=chunk)
         if params.debug_mode == DebugMode.WIREFRAME:
             if params.deferred and not order_dependent:
                 return raster.render_wireframe_deferred(

@@ -27,7 +27,8 @@ def test_viewer_headless_renders(name, tmp_path):
         # the auto-framed model is on screen (not all clear color)
         assert (frame.std(axis=-1) > 0).sum() > 100
         # wireframe toggle renders through the forward path
-        v.mode = list(v.engines)[1]
+        from softwarerenderer_tpu.config import DebugMode
+        v.mode = DebugMode.WIREFRAME
         v.step(1 / 60)
         assert v.window.last_frame is not None
     finally:
