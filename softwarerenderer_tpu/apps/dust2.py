@@ -176,7 +176,7 @@ class Dust2Game:
                  net_batch: float = 0.0, upnp: bool = False,
                  bots: int = 0, bot_skill: str = "normal",
                  burn_hud: bool = False, record: Optional[str] = None,
-                 record_fps: float = 30.0):
+                 record_fps: float = 30.0, mirror: bool = False):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         # Burn the HUD into the framebuffer ON DEVICE (ops/text.py post-FX
@@ -189,6 +189,14 @@ class Dust2Game:
         if record:
             from softwarerenderer_tpu.utils.video import AviWriter
             self._recorder = AviWriter(record, fps=record_fps)
+        # Rear-view mirror: a second camera rendered as a top-center
+        # picture-in-picture inside the same jitted frame
+        # (engine.render_frame_pip; beyond the reference's single view).
+        self.mirror = mirror
+        self._frame_fn = None
+        if mirror:
+            from softwarerenderer_tpu.engine import render_frame_pip
+            self._frame_fn = render_frame_pip
         self.hud = Hud()
         # Layout persistence (the reference restores its ImGui dock layout
         # from OutputAssets/Layouts/DefaultLayout.ini, Renderer.cs:304-308;
@@ -617,8 +625,14 @@ class Dust2Game:
             # (render-scale, ssaa/ssao toggles, wireframe) keeps it.
             params = params.replace(post_fx=params.post_fx
                                     + (self._hud_fx,))
-        self.engine = Engine(self.scene, params)
+        self.engine = Engine(self.scene, params, frame_fn=self._frame_fn)
         u = self.engine.uniforms
+        if self.mirror:
+            u["pip_view"] = {
+                "camera_position": np.zeros(3, F32),
+                "camera_rotation": ml.QUAT_IDENTITY.copy(),
+                "mesh_visible": np.ones(self.n_meshes, bool),
+            }
         if self.burn_hud:
             from softwarerenderer_tpu.ops import text as text_ops
             u["hud_text"] = text_ops.pack_text(
@@ -1052,9 +1066,9 @@ class Dust2Game:
                       if self.normal_mapped else None)
                 fs = (_nm.normal_mapped_fragment_shader
                       if self.normal_mapped else None)
-                kw = {}
+                kw = {"frame_fn": self._frame_fn}
                 if vs is not None:
-                    kw = dict(vertex_shader=vs, fragment_shader=fs)
+                    kw.update(vertex_shader=vs, fragment_shader=fs)
                 self.engine = Engine(old.scene, old.params, **kw)
                 self.engine.scene = old.scene
                 self.engine.uniforms = old.uniforms
@@ -1092,7 +1106,7 @@ class Dust2Game:
         """Rebuild the frame program with new static RenderParams; scene
         and traced uniforms carry over (same machinery as render-scale)."""
         old = self.engine
-        self.engine = Engine(old.scene, params)
+        self.engine = Engine(old.scene, params, frame_fn=self._frame_fn)
         self.engine.scene = old.scene
         self.engine.uniforms = old.uniforms
         self._wire_engine = None
@@ -1108,7 +1122,8 @@ class Dust2Game:
         old = self.engine
         self.engine = Engine(old.scene,
                              old.params.replace(width=new_size[0],
-                                                height=new_size[1]))
+                                                height=new_size[1]),
+                             frame_fn=self._frame_fn)
         self.engine.scene = old.scene
         self.engine.uniforms = old.uniforms
         self._wire_engine = None
@@ -1349,6 +1364,18 @@ class Dust2Game:
         u["camera_position"] = np.asarray(cam_pos, F32)
         u["camera_rotation"] = np.asarray(cam_rot, F32)
         u["mesh_visible"] = visible
+        if self.mirror:
+            # Rear view: same eye, head turned 180° (pitch kept), gun
+            # view-model hidden — all traced overrides, no recompile.
+            e = np.asarray(ml.quat_to_euler_degrees(cam_rot))
+            rear = ml.quat_from_yaw_pitch_roll(
+                (e[1] + 180.0) * math.pi / 180, e[0] * math.pi / 180,
+                e[2] * math.pi / 180)
+            vis2 = visible.copy()
+            vis2[self.gun_slice[0]:self.gun_slice[1]] = False
+            u["pip_view"] = {"camera_position": np.asarray(cam_pos, F32),
+                             "camera_rotation": np.asarray(rear, F32),
+                             "mesh_visible": vis2}
 
         # Impact sparks: pop one queued burst into this step's emitter
         # (origin/velocity/rate are traced — no recompile), advance the
@@ -1599,6 +1626,10 @@ def main(argv=None):
     ap.add_argument("--dedicated", action="store_true",
                     help="run a dedicated relay server on --port (no "
                          "scene, no rendering, no player slot)")
+    ap.add_argument("--mirror", action="store_true",
+                    help="rear-view mirror: a second camera rendered as "
+                         "a top-center inset inside the same jitted "
+                         "frame (engine.render_frame_pip)")
     ap.add_argument("--burn-hud", action="store_true",
                     help="composite the HUD (crosshair/health/fps/chat/"
                          "nametags) into the framebuffer ON DEVICE "
@@ -1626,7 +1657,8 @@ def main(argv=None):
                      migrate=args.migrate, net_batch=args.net_batch,
                      upnp=args.upnp, bots=args.bots,
                      bot_skill=args.bot_skill, burn_hud=args.burn_hud,
-                     record=args.record, record_fps=args.record_fps)
+                     record=args.record, record_fps=args.record_fps,
+                     mirror=args.mirror)
     game.run(frames=args.frames)
 
 

@@ -4,6 +4,7 @@ from softwarerenderer_tpu.engine.renderer import (  # noqa: F401
     default_frame_uniforms,
     render_frame,
     render_frame_multiview,
+    render_frame_pip,
     render_frame_with_point_shadows,
     render_frame_with_spot_shadow,
     render_frame_with_shadows,

@@ -785,6 +785,59 @@ def render_frame_multiview(scene: Dict, uniforms: Dict,
             jnp.concatenate(depths, axis=axis))
 
 
+def render_frame_pip(scene: Dict, uniforms: Dict, params: RenderParams,
+                     pip_frac: int = 4, corner: str = "tc",
+                     mirror: bool = True, border: int = 2,
+                     vertex_shader: Callable = scene_vertex_shader,
+                     fragment_shader: Callable = scene_fragment_shader,
+                     chunk: int = 128):
+    """Main view + a picture-in-picture inset of a second camera, both
+    inside ONE jitted program — the classic rear-view mirror / kill-cam
+    overlay (beyond the reference, which renders exactly one camera,
+    Renderer.cs:404-419).
+
+    The inset renders the SAME scene at (W, H)/pip_frac with the uniform
+    overrides in uniforms["pip_view"] (camera pose, fov, "mesh_visible" —
+    e.g. hide the view-model gun from a rear view), then pastes into the
+    chosen corner ("tl"/"tr"/"bl"/"br"/"tc" top-center) over a
+    `border`-px frame.  mirror=True flips the inset horizontally (a real
+    mirror image).  Unlike engine/rtt.py (which writes a texture slot
+    consumed by in-world geometry), this composites in framebuffer space
+    — no atlas slot, no monitor mesh, full inset resolution.
+
+    uniforms["hud_text"] (the device text overlay) is stripped from the
+    inset render so burned-in HUD elements don't re-render inside the
+    mirror.  Depth returns from the MAIN view untouched.
+    """
+    color, depth = render_frame(scene, uniforms, params,
+                                vertex_shader=vertex_shader,
+                                fragment_shader=fragment_shader,
+                                chunk=chunk)
+    pw = max(1, params.width // pip_frac)
+    ph = max(1, params.height // pip_frac)
+    pp = params.replace(width=pw, height=ph)
+    pu = {k: v for k, v in uniforms.items() if k != "hud_text"}
+    pu.update(uniforms.get("pip_view", {}))
+    pc, _ = render_frame(scene, pu, pp, vertex_shader=vertex_shader,
+                         fragment_shader=fragment_shader, chunk=chunk)
+    if mirror:
+        pc = pc[:, ::-1]
+    m = border
+    H, W = params.height, params.width
+    offs = {"tl": (m, m), "tr": (m, W - pw - m),
+            "bl": (H - ph - m, m), "br": (H - ph - m, W - pw - m),
+            "tc": (m, (W - pw) // 2)}
+    if corner not in offs:
+        raise ValueError(f"corner must be one of {sorted(offs)}")
+    y0, x0 = offs[corner]
+    y0, x0 = max(0, y0), max(0, x0)
+    frame_col = jnp.asarray([0.05, 0.05, 0.05, 1.0], F32)
+    yb0, xb0 = max(0, y0 - m), max(0, x0 - m)
+    color = color.at[yb0:y0 + ph + m, xb0:x0 + pw + m].set(frame_col)
+    color = color.at[y0:y0 + ph, x0:x0 + pw].set(pc)
+    return color, depth
+
+
 def render_frame_with_shadows(scene: Dict, uniforms: Dict,
                               params: RenderParams,
                               shadow_size: int = 512,
@@ -848,7 +901,8 @@ class Engine:
     def __init__(self, scene: Dict, params: RenderParams,
                  vertex_shader: Callable = scene_vertex_shader,
                  fragment_shader: Callable = scene_fragment_shader,
-                 chunk: int = 128, rtt_passes: tuple = ()):
+                 chunk: int = 128, rtt_passes: tuple = (),
+                 frame_fn: Optional[Callable] = None):
         self.params = params
         self.scene = jax.device_put(scene)
         self.uniforms = default_frame_uniforms(params.width, params.height)
@@ -864,8 +918,12 @@ class Engine:
                 vertex_shader=vertex_shader,
                 fragment_shader=fragment_shader, chunk=chunk))
         else:
+            # frame_fn: render_frame-compatible callable (e.g.
+            # render_frame_pip, or a functools.partial of it) — the
+            # whole-frame program stays swappable without subclassing.
             self._frame = jax.jit(functools.partial(
-                render_frame, params=params, vertex_shader=vertex_shader,
+                frame_fn or render_frame, params=params,
+                vertex_shader=vertex_shader,
                 fragment_shader=fragment_shader, chunk=chunk))
         self._present = jax.jit(lambda s, u: to_rgb8(self._frame(s, u)[0]))
 

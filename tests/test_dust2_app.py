@@ -630,3 +630,31 @@ def test_gamepad_inputs_drive_game():
         assert not np.allclose(g.recoil, r0)              # trigger shot
     finally:
         g.close()
+
+
+def test_mirror_pip_renders():
+    """--mirror composites a rear view top-center; moving only the LOOK
+    direction changes the inset (the main scene ahead may not)."""
+    g = make_game(offline=True, mirror=True)
+    try:
+        g.step(1 / 60)
+        frame = g.window.last_frame
+        assert frame is not None
+        W = frame.shape[1]
+        pw, ph = W // 4, frame.shape[0] // 4
+        x0 = (W - pw) // 2
+        # Border frame drawn at the top center.
+        assert (frame[0, x0:x0 + pw] <= 20).all()
+        inset0 = frame[2:2 + ph, x0:x0 + pw].copy()
+        # Turn 180°: the inset should now show what the main view showed.
+        import math as _m
+        from softwarerenderer_tpu.utils import mathlib as _ml
+        g.cam_rotation = np.asarray(_ml.quat_from_yaw_pitch_roll(
+            _m.pi, 0.0, 0.0), np.float32)
+        # two steps: the one-frame present pipeline shows frame N-1
+        g.step(1 / 60)
+        g.step(1 / 60)
+        inset1 = g.window.last_frame[2:2 + ph, x0:x0 + pw]
+        assert (inset0 != inset1).any()
+    finally:
+        g.close()

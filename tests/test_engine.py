@@ -616,3 +616,44 @@ def test_multiview_tiles_match_single_views():
         render_frame_multiview(scene, u, params, views + views[:1])
     with _pytest.raises(ValueError):
         render_frame_multiview(scene, u, params, views, layout="grid")
+
+
+def test_render_frame_pip_inset_matches_solo():
+    """The PiP inset is the solo render of the pip camera, mirrored,
+    pasted over a border; the rest of the frame is the main view."""
+    import jax
+
+    from softwarerenderer_tpu.engine import render_frame_pip, render_frame
+
+    sc = scene_mod.build_scene_buffers(make_instances())
+    params = RenderParams(width=W, height=H)
+    u = default_frame_uniforms(W, H)
+    u["camera_position"] = np.float32([0.0, 0.5, 2.0])
+    u["pip_view"] = {
+        "camera_position": np.float32([1.0, 0.5, 2.0]),
+        "camera_rotation": np.asarray(
+            ml.quat_from_yaw_pitch_roll(np.pi, 0.0, 0.0), np.float32),
+    }
+
+    pip = jax.jit(lambda s, uu: render_frame_pip(
+        s, uu, params, pip_frac=4, corner="tc", border=2, chunk=32))
+    color, depth = pip(sc, u)
+    color = np.asarray(color)
+
+    pw, ph = W // 4, H // 4
+    pp = params.replace(width=pw, height=ph)
+    pu = dict(u)
+    pu.update(u["pip_view"])
+    solo = jax.jit(lambda s, uu: render_frame(s, uu, pp, chunk=32))
+    sc_col, _ = solo(sc, pu)
+    sc_col = np.asarray(sc_col)[:, ::-1]          # mirrored
+
+    x0 = (W - pw) // 2
+    np.testing.assert_allclose(color[2:2 + ph, x0:x0 + pw], sc_col,
+                               atol=1e-6)
+    # border pixels are the dark frame color
+    assert (color[0, x0 - 2:x0 + pw + 2, :3] <= 0.05 + 1e-6).all()
+    # main view depth untouched by the inset
+    main = jax.jit(lambda s, uu: render_frame(s, uu, params, chunk=32))
+    _, d_main = main(sc, u)
+    np.testing.assert_array_equal(np.asarray(depth), np.asarray(d_main))
