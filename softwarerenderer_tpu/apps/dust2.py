@@ -264,10 +264,11 @@ class Dust2Game:
     HUD_TEXT_SLOTS = 16
     HUD_TEXT_CHARS = 48
 
-    def _burn_hud_entries(self):
+    def _burn_hud_entries(self, tags):
         """Mirror the host HUD's key elements (crosshair, health, fps,
         chat, spectator banner, nametags — Renderer.cs:310-656) into
-        packed device-text uniforms for the burn-in overlay."""
+        packed device-text uniforms for the burn-in overlay.  `tags` is
+        the frame's nametag list (computed once per frame in _render)."""
         from softwarerenderer_tpu.ops import text as text_ops
         p = self.engine.params
         # Post-FX stages run inside the ssaa branch's inner call, so the
@@ -296,7 +297,7 @@ class Dust2Game:
         # Nametags project at window resolution; rescale to render pixels.
         sx = rw / max(1, self.window.width)
         sy = rh / max(1, self.window.height)
-        for tx, ty, name in self._nametags():
+        for tx, ty, name in tags:
             entries.append((name,
                             (int(tx * sx - len(name) * cw * 0.5),
                              int(ty * sy - chh)), (0.9, 0.9, 1.0)))
@@ -748,7 +749,11 @@ class Dust2Game:
                 (q.name, q.kills, q.deaths, q.health)
                 for q in sorted(self.players,
                                 key=lambda q: (-q.kills, q.deaths))]
-        gp_fire = bool(inp.get("gamepad") and inp["gamepad"]["fire"])
+        # Edge-trigger the gamepad fire (the trigger reports held state
+        # every poll; the mouse fires per click — keep both semi-auto).
+        gp_held = bool(inp.get("gamepad") and inp["gamepad"]["fire"])
+        gp_fire = gp_held and not getattr(self, "_gp_fire_held", False)
+        self._gp_fire_held = gp_held
         if (inp["mouse_down"] or gp_fire) and self.mouse_locked \
                 and self.spectate_idx < 0 \
                 and self.time - self.last_shot >= SHOT_COOLDOWN:
@@ -1405,7 +1410,8 @@ class Dust2Game:
                 self._wire_engine = Engine(
                     self.engine.scene,
                     self.engine.params.replace(
-                        debug_mode=DebugMode.WIREFRAME))
+                        debug_mode=DebugMode.WIREFRAME),
+                    frame_fn=self._frame_fn)
                 # share the live scene dict so per-frame matrix updates
                 # (gun, players) reach the wireframe program too
                 self._wire_engine.scene = self.engine.scene
@@ -1413,21 +1419,26 @@ class Dust2Game:
             eng = self._wire_engine
         else:
             eng = self.engine
+        tags = self._nametags()
         if self.burn_hud:
-            u["hud_text"] = self._burn_hud_entries()
+            u["hud_text"] = self._burn_hud_entries(tags)
         # One-frame present pipeline: dispatch this frame on device (async)
         # and convert/display the PREVIOUS frame's result, overlapping the
         # device->host copy with device compute (the reference instead
         # blocks on its CPU->GPU upload every frame, MainWindow.cs:247-251).
         pending = eng._present(eng.scene, u)
         rgb_dev, self._pending_rgb = self._pending_rgb, pending
-        if rgb_dev is None:
+        bootstrap = rgb_dev is None          # first frame: nothing pending
+        if bootstrap:
             rgb_dev = pending
         rgb = np.asarray(rgb_dev)
-        if self._recorder is not None:
+        if self._recorder is not None and not bootstrap:
+            # Skip the bootstrap duplicate (frame 0 presents twice); the
+            # final in-flight frame is flushed by close(), so an N-step
+            # run records exactly frames 0..N-1.
             self._recorder.add(rgb)
         self.hud.state.rendered_meshes = int(visible.sum())
-        self.hud.state.nametags = self._nametags()
+        self.hud.state.nametags = tags
         rw, rh = self.window.render_size
         n_tris = self.scene["indices"].shape[0]
         self.stats.frame(pixels=rw * rh, triangles=n_tris)
@@ -1526,6 +1537,12 @@ class Dust2Game:
 
     def close(self):
         if self._recorder is not None:
+            if self._pending_rgb is not None:
+                # flush the in-flight pipelined frame (see step())
+                try:
+                    self._recorder.add(np.asarray(self._pending_rgb))
+                except ValueError:
+                    pass                      # size changed mid-recording
             self._recorder.close()
             self._recorder = None
         try:

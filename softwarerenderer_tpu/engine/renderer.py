@@ -906,6 +906,10 @@ class Engine:
         self.params = params
         self.scene = jax.device_put(scene)
         self.uniforms = default_frame_uniforms(params.width, params.height)
+        if rtt_passes and frame_fn is not None:
+            raise ValueError("frame_fn cannot combine with rtt_passes "
+                             "(the RTT wrapper owns the whole-frame "
+                             "program); wrap render_frame_rtt yourself")
         if rtt_passes:
             # Render-to-texture passes (engine/rtt.py): each pass gets its
             # own complete uniforms sub-dict, tunable without recompile.

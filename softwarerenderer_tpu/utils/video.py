@@ -60,7 +60,8 @@ class AviWriter:
         avih = struct.pack(
             "<IIIIIIIIIIIIII",
             int(1e6 / self.fps),            # dwMicroSecPerFrame
-            frame_bytes * int(self.fps + 1),  # dwMaxBytesPerSec
+            min(0xFFFFFFFF,
+                frame_bytes * int(self.fps + 1)),  # dwMaxBytesPerSec
             0, _AVIF_HASINDEX,
             0,                              # dwTotalFrames (patched)
             0, 1, frame_bytes, w, h, 0, 0, 0, 0)
@@ -91,12 +92,31 @@ class AviWriter:
         if frame.ndim != 3 or frame.shape[2] not in (3, 4):
             raise ValueError(f"expected (H, W, 3|4) uint8, got "
                              f"{frame.shape}")
+        if frame.dtype != np.uint8:
+            if np.issubdtype(frame.dtype, np.floating):
+                # accept raw [0, 1] render output (engine.to_rgb8's math)
+                frame = (np.clip(frame, 0.0, 1.0) * 255.0).astype(np.uint8)
+            else:
+                raise ValueError(f"expected uint8 or float [0,1] frames, "
+                                 f"got dtype {frame.dtype}")
         h, w = frame.shape[:2]
         if self._f is None:
             self._open(w, h)
         if (w, h) != self._size:
             raise ValueError(f"frame size {(w, h)} != first frame "
                              f"{self._size}")
+        # RIFF sizes are u32: refuse a frame that would push the file
+        # (movi data + 16-byte idx1 entries + headers) past 4 GiB —
+        # close() could no longer back-patch valid sizes and the whole
+        # recording would be unreadable.
+        stride4 = (w * 3 + 3) & ~3
+        projected = (self._f.tell() + 8 + stride4 * h
+                     + 16 * (len(self._index) + 1) + 64)
+        if projected > 0xFFFFFFFF:
+            raise ValueError(
+                "recording would exceed the 4 GiB RIFF/AVI size limit "
+                f"({self.frames} frames so far); close() this writer and "
+                "start a new file")
         bgr = frame[::-1, :, 2::-1]          # bottom-up, RGB→BGR
         stride = (w * 3 + 3) & ~3
         rows = np.zeros((h, stride), np.uint8)

@@ -658,3 +658,23 @@ def test_mirror_pip_renders():
         assert (inset0 != inset1).any()
     finally:
         g.close()
+
+
+def test_record_exact_frame_count(tmp_path):
+    """An N-step run records exactly N frames: the one-frame present
+    pipeline's bootstrap duplicate is skipped and the final in-flight
+    frame is flushed at close()."""
+    from softwarerenderer_tpu.utils.video import read_avi
+
+    clip = str(tmp_path / "c.avi")
+    g = make_game(offline=True, record=clip, record_fps=24.0)
+    try:
+        for _ in range(4):
+            g.step(1 / 30)
+    finally:
+        g.close()
+    frames, fps = read_avi(clip)
+    assert frames.shape[0] == 4
+    assert fps == pytest.approx(24.0, abs=1e-3)
+    # consecutive frames differ (the sim advances between steps)
+    assert any((frames[i] != frames[i + 1]).any() for i in range(3))

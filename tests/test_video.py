@@ -83,3 +83,36 @@ def test_odd_width_row_padding(tmp_path):
             wr.add(f)
     back, _ = video.read_avi(path)
     assert (back == frames).all()
+
+
+def test_float_frames_convert_like_to_rgb8(tmp_path):
+    path = str(tmp_path / "f.avi")
+    rgbf = np.random.default_rng(5).uniform(0, 1, (9, 13, 3)) \
+        .astype(np.float32)
+    with video.AviWriter(path) as wr:
+        wr.add(rgbf)
+    back, _ = video.read_avi(path)
+    # Writer clips+scales; round-trip must match that exact conversion.
+    # (engine.to_rgb8 truncates; the writer's standalone conversion is
+    # documented as clip*255 cast.)
+    expect = (np.clip(rgbf, 0, 1) * 255.0).astype(np.uint8)
+    assert (back[0] == expect).all()
+
+
+def test_integer_non_u8_rejected(tmp_path):
+    wr = video.AviWriter(str(tmp_path / "i.avi"))
+    with pytest.raises(ValueError):
+        wr.add(np.zeros((4, 4, 3), np.int32))
+
+
+def test_riff_size_limit_guard(tmp_path):
+    path = str(tmp_path / "big.avi")
+    wr = video.AviWriter(path)
+    wr.add(np.zeros((4, 4, 3), np.uint8))
+    # Simulate a file already near 4 GiB (sparse seek; nothing written
+    # there): the next add() must refuse BEFORE corrupting the stream.
+    wr._f.seek(0xFFFF_FFF0)
+    with pytest.raises(ValueError, match="4 GiB"):
+        wr.add(np.zeros((4, 4, 3), np.uint8))
+    wr._f.close()
+    wr._f = None
