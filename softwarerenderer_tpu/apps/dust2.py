@@ -1608,13 +1608,58 @@ def serve(port: int = 7777, net_batch: float = 0.0, quiet: bool = False,
         net.close()
 
 
+def apply_config_tunables(game: "Dust2Game", cfg) -> None:
+    """Apply an AppConfig's uniform/physics tunables to a constructed
+    game — the JSON/env config path for every value the debug panel can
+    tune live (the reference has no config files at all, SURVEY.md §5)."""
+    u = game.engine.uniforms
+    u["fov_degrees"] = np.float32(cfg.fov_degrees)
+    u["near_clip"] = np.float32(cfg.near_clip)
+    u["far_clip"] = np.float32(cfg.far_clip)
+    u["fog_start"] = np.float32(cfg.fog_start)
+    u["fog_end"] = np.float32(cfg.fog_end)
+    u["fog_color"] = np.asarray(cfg.fog_color, F32)
+    u["light_color"] = np.asarray(cfg.light_color, F32)
+    u["clear_color"] = np.asarray(cfg.clear_color, F32)
+    u["light_direction"] = np.asarray(
+        ml.euler_degrees_to_direction(list(cfg.light_euler_degrees)), F32)
+    game.light_euler = {"light_yaw": np.float32(cfg.light_euler_degrees[1]),
+                        "light_pitch":
+                            np.float32(cfg.light_euler_degrees[0])}
+    game.mouse_sensitivity = float(cfg.sensitivity)
+    cp = dict(game.char_params)
+    cp.update(
+        gravity=np.asarray([0.0, cfg.gravity_y, 0.0], F32),
+        height=np.float32(cfg.char_height),
+        radius=np.float32(cfg.char_radius),
+        step_size=np.float32(cfg.step_size),
+        move_speed=np.float32(cfg.move_speed),
+        jump_force=np.float32(cfg.jump_force),
+        ground_acceleration=np.float32(cfg.ground_acceleration),
+        air_acceleration=np.float32(cfg.air_acceleration),
+        max_air_speed=np.float32(cfg.max_air_speed),
+        ground_friction=np.float32(cfg.ground_friction),
+        air_control=np.float32(cfg.air_control))
+    game.char_params = cp
+
+
 def main(argv=None):
+    from softwarerenderer_tpu.utils import appconfig
+
+    # --config pre-parse: the config's values become argparse DEFAULTS,
+    # so explicit CLI flags always win over JSON/env.
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    cfg = appconfig.load(pre_args.config)
+
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("server", nargs="?", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=7777)
-    ap.add_argument("--width", type=int, default=800)
-    ap.add_argument("--height", type=int, default=600)
-    ap.add_argument("--render-scale", type=float, default=0.25)
+    ap.add_argument("server", nargs="?", default=cfg.server)
+    ap.add_argument("--port", type=int, default=cfg.port)
+    ap.add_argument("--width", type=int, default=cfg.width)
+    ap.add_argument("--height", type=int, default=cfg.height)
+    ap.add_argument("--render-scale", type=float,
+                    default=cfg.render_scale)
     ap.add_argument("--headless", action="store_true")
     ap.add_argument("--reliable", action="store_true",
                     help="acked/resent delivery for join/hit/chat RPCs "
@@ -1643,6 +1688,10 @@ def main(argv=None):
     ap.add_argument("--dedicated", action="store_true",
                     help="run a dedicated relay server on --port (no "
                          "scene, no rendering, no player slot)")
+    ap.add_argument("--config", default=None, metavar="PATH.json",
+                    help="JSON config (utils/appconfig; ./srt.json is "
+                         "auto-loaded, SRT_* env vars override; explicit "
+                         "CLI flags win over both)")
     ap.add_argument("--mirror", action="store_true",
                     help="rear-view mirror: a second camera rendered as "
                          "a top-center inset inside the same jitted "
@@ -1658,8 +1707,8 @@ def main(argv=None):
                     help="playback rate stamped into the recording")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", default=None, help="headless PNG output path")
-    ap.add_argument("--assets", default=DEFAULT_ASSETS)
-    ap.add_argument("--name", default=None)
+    ap.add_argument("--assets", default=cfg.assets_dir or DEFAULT_ASSETS)
+    ap.add_argument("--name", default=cfg.player_name)
     args = ap.parse_args(argv)
 
     if args.dedicated:
@@ -1676,6 +1725,7 @@ def main(argv=None):
                      bot_skill=args.bot_skill, burn_hud=args.burn_hud,
                      record=args.record, record_fps=args.record_fps,
                      mirror=args.mirror)
+    apply_config_tunables(game, cfg)
     game.run(frames=args.frames)
 
 

@@ -678,3 +678,36 @@ def test_record_exact_frame_count(tmp_path):
     assert fps == pytest.approx(24.0, abs=1e-3)
     # consecutive frames differ (the sim advances between steps)
     assert any((frames[i] != frames[i + 1]).any() for i in range(3))
+
+
+def test_appconfig_applies_to_game(tmp_path):
+    """The JSON config path (utils/appconfig) drives the same tunables
+    as the live debug panel: uniforms, light euler, sensitivity, and
+    every character-controller parameter."""
+    from softwarerenderer_tpu.apps.dust2 import apply_config_tunables
+    from softwarerenderer_tpu.utils import appconfig
+
+    p = str(tmp_path / "srt.json")
+    appconfig.AppConfig(
+        fov_degrees=75.0, fog_start=2.5, fog_end=40.0,
+        sensitivity=0.25, gravity_y=-20.0, move_speed=7.5,
+        jump_force=5.5, light_euler_degrees=(-30.0, -60.0, 0.0),
+        clear_color=(0.1, 0.2, 0.3, 1.0)).save(p)
+    cfg = appconfig.load(p, env=False)
+
+    g = make_game(offline=True)
+    try:
+        apply_config_tunables(g, cfg)
+        u = g.engine.uniforms
+        assert float(u["fov_degrees"]) == 75.0
+        assert float(u["fog_start"]) == 2.5 and float(u["fog_end"]) == 40.0
+        np.testing.assert_allclose(u["clear_color"], [0.1, 0.2, 0.3, 1.0])
+        assert g.mouse_sensitivity == 0.25
+        assert float(g.light_euler["light_yaw"]) == -60.0
+        cp = g.char_params
+        assert float(np.asarray(cp["gravity"])[1]) == -20.0
+        assert float(cp["move_speed"]) == 7.5
+        assert float(cp["jump_force"]) == 5.5
+        g.step(1 / 60)      # frame + sim still run with applied values
+    finally:
+        g.close()
