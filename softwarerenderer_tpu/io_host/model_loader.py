@@ -84,6 +84,70 @@ def load_texture(path: str) -> Optional[np.ndarray]:
     return _TEXTURE_CACHE[key]
 
 
+def write_obj(path: str, meshes: List[Dict],
+              write_mtl: bool = True) -> None:
+    """Export meshes as Wavefront OBJ (+ companion .mtl) — closing the
+    exporter matrix for the one reader family (OBJ) that lacked a
+    writer; the reference imports only (ModelLoader.cs:137-326).
+
+    Geometry round-trips through `load_obj` exactly: positions/normals
+    are printed with repr (shortest float32-exact decimal) and the UV V
+    coordinate is stored as 1−v so the loader's FlipUVs undoes it (exact
+    for v ≥ 0.5 by Sterbenz, 1 ulp below — the glTF writer's contract).
+    Each mesh becomes an `o` block; materials map to .mtl entries
+    (Kd = base_color rgb, d = alpha, Ke = emissive, map_Kd = the
+    'diffuse' texture path when the material names one).
+    """
+    base = os.path.splitext(path)[0]
+    mtl_name = os.path.basename(base) + ".mtl"
+    lines = [f"# softwarerenderer_tpu export ({len(meshes)} meshes)"]
+    if write_mtl:
+        lines.append(f"mtllib {mtl_name}")
+    mtl_lines = []
+    v_off = 1
+    for mi, mesh in enumerate(meshes):
+        pos = np.asarray(mesh["position"], F32)
+        uv = np.asarray(mesh["uv"], F32)
+        nrm = np.asarray(mesh["normal"], F32)
+        idx = np.asarray(mesh["indices"], np.int64).reshape(-1, 3)
+        lines.append(f"o mesh{mi}")
+        if write_mtl:
+            lines.append(f"usemtl mat{mi}")
+            mat = mesh.get("material") or Material()
+            r, g, b, a = [float(x)
+                          for x in (list(mat.base_color) + [1.0])[:4]]
+            ke = [float(x) for x in mat.emissive]
+            mtl_lines += [f"newmtl mat{mi}",
+                          f"Kd {r!r} {g!r} {b!r}",
+                          f"d {a!r}",
+                          f"Ke {ke[0]!r} {ke[1]!r} {ke[2]!r}"]
+            tp = mat.texture_path("diffuse")
+            if tp:
+                mtl_lines.append(f"map_Kd {tp}")
+        # repr(float(x)) = shortest float64-exact decimal; the float32
+        # value is preserved exactly through the f64 round trip.
+        for p in pos:
+            lines.append(f"v {float(p[0])!r} {float(p[1])!r} "
+                         f"{float(p[2])!r}")
+        for t in uv:
+            lines.append(f"vt {float(t[0])!r} "
+                         f"{float(np.float32(1.0) - t[1])!r}")
+        for n in nrm:
+            lines.append(f"vn {float(n[0])!r} {float(n[1])!r} "
+                         f"{float(n[2])!r}")
+        for tri in idx:
+            c = [f"{int(k) + v_off}/{int(k) + v_off}/{int(k) + v_off}"
+                 for k in tri]
+            lines.append("f " + " ".join(c))
+        v_off += pos.shape[0]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    if write_mtl:
+        with open(os.path.join(os.path.dirname(path) or ".",
+                               mtl_name), "w") as f:
+            f.write("\n".join(mtl_lines) + "\n")
+
+
 def load_obj(path: str) -> Dict:
     """Minimal OBJ: v/vt/vn + triangulated f (fan for polygons)."""
     positions, uvs, normals = [], [], []
@@ -428,10 +492,14 @@ def save_model(path: str, model: Model,
     embed_textures=True PNG-embeds every texture for a self-contained
     file.  For single-mesh FBX/3DS exports use write_fbx/write_3ds."""
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".obj":
+        write_obj(path, model.meshes)
+        return
     if ext not in (".gltf", ".glb"):
-        raise ValueError(f"save_model exports glTF/GLB only (got '{ext}'); "
-                         "io_host.fbx.write_fbx / io_host.tds.write_3ds "
-                         "handle single-mesh fixture exports")
+        raise ValueError(f"save_model exports glTF/GLB/OBJ only (got "
+                         f"'{ext}'); io_host.fbx.write_fbx / "
+                         "io_host.tds.write_3ds handle single-mesh "
+                         "fixture exports")
     gltf_mod.write_gltf(path, model.meshes, lights=model.lights,
                         embed_textures=embed_textures)
 
