@@ -176,7 +176,8 @@ class Dust2Game:
                  net_batch: float = 0.0, upnp: bool = False,
                  bots: int = 0, bot_skill: str = "normal",
                  burn_hud: bool = False, record: Optional[str] = None,
-                 record_fps: float = 30.0, mirror: bool = False):
+                 record_fps: float = 30.0, mirror: bool = False,
+                 kbuffer: int = 1):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         # Burn the HUD into the framebuffer ON DEVICE (ops/text.py post-FX
@@ -197,6 +198,11 @@ class Dust2Game:
         if mirror:
             from softwarerenderer_tpu.engine import render_frame_pip
             self._frame_fn = render_frame_pip
+        # Ordered translucency: K-layer depth-peeled frames (ops/kbuffer,
+        # pallas_tile) — overlapping alpha content (particles, decals)
+        # then blends in submission order like the reference's sequential
+        # shade-blend instead of winner-takes-all.
+        self.kbuffer = max(1, int(kbuffer))
         self.hud = Hud()
         # Layout persistence (the reference restores its ImGui dock layout
         # from OutputAssets/Layouts/DefaultLayout.ini, Renderer.cs:304-308;
@@ -616,7 +622,8 @@ class Dust2Game:
         self.scene = scene_mod.build_scene_buffers(insts)
         self.n_meshes = self.scene["mesh_matrices"].shape[0]
 
-        params = RenderParams(*self.window.render_size)
+        params = RenderParams(*self.window.render_size,
+                              kbuffer=self.kbuffer)
         if self.burn_hud:
             from softwarerenderer_tpu.ops import text as text_ops
             from softwarerenderer_tpu.utils import font as font_mod
@@ -1696,6 +1703,11 @@ def main(argv=None):
                     help="rear-view mirror: a second camera rendered as "
                          "a top-center inset inside the same jitted "
                          "frame (engine.render_frame_pip)")
+    ap.add_argument("--kbuffer", type=int, default=1, metavar="K",
+                    help="K-layer ordered translucency (depth-peeled "
+                         "kernel passes with the opaque short-circuit); "
+                         "overlapping particles/decals blend in "
+                         "submission order.  1 = single-winner (default)")
     ap.add_argument("--burn-hud", action="store_true",
                     help="composite the HUD (crosshair/health/fps/chat/"
                          "nametags) into the framebuffer ON DEVICE "
@@ -1724,7 +1736,7 @@ def main(argv=None):
                      upnp=args.upnp, bots=args.bots,
                      bot_skill=args.bot_skill, burn_hud=args.burn_hud,
                      record=args.record, record_fps=args.record_fps,
-                     mirror=args.mirror)
+                     mirror=args.mirror, kbuffer=args.kbuffer)
     apply_config_tunables(game, cfg)
     game.run(frames=args.frames)
 
