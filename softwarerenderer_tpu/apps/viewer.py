@@ -85,11 +85,15 @@ class Viewer:
         self.stats = FrameStats()
         rw, rh = self.window.render_size
         self.params = RenderParams(width=rw, height=rh)
-        # Engines per debug mode, created lazily on first use ('f'
-        # cycles NONE → WIREFRAME → OVERDRAW → DEPTH; the last two are
-        # beyond-reference visualizations, ops/debugviz.py).
-        self.engines = {DebugMode.NONE: Engine(self.scene, self.params)}
+        # Engines per (debug mode, raytraced) pair, created lazily on
+        # first use ('f' cycles NONE → WIREFRAME → OVERDRAW → DEPTH —
+        # the last two are beyond-reference visualizations,
+        # ops/debugviz.py; 'g' toggles the ray-traced mode,
+        # ops/raytrace.py).
+        self.engines = {(DebugMode.NONE, False):
+                        Engine(self.scene, self.params)}
         self.mode = DebugMode.NONE
+        self.raytrace = False
         self.uniforms = default_frame_uniforms(rw, rh)
         self.anim_frame = 0
         self._prev_keys: set = set()
@@ -129,6 +133,10 @@ class Viewer:
         if "f" in keys and "f" not in self._prev_keys:
             order = list(DebugMode)
             self.mode = order[(order.index(self.mode) + 1) % len(order)]
+        if "g" in keys and "g" not in self._prev_keys:
+            # ray-traced mode (hard shadows; quality path) — applies to
+            # the NONE debug mode; compiles once on first use
+            self.raytrace = not self.raytrace
         if "f3" in keys and "f3" not in self._prev_keys:
             self.hud.state.show_debug = not self.hud.state.show_debug
         if "f12" in keys and "f12" not in self._prev_keys:
@@ -171,10 +179,17 @@ class Viewer:
         self.window.present(rgb, overlay=self.hud)
 
     def _engine_for(self, mode):
-        if mode not in self.engines:
-            self.engines[mode] = Engine(
-                self.scene, self.params.replace(debug_mode=mode))
-        return self.engines[mode]
+        key = (mode, self.raytrace and mode == DebugMode.NONE)
+        if key not in self.engines:
+            kw = {}
+            if key[1]:
+                from softwarerenderer_tpu.ops.raytrace import (
+                    render_frame_raytraced,
+                )
+                kw["frame_fn"] = render_frame_raytraced
+            self.engines[key] = Engine(
+                self.scene, self.params.replace(debug_mode=mode), **kw)
+        return self.engines[key]
 
     def screenshot(self) -> Optional[str]:
         if self._last_rgb is None:       # nothing rendered yet

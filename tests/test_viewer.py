@@ -76,3 +76,24 @@ def test_viewer_records_avi(tmp_path):
     assert fps == pytest.approx(12.0, abs=1e-3)
     # recorded pixels == the last presented frame
     assert (frames[-1] == v.window.last_frame).all()
+
+
+@pytest.mark.slow
+def test_viewer_raytrace_toggle():
+    from softwarerenderer_tpu.apps.viewer import Viewer
+    from softwarerenderer_tpu.io_host import model_loader
+
+    model_loader.clear_caches()
+    v = Viewer(os.path.join(FIXDIR, "cube.dae"), width=64, height=48,
+               render_scale=1.0, headless=True)
+    try:
+        v.step(1 / 60)
+        base = v.window.last_frame.copy()
+        v.raytrace = True
+        v.step(1 / 60)
+        rt = v.window.last_frame
+        assert rt is not None and rt.shape == base.shape
+        # both show the model against the clear color
+        assert (rt.std(axis=-1) > 0).sum() > 50
+    finally:
+        v.window.close()
