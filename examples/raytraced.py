@@ -1,8 +1,8 @@
 """Ray-traced render mode (ops/raytrace.py): primary rays through the
-raster's camera model + geometrically exact hard shadows — a
-ground-truth/quality mode far beyond the reference (its raycasts are
-gameplay-only, Physics.cs).  Renders the same scene twice: rasterized
-and ray-traced with shadows, side by side.
+raster's camera model, SOFT shadows from a disc light, and one-bounce
+mirror reflections — a ground-truth/quality mode far beyond the
+reference (its raycasts are gameplay-only, Physics.cs).  Renders the
+same scene twice: rasterized and ray-traced, side by side.
 
     python examples/raytraced.py [out.png]
 """
@@ -47,9 +47,13 @@ def main(out="/tmp/raytraced.png"):
 
     W, H = 480, 320
     params = RenderParams(width=W, height=H)
+    import functools
     eng_raster = Engine(sc, params)
-    eng_rt = Engine(sc, params, frame_fn=render_frame_raytraced)
+    eng_rt = Engine(sc, params, frame_fn=functools.partial(
+        render_frame_raytraced, shadow_samples=8, reflections=True))
     u = dict(eng_raster.uniforms)
+    u["rt_light_radius"] = np.float32(0.25)   # disc light → penumbrae
+    u["rt_reflectivity"] = np.float32(0.3)    # mirror-bounce mix
     u["camera_position"] = np.float32([0.0, 0.8, 0.5])
     ld = np.float32([0.45, -1.0, -0.35])
     u["light_direction"] = ld / np.linalg.norm(ld)
@@ -60,7 +64,7 @@ def main(out="/tmp/raytraced.png"):
     both = np.concatenate([raster, rt], axis=1)
     Image.fromarray(both).save(out)
     print(f"wrote {out}  (left: rasterized; right: ray-traced with "
-          "hard shadows)")
+          "soft shadows + reflections)")
     return out
 
 

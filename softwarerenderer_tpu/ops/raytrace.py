@@ -30,6 +30,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from softwarerenderer_tpu.config import RenderParams
 from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR
@@ -123,7 +124,9 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
                            params: RenderParams,
                            vertex_shader: Optional[Callable] = None,
                            fragment_shader: Optional[Callable] = None,
-                           chunk: int = 512, shadows: bool = True):
+                           chunk: int = 512, shadows: bool = True,
+                           shadow_samples: int = 1,
+                           reflections: bool = False):
     """Engine-compatible frame function (`Engine(scene, params,
     frame_fn=render_frame_raytraced)`): returns (color (H, W, 4),
     depth (H, W)).
@@ -136,9 +139,15 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
     smaller is FASTER until loop overhead bites — the (chunk, T, 3)
     Möller-Trumbore intermediates must stay VMEM-resident (measured on
     v5e at 480×320/3k tris: 256→76 ms, 512→77, 1024→85, 4096→200).
-    shadows: one secondary ray per hit toward -light_direction; occluded
-    hits fall to uniforms["rt_shadow_floor"] (default 0.35) of their
-    shaded color — geometrically exact hard shadows.
+    shadows: secondary rays per hit toward -light_direction; occluded
+    hits fall toward uniforms["rt_shadow_floor"] (default 0.35) of
+    their shaded color — geometrically exact shadows.  shadow_samples
+    with uniforms["rt_light_radius"] > 0 jitters the rays over a disc
+    light for SOFT shadows (penumbrae) — the per-pixel jitter is a
+    deterministic integer hash, so frames are reproducible and carry no
+    PRNG state.  reflections: one mirror bounce at the smooth normal,
+    shaded with the same fragment shader (misses show the sky/clear
+    environment), mixed by uniforms["rt_reflectivity"] (default 0.25).
     """
     from softwarerenderer_tpu.engine.renderer import (
         camera_matrices,
@@ -168,31 +177,88 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
     light = ml.safe_normalize(
         jnp.asarray(uniforms["light_direction"], F32), xp=jnp)
     floor = jnp.asarray(uniforms.get("rt_shadow_floor", 0.35), F32)
+    sradius = jnp.asarray(uniforms.get("rt_light_radius", 0.0), F32)
+    refl_amt = jnp.asarray(uniforms.get("rt_reflectivity", 0.25), F32)
+    # Orthonormal basis around the light direction for area-light jitter.
+    helper = jnp.where(jnp.abs(light[0]) < 0.9,
+                       jnp.asarray([1.0, 0.0, 0.0], F32),
+                       jnp.asarray([0.0, 1.0, 0.0], F32))
+    lt1 = ml.safe_normalize(ml.cross(light, helper, xp=jnp), xp=jnp)
+    lt2 = ml.cross(light, lt1, xp=jnp)
 
-    def trace_chunk(d):
+    def _background(d):
+        if "sky_panorama" in uniforms:
+            return sky_mod.sample_panorama(uniforms["sky_panorama"], d,
+                                           xp=jnp)
+        return jnp.broadcast_to(jnp.asarray(uniforms["clear_color"], F32),
+                                d.shape[:-1] + (4,))
+
+    def trace_chunk(args):
+        d, ray_id = args
         o = jnp.broadcast_to(eye, d.shape)
         hits = rc.raycast_batch(o, d, world,
                                 face_mask=rc.FACE_MASK_NONE,
                                 tri_mask=tri_mask)
         rgba, depth = _shade_hits(hits, world, u, view, proj,
                                   fragment_shader)
-        if shadows:
-            # Secondary ray from just off the surface toward the light;
-            # any hit shadows (no distance cap — the light is
-            # directional, like the raster pipeline's).
-            off = hits["point"] + hits["normal"] * F32(1e-3)
-            sh = rc.raycast_batch(off, jnp.broadcast_to(-light, d.shape),
-                                  world, face_mask=rc.FACE_MASK_NONE,
+        off = hits["point"] + hits["normal"] * F32(1e-3)
+        if reflections:
+            # One mirror bounce: reflect the view ray at the smooth
+            # normal, shade the reflected hit with the same shader
+            # (misses show the environment), mix by rt_reflectivity.
+            n = hits["normal"]
+            rdir = d - F32(2.0) * ml.dot(d, n, xp=jnp)[:, None] * n
+            rh = rc.raycast_batch(off, rdir, world,
+                                  face_mask=rc.FACE_MASK_NONE,
                                   tri_mask=tri_mask)
-            lit = jnp.where(sh["hit"][:, None], floor, F32(1.0))
+            rrgba, _ = _shade_hits(rh, world, u, view, proj,
+                                   fragment_shader)
+            refl = jnp.where(rh["hit"][:, None], rrgba, _background(rdir))
+            rgba = jnp.concatenate(
+                [rgba[..., :3] + (refl[..., :3] - rgba[..., :3])
+                 * refl_amt, rgba[..., 3:]], axis=-1)
+        if shadows:
+            # shadow_samples rays from just off the surface toward a
+            # disc of radius rt_light_radius around the light direction
+            # (radius 0 or samples 1 = the classic hard shadow); the
+            # per-pixel jitter is a deterministic integer hash of the
+            # ray id — no PRNG state to carry.
+            occl = jnp.zeros((d.shape[0],), F32)
+            for s in range(max(1, shadow_samples)):
+                # xorshift-style integer mix: a bare multiplicative hash
+                # leaves row-correlated low bits (visible striping in
+                # penumbrae); two shift-xor rounds decorrelate them.
+                h = ray_id * jnp.int32(-1640531535) \
+                    + jnp.int32(40503 * (s + 1))
+                h = h ^ (h >> 13)
+                h = h * jnp.int32(-1028477387)         # 0xc2b2ae35 as i32
+                h = h ^ (h >> 16)
+                a = (h & jnp.int32(0x7FFFFF)).astype(F32) \
+                    * F32(2 * np.pi / 0x800000)
+                r = jnp.sqrt(((h >> 8) & 0xFFFF).astype(F32)
+                             / F32(0xFFFF))
+                jx = jnp.cos(a) * r
+                jy = jnp.sin(a) * r
+                sdir = ml.safe_normalize(
+                    -light[None] + (jx[:, None] * lt1[None]
+                                    + jy[:, None] * lt2[None]) * sradius,
+                    xp=jnp)
+                sh = rc.raycast_batch(off, sdir, world,
+                                      face_mask=rc.FACE_MASK_NONE,
+                                      tri_mask=tri_mask)
+                occl = occl + sh["hit"].astype(F32)
+            vis = F32(1.0) - occl / F32(max(1, shadow_samples))
+            lit = (floor + (F32(1.0) - floor) * vis)[:, None]
             rgba = jnp.concatenate([rgba[..., :3] * lit, rgba[..., 3:]],
                                    axis=-1)
         ok = hits["hit"]
         return (jnp.where(ok[:, None], rgba, F32(0.0)),
                 jnp.where(ok, depth, DEPTH_CLEAR))
 
+    ray_ids = jnp.arange(dirs_pad.shape[0], dtype=jnp.int32)
     color_c, depth_c = jax.lax.map(
-        trace_chunk, dirs_pad.reshape(-1, chunk, 3))
+        trace_chunk, (dirs_pad.reshape(-1, chunk, 3),
+                      ray_ids.reshape(-1, chunk)))
     color = color_c.reshape(-1, 4)[:n_rays].reshape(H, W, 4)
     depth = depth_c.reshape(-1)[:n_rays].reshape(H, W)
 

@@ -112,3 +112,77 @@ def test_engine_frame_fn_and_mesh_visibility():
     u["mesh_visible"] = np.zeros_like(u["mesh_visible"])
     _, depth2 = eng.render(u)
     assert (np.asarray(depth2) == DEPTH_CLEAR).all()
+
+
+def test_soft_shadows_produce_penumbra():
+    """With a disc light (rt_light_radius) and multiple samples, shadow
+    edges take intermediate visibility values; radius 0 stays binary."""
+    import functools
+
+    ground = scene_mod.MeshInstance(primitives.plane(20.0),
+                                    ml.translation([0.0, -1.0, 0.0]))
+    slab = scene_mod.MeshInstance(primitives.cube(1.2),
+                                  ml.translation([0.0, 2.0, -4.0]))
+    sc = scene_mod.build_scene_buffers([ground, slab])
+    params = RenderParams(width=W, height=H)
+    u = dict(Engine(sc, params).uniforms)
+    u["camera_position"] = np.float32([0.0, 0.5, 0.0])
+    u["light_direction"] = np.float32([0.0, -1.0, 0.0])
+    u["rt_light_radius"] = np.float32(0.35)
+
+    fn = jax.jit(functools.partial(render_frame_raytraced, params=params,
+                                   chunk=512, shadow_samples=8))
+    color, _ = fn(sc, u)
+    lum = np.asarray(color)[..., :3].sum(-1)
+
+    u0 = dict(u)
+    u0["rt_light_radius"] = np.float32(0.0)
+    hard, _ = fn(sc, u0)
+    hard_lum = np.asarray(hard)[..., :3].sum(-1)
+
+    def n_levels(a):
+        return len(np.unique(np.round(a, 4)))
+
+    # soft shadows show strictly more distinct lighting levels on the
+    # ground than the binary hard shadow
+    assert n_levels(lum) > n_levels(hard_lum) + 3
+
+
+def test_reflections_mirror_scene_content():
+    """A floor with reflections shows the sphere above it; without,
+    it doesn't."""
+    import functools
+
+    ground = scene_mod.MeshInstance(primitives.plane(20.0),
+                                    ml.translation([0.0, -1.0, 0.0]))
+    ball = scene_mod.MeshInstance(
+        primitives.uv_sphere(0.6, rings=12, sectors=24),
+        ml.translation([0.0, 0.2, -3.5]))
+    # paint the ball red via vertex colors so its reflection is traceable
+    ball.mesh = dict(ball.mesh)
+    col = np.asarray(ball.mesh["color"]).copy()
+    col[:] = [1.0, 0.05, 0.05, 1.0]
+    ball.mesh["color"] = col
+    sc = scene_mod.build_scene_buffers([ground, ball])
+    params = RenderParams(width=W, height=H)
+    u = dict(Engine(sc, params).uniforms)
+    u["camera_position"] = np.float32([0.0, 0.3, 0.0])
+    u["rt_reflectivity"] = np.float32(0.6)
+
+    fn = jax.jit(functools.partial(
+        render_frame_raytraced, params=params, chunk=512,
+        shadows=False, reflections=True))
+    off = jax.jit(functools.partial(
+        render_frame_raytraced, params=params, chunk=512,
+        shadows=False, reflections=False))
+    refl, _ = fn(sc, u)
+    base, _ = off(sc, u)
+    refl, base = np.asarray(refl), np.asarray(base)
+
+    # bottom quarter (floor only — the ball itself sits higher): with
+    # reflections, red appears there
+    floor_r = refl[H * 3 // 4:]
+    floor_b = base[H * 3 // 4:]
+    redness_r = (floor_r[..., 0] - floor_r[..., 1]).max()
+    redness_b = (floor_b[..., 0] - floor_b[..., 1]).max()
+    assert redness_r > redness_b + 0.15
