@@ -149,6 +149,33 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
     shaded with the same fragment shader (misses show the sky/clear
     environment), mixed by uniforms["rt_reflectivity"] (default 0.25).
     """
+    from softwarerenderer_tpu.ops import sky as sky_mod
+
+    H, W = params.height, params.width
+    dirs = sky_mod.pixel_ray_directions(uniforms, W, H, xp=jnp)
+    ray_ids = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    return trace_pixel_rows(scene, uniforms, params, dirs, ray_ids,
+                            fragment_shader=fragment_shader, chunk=chunk,
+                            shadows=shadows,
+                            shadow_samples=shadow_samples,
+                            reflections=reflections)
+
+
+def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
+                     dirs, ray_ids, *,
+                     fragment_shader: Optional[Callable] = None,
+                     chunk: int = 512, shadows: bool = True,
+                     shadow_samples: int = 1,
+                     reflections: bool = False):
+    """Trace an arbitrary (h, W) block of pixel rays — the shard-friendly
+    core of render_frame_raytraced.  `dirs` (h, W, 3) are world ray
+    directions (sky.pixel_ray_directions rows), `ray_ids` (h, W) the
+    GLOBAL ray indices (they seed the deterministic soft-shadow jitter,
+    so a sharded frame reproduces the single-device image bit-for-bit).
+    The camera view/projection come from `uniforms` + params (full-frame
+    camera — independent of which rows this call owns).  Returns
+    (color (h, W, 4), depth (h, W)) with background composited.
+    """
     from softwarerenderer_tpu.engine.renderer import (
         camera_matrices,
         scene_fragment_shader,
@@ -156,8 +183,9 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
     from softwarerenderer_tpu.ops import sky as sky_mod
 
     fragment_shader = fragment_shader or scene_fragment_shader
-    H, W = params.height, params.width
-    view, proj = camera_matrices(uniforms, W, H)
+    W = params.width
+    h = dirs.shape[0]
+    view, proj = camera_matrices(uniforms, W, params.height)
 
     u = dict(uniforms)
     u.update(atlas_data=scene["atlas_data"],
@@ -168,12 +196,13 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
     tri_mask = world["tri_mask"]
 
     eye = jnp.asarray(uniforms["camera_position"], F32)
-    dirs = sky_mod.pixel_ray_directions(uniforms, W, H, xp=jnp)
-    dirs_flat = dirs.reshape(-1, 3)
-    n_rays = H * W
+    dirs_flat = jnp.asarray(dirs, F32).reshape(-1, 3)
+    ids_flat = jnp.asarray(ray_ids, jnp.int32).reshape(-1)
+    n_rays = h * W
     pad = (-n_rays) % chunk
     dirs_pad = jnp.pad(dirs_flat, ((0, pad), (0, 0)),
                        constant_values=1.0)
+    ids_pad = jnp.pad(ids_flat, (0, pad))
     light = ml.safe_normalize(
         jnp.asarray(uniforms["light_direction"], F32), xp=jnp)
     floor = jnp.asarray(uniforms.get("rt_shadow_floor", 0.35), F32)
@@ -255,12 +284,11 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
         return (jnp.where(ok[:, None], rgba, F32(0.0)),
                 jnp.where(ok, depth, DEPTH_CLEAR))
 
-    ray_ids = jnp.arange(dirs_pad.shape[0], dtype=jnp.int32)
     color_c, depth_c = jax.lax.map(
         trace_chunk, (dirs_pad.reshape(-1, chunk, 3),
-                      ray_ids.reshape(-1, chunk)))
-    color = color_c.reshape(-1, 4)[:n_rays].reshape(H, W, 4)
-    depth = depth_c.reshape(-1)[:n_rays].reshape(H, W)
+                      ids_pad.reshape(-1, chunk)))
+    color = color_c.reshape(-1, 4)[:n_rays].reshape(h, W, 4)
+    depth = depth_c.reshape(-1)[:n_rays].reshape(h, W)
 
     covered = depth != DEPTH_CLEAR
     if "sky_panorama" in uniforms:
@@ -268,6 +296,6 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
                                      xp=jnp)
     else:
         bg = jnp.broadcast_to(
-            jnp.asarray(uniforms["clear_color"], F32), (H, W, 4))
+            jnp.asarray(uniforms["clear_color"], F32), (h, W, 4))
     color = jnp.where(covered[..., None], color, bg)
     return color, depth

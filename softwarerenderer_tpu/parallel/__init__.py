@@ -12,3 +12,6 @@ from softwarerenderer_tpu.parallel.multiview import (  # noqa: F401
     render_frame_views,
     stack_views,
 )
+from softwarerenderer_tpu.parallel.raytrace import (  # noqa: F401
+    render_frame_raytraced_sharded,
+)

@@ -597,3 +597,39 @@ def test_view_parallel_matches_solo_renders():
                            {"camera_position": np.zeros((3, 3),
                                                         np.float32)},
                            mesh)
+
+
+@pytest.mark.parametrize("n_fb", [2, 8])
+def test_raytraced_sharded_matches_single_device(n_fb):
+    """fb-row-sharded ray tracing is bit-identical to the single-device
+    frame (global ray ids seed the soft-shadow jitter, so even
+    stochastic penumbrae reproduce exactly)."""
+    import functools
+
+    from softwarerenderer_tpu.ops.raytrace import render_frame_raytraced
+    from softwarerenderer_tpu.parallel import (
+        render_frame_raytraced_sharded,
+    )
+
+    sc = small_scene()
+    params = RenderParams(width=W, height=H)
+    u = uniforms()
+    u["rt_light_radius"] = np.float32(0.3)
+
+    solo = jax.jit(functools.partial(
+        render_frame_raytraced, params=params, chunk=256,
+        shadow_samples=2, reflections=True))
+    c0, d0 = solo(sc, u)
+
+    mesh = make_mesh(n_fb, 1)
+    # flatten the (fb, tri) mesh to the ("fb",) axis the tracer shards
+    from jax.sharding import Mesh
+    fb_mesh = Mesh(np.asarray(mesh.devices).reshape(-1), ("fb",))
+    shard = jax.jit(functools.partial(
+        render_frame_raytraced_sharded, params=params, mesh=fb_mesh,
+        chunk=256, shadow_samples=2, reflections=True),
+        static_argnames=())
+    c1, d1 = shard(sc, u)
+
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
