@@ -22,6 +22,14 @@ Game constants are the reference's (Renderer.cs:30-46): spawns, fog
 
 Run headless: python -m softwarerenderer_tpu.apps.dust2 --headless
 --frames 3 --out /tmp/frame.png
+
+Beyond-reference flags: --bots N (AI crowd) --dedicated (relay server)
+--reliable --migrate --net-batch S (networking) --burn-hud (device text
+overlay in the framebuffer) --record clip.avi (first-party AVI capture)
+--mirror (rear-view picture-in-picture) --kbuffer K (ordered
+translucency) --config srt.json (utils/appconfig; SRT_* env overrides).
+Gamepads work out of the box (left stick move, right stick look,
+south button jump, trigger fire).
 """
 
 from __future__ import annotations
