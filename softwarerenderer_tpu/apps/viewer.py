@@ -46,7 +46,8 @@ class Viewer:
                  render_scale: float = 0.5, headless: bool = False,
                  out: Optional[str] = None, lod: bool = False,
                  fallback_checker: bool = True,
-                 record: Optional[str] = None, record_fps: float = 30.0):
+                 record: Optional[str] = None, record_fps: float = 30.0,
+                 rt_cap=0):
         model = model_loader.load_model(path)
         fallback = None
         if fallback_checker:
@@ -94,6 +95,7 @@ class Viewer:
                         Engine(self.scene, self.params)}
         self.mode = DebugMode.NONE
         self.raytrace = False
+        self.rt_cap = rt_cap
         self.uniforms = default_frame_uniforms(rw, rh)
         self.anim_frame = 0
         self._prev_keys: set = set()
@@ -183,10 +185,15 @@ class Viewer:
         if key not in self.engines:
             kw = {}
             if key[1]:
+                import functools
+
                 from softwarerenderer_tpu.ops.raytrace import (
                     render_frame_raytraced,
                 )
-                kw["frame_fn"] = render_frame_raytraced
+                # --rt-cap enables the Morton-cluster bundle culling
+                # (ops/rt_accel.py) — exact for any cap, just faster.
+                kw["frame_fn"] = functools.partial(
+                    render_frame_raytraced, cluster_cap=self.rt_cap)
             self.engines[key] = Engine(
                 self.scene, self.params.replace(debug_mode=mode), **kw)
         return self.engines[key]
@@ -248,11 +255,19 @@ def main(argv=None):
     ap.add_argument("--lod", action="store_true",
                     help="attach vertex-clustering LOD levels to meshes "
                          "with >=64 triangles")
+    ap.add_argument("--rt-cap", type=int, nargs="+", default=[0],
+                    metavar="N",
+                    help="ray-traced mode ('g'): bundle-culling cluster "
+                         "cap(s) — a ladder of static capacities, 0 = "
+                         "brute force (ops/rt_accel.py; exact either way)")
     args = ap.parse_args(argv)
+    rt_cap = tuple(args.rt_cap)
+    if rt_cap == (0,):
+        rt_cap = 0
     v = Viewer(args.model, width=args.width, height=args.height,
                render_scale=args.render_scale, headless=args.headless,
                out=args.out, lod=args.lod, record=args.record,
-               record_fps=args.record_fps)
+               record_fps=args.record_fps, rt_cap=rt_cap)
     v.run(args.frames if args.frames else (3 if args.headless else None))
 
 

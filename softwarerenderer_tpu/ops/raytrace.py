@@ -126,7 +126,9 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
                            fragment_shader: Optional[Callable] = None,
                            chunk: int = 512, shadows: bool = True,
                            shadow_samples: int = 1,
-                           reflections: bool = False):
+                           reflections: bool = False,
+                           cluster_cap: int = 0,
+                           cluster_group: int = 64):
     """Engine-compatible frame function (`Engine(scene, params,
     frame_fn=render_frame_raytraced)`): returns (color (H, W, 4),
     depth (H, W)).
@@ -148,6 +150,14 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
     PRNG state.  reflections: one mirror bounce at the smooth normal,
     shaded with the same fragment shader (misses show the sky/clear
     environment), mixed by uniforms["rt_reflectivity"] (default 0.25).
+
+    cluster_cap > 0 enables bundle-culled acceleration (ops/rt_accel.py):
+    chunks become 2D pixel TILES (coherent frusta), each tested only
+    against the <= cluster_cap Morton clusters its ray bundle can reach,
+    with a lax.cond brute-force fallback on cap overflow — exact for any
+    cap (winner identity identical; floats to fp tolerance, see
+    rt_accel docstring).  Size the cap from
+    rt_accel.bundle_survivor_count on representative frames.
     """
     from softwarerenderer_tpu.ops import sky as sky_mod
 
@@ -158,7 +168,9 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
                             fragment_shader=fragment_shader, chunk=chunk,
                             shadows=shadows,
                             shadow_samples=shadow_samples,
-                            reflections=reflections)
+                            reflections=reflections,
+                            cluster_cap=cluster_cap,
+                            cluster_group=cluster_group)
 
 
 def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
@@ -166,7 +178,9 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
                      fragment_shader: Optional[Callable] = None,
                      chunk: int = 512, shadows: bool = True,
                      shadow_samples: int = 1,
-                     reflections: bool = False):
+                     reflections: bool = False,
+                     cluster_cap: int = 0,
+                     cluster_group: int = 64):
     """Trace an arbitrary (h, W) block of pixel rays — the shard-friendly
     core of render_frame_raytraced.  `dirs` (h, W, 3) are world ray
     directions (sky.pixel_ray_directions rows), `ray_ids` (h, W) the
@@ -194,6 +208,23 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
 
     world = build_rt_world(scene, uniforms)
     tri_mask = world["tri_mask"]
+
+    use_accel = (tuple(cluster_cap)
+                 if isinstance(cluster_cap, (tuple, list))
+                 else ((cluster_cap,) if cluster_cap else ()))
+    if use_accel:
+        from softwarerenderer_tpu.ops import rt_accel
+        accel = rt_accel.build_rt_accel(world, group=cluster_group)
+
+        def cast(o, dd):
+            return rt_accel.raycast_bundle_culled(
+                o, dd, world, accel, cap=use_accel,
+                face_mask=rc.FACE_MASK_NONE, tri_mask=tri_mask)
+    else:
+        def cast(o, dd):
+            return rc.raycast_batch(o, dd, world,
+                                    face_mask=rc.FACE_MASK_NONE,
+                                    tri_mask=tri_mask)
 
     eye = jnp.asarray(uniforms["camera_position"], F32)
     dirs_flat = jnp.asarray(dirs, F32).reshape(-1, 3)
@@ -225,21 +256,26 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
     def trace_chunk(args):
         d, ray_id = args
         o = jnp.broadcast_to(eye, d.shape)
-        hits = rc.raycast_batch(o, d, world,
-                                face_mask=rc.FACE_MASK_NONE,
-                                tri_mask=tri_mask)
+        hits = cast(o, d)
         rgba, depth = _shade_hits(hits, world, u, view, proj,
                                   fragment_shader)
         off = hits["point"] + hits["normal"] * F32(1e-3)
+        if use_accel:
+            # Miss pixels carry zero points; replace their secondary-ray
+            # origins with the chunk's mean hit point so the bundle AABB
+            # stays tight (their shadow/reflection results are discarded
+            # by the final `ok` select either way).
+            nhit = jnp.maximum(jnp.sum(hits["hit"].astype(F32)), F32(1))
+            ctr = jnp.sum(jnp.where(hits["hit"][:, None], off, F32(0)),
+                          axis=0) / nhit
+            off = jnp.where(hits["hit"][:, None], off, ctr[None])
         if reflections:
             # One mirror bounce: reflect the view ray at the smooth
             # normal, shade the reflected hit with the same shader
             # (misses show the environment), mix by rt_reflectivity.
             n = hits["normal"]
             rdir = d - F32(2.0) * ml.dot(d, n, xp=jnp)[:, None] * n
-            rh = rc.raycast_batch(off, rdir, world,
-                                  face_mask=rc.FACE_MASK_NONE,
-                                  tri_mask=tri_mask)
+            rh = cast(off, rdir)
             rrgba, _ = _shade_hits(rh, world, u, view, proj,
                                    fragment_shader)
             refl = jnp.where(rh["hit"][:, None], rrgba, _background(rdir))
@@ -272,9 +308,7 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
                     -light[None] + (jx[:, None] * lt1[None]
                                     + jy[:, None] * lt2[None]) * sradius,
                     xp=jnp)
-                sh = rc.raycast_batch(off, sdir, world,
-                                      face_mask=rc.FACE_MASK_NONE,
-                                      tri_mask=tri_mask)
+                sh = cast(off, sdir)
                 occl = occl + sh["hit"].astype(F32)
             vis = F32(1.0) - occl / F32(max(1, shadow_samples))
             lit = (floor + (F32(1.0) - floor) * vis)[:, None]
@@ -284,11 +318,36 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
         return (jnp.where(ok[:, None], rgba, F32(0.0)),
                 jnp.where(ok, depth, DEPTH_CLEAR))
 
-    color_c, depth_c = jax.lax.map(
-        trace_chunk, (dirs_pad.reshape(-1, chunk, 3),
-                      ids_pad.reshape(-1, chunk)))
-    color = color_c.reshape(-1, 4)[:n_rays].reshape(h, W, 4)
-    depth = depth_c.reshape(-1)[:n_rays].reshape(h, W)
+    if use_accel:
+        # 2D pixel tiles (th x tw = chunk): a tile's primary rays form a
+        # narrow frustum and its hits sit close in world space, so both
+        # primary and secondary bundles keep few clusters alive.  Edge
+        # padding replicates border rays (tight bundles in pad tiles
+        # too); pad results are cropped after un-tiling.
+        tw = min(32, W)
+        th = max(1, chunk // tw)
+        hp = -(-h // th) * th
+        Wp = -(-W // tw) * tw
+        d2 = jnp.pad(jnp.asarray(dirs, F32), ((0, hp - h), (0, Wp - W),
+                                              (0, 0)), mode="edge")
+        i2 = jnp.pad(jnp.asarray(ray_ids, jnp.int32),
+                     ((0, hp - h), (0, Wp - W)), mode="edge")
+        nth, ntw = hp // th, Wp // tw
+        d_t = d2.reshape(nth, th, ntw, tw, 3).transpose(0, 2, 1, 3, 4)
+        i_t = i2.reshape(nth, th, ntw, tw).transpose(0, 2, 1, 3)
+        color_c, depth_c = jax.lax.map(
+            trace_chunk, (d_t.reshape(-1, th * tw, 3),
+                          i_t.reshape(-1, th * tw)))
+        color = color_c.reshape(nth, ntw, th, tw, 4).transpose(
+            0, 2, 1, 3, 4).reshape(hp, Wp, 4)[:h, :W]
+        depth = depth_c.reshape(nth, ntw, th, tw).transpose(
+            0, 2, 1, 3).reshape(hp, Wp)[:h, :W]
+    else:
+        color_c, depth_c = jax.lax.map(
+            trace_chunk, (dirs_pad.reshape(-1, chunk, 3),
+                          ids_pad.reshape(-1, chunk)))
+        color = color_c.reshape(-1, 4)[:n_rays].reshape(h, W, 4)
+        depth = depth_c.reshape(-1)[:n_rays].reshape(h, W)
 
     covered = depth != DEPTH_CLEAR
     if "sky_panorama" in uniforms:

@@ -34,12 +34,18 @@ def render_frame_raytraced_sharded(scene: Dict, uniforms: Dict,
                                    chunk: int = 512,
                                    shadows: bool = True,
                                    shadow_samples: int = 1,
-                                   reflections: bool = False):
+                                   reflections: bool = False,
+                                   cluster_cap=0,
+                                   cluster_group: int = 64):
     """Ray-trace one frame with pixel rows sharded over mesh axis "fb".
 
     Returns (color (H, W, 4), depth (H, W)) sharded on rows; H must
     divide by the fb axis size.  Same options and uniforms as
-    ops/raytrace.render_frame_raytraced.
+    ops/raytrace.render_frame_raytraced, including the bundle-culled
+    acceleration (cluster_cap, ops/rt_accel.py) — the accel build is
+    replicated per device (it is traced work over the replicated scene)
+    and each band culls against its own tiles, so the speedup composes
+    with the fb scale-out.
     """
     from softwarerenderer_tpu.ops import sky as sky_mod
     from softwarerenderer_tpu.ops.raytrace import trace_pixel_rows
@@ -57,7 +63,9 @@ def render_frame_raytraced_sharded(scene: Dict, uniforms: Dict,
                                 ids_band, fragment_shader=fragment_shader,
                                 chunk=chunk, shadows=shadows,
                                 shadow_samples=shadow_samples,
-                                reflections=reflections)
+                                reflections=reflections,
+                                cluster_cap=cluster_cap,
+                                cluster_group=cluster_group)
 
     fn = shard_map_unchecked(
         band, mesh=mesh,

@@ -633,3 +633,43 @@ def test_raytraced_sharded_matches_single_device(n_fb):
 
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
+
+def test_raytraced_sharded_with_cluster_cap_matches_solo():
+    """fb-sharded ray tracing WITH bundle culling (ops/rt_accel.py) is
+    bit-identical to the single-device culled frame when the pixel-tile
+    grid aligns across bands (chunk 128 -> 4-row tiles; 96/2 = 48 rows
+    per band, 48 % 4 == 0), and winner-exact vs brute force."""
+    import functools
+
+    from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR
+    from softwarerenderer_tpu.ops.raytrace import render_frame_raytraced
+    from softwarerenderer_tpu.parallel import (
+        render_frame_raytraced_sharded,
+    )
+
+    sc = small_scene()
+    params = RenderParams(width=W, height=H)
+    u = uniforms()
+
+    solo = jax.jit(functools.partial(
+        render_frame_raytraced, params=params, chunk=128,
+        cluster_cap=(2, 8), cluster_group=16))
+    c0, d0 = solo(sc, u)
+
+    mesh2 = make_mesh(2, 1)
+    from jax.sharding import Mesh
+    fb_mesh = Mesh(np.asarray(mesh2.devices).reshape(-1), ("fb",))
+    shard = jax.jit(functools.partial(
+        render_frame_raytraced_sharded, params=params, mesh=fb_mesh,
+        chunk=128, cluster_cap=(2, 8), cluster_group=16))
+    c1, d1 = shard(sc, u)
+
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
+    brute = jax.jit(functools.partial(
+        render_frame_raytraced, params=params, chunk=128))
+    cb, db = brute(sc, u)
+    np.testing.assert_array_equal(np.asarray(d1) == DEPTH_CLEAR,
+                                  np.asarray(db) == DEPTH_CLEAR)
