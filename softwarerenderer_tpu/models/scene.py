@@ -582,6 +582,18 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
     if any_normal_map:
         out["tangent"] = np.concatenate(tangents, axis=0)
         out["tri_normal_tex_id"] = np.concatenate(tri_nm_id, axis=0)
+    tmi = out["tri_mesh_id"]
+    if tmi.size == 0 or (np.diff(tmi) >= 0).all():
+        # First triangle slot of each mesh's contiguous segment — lets
+        # per-mesh bool/int values broadcast to tri granularity by
+        # delta-scatter + cumsum instead of a per-element gather
+        # (culling.segment_broadcast: jnp.take over 584k ids measured
+        # ~5 ms on v5e, the cumsum form ~2 ms).  Guarded on sortedness;
+        # consumers treat absence as "use take".  NOTE: valid only at
+        # full triangle-array size — parallel/sharding.py pops it for
+        # tri-sharded slices.
+        out["tri_seg_starts"] = np.searchsorted(
+            tmi, np.arange(len(matrices))).astype(np.int32)
     if any(mesh_lod_px):
         # LOD level per triangle + per-mesh pixel thresholds ((M, Lmax),
         # -inf padding never activates — ops/lod.lod_tri_mask).

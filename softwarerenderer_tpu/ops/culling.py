@@ -63,3 +63,35 @@ def spheres_in_frustum(centers, radii, model_matrices, view_projection,
     # distance(center) = n·c + d for every (mesh, plane) pair
     dist = (world_center @ planes[:, :3].T) + planes[None, :, 3]
     return xp.all(dist > -world_radius[:, None], axis=-1)
+
+
+def segment_broadcast(values, seg_starts, n: int, element_ids=None, xp=np):
+    """Expand per-mesh `values` (M,) to per-element (n,) over CONTIGUOUS
+    segments — element i belongs to the last segment whose start <= i.
+
+    The TPU-friendly form of `xp.take(values, element_ids)` for sorted
+    `element_ids` (tri_mesh_id / vert_mesh_id, models/scene.py): scatter
+    first-order deltas at the segment starts, one integer cumsum
+    propagates them across each segment.  XLA lowers big takes to serial
+    per-element gathers (~5 ms for 584k ids on v5e, the same trap as the
+    clip-table take_along_axis, BENCHMARKS.md); the scatter+cumsum form
+    measures ~2 ms and is EXACT for bool/int values (integer arithmetic
+    throughout — float values would accumulate rounding, so they are
+    routed to take).
+
+    Empty segments collapse correctly (coincident starts sum their
+    deltas).  On the numpy path (golden/host) this is a plain take via
+    `element_ids` (required there).
+    """
+    values = xp.asarray(values)
+    exact = values.dtype == bool or xp.issubdtype(values.dtype, xp.integer)
+    if xp is np or not exact:
+        if element_ids is None:
+            raise ValueError("segment_broadcast needs element_ids for "
+                             "the take fallback")
+        return xp.take(values, element_ids)
+    as_bool = values.dtype == bool
+    v = values.astype(xp.int32)
+    deltas = xp.concatenate([v[:1], v[1:] - v[:-1]])
+    out = xp.cumsum(xp.zeros((n,), xp.int32).at[seg_starts].add(deltas))
+    return out > 0 if as_bool else out

@@ -136,5 +136,11 @@ def lod_tri_mask(scene: Dict, uniforms: Dict, height: int, xp=np):
     px_r = wr / dist * F32(height * 0.5) / xp.tan(fov * F32(0.5))
     thresh = xp.asarray(scene["mesh_lod_px"], xp.float32)   # (M, L)
     level = xp.sum((px_r[:, None] < thresh).astype(np.int32), axis=1)
-    lvl_per_tri = xp.take(level, scene["tri_mesh_id"])
+    if xp is not np and "tri_seg_starts" in scene:
+        from softwarerenderer_tpu.ops import culling
+        lvl_per_tri = culling.segment_broadcast(
+            level, scene["tri_seg_starts"],
+            int(scene["tri_mesh_id"].shape[0]), xp=xp)
+    else:
+        lvl_per_tri = xp.take(level, scene["tri_mesh_id"])
     return lvl_per_tri == xp.asarray(scene["tri_lod_level"], np.int32)

@@ -144,6 +144,10 @@ def render_frame_ring(scene: Dict, uniforms: Dict, params: RenderParams,
 
     tri_sharded = {"indices", "tri_mesh_id", "tri_texture_id", "tri_valid",
                    "tri_lod_level"}
+    if n > 1:
+        # Triangle shards rotate around the ring — global segment starts
+        # don't describe a slice, so mesh->tri broadcasts use take here.
+        scene = {k: v for k, v in scene.items() if k != "tri_seg_starts"}
     in_specs = ({k: (P(AXIS) if k in tri_sharded else P())
                  for k in scene}, P())
 

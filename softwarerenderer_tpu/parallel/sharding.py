@@ -73,6 +73,11 @@ def shard_scene_triangles(scene: Dict, n_tri: int) -> Dict:
     t = scene["indices"].shape[0]
     t_pad = -(-t // n_tri) * n_tri
     out = dict(scene)
+    if n_tri > 1:
+        # tri_seg_starts indexes the FULL triangle array; a tri-sharded
+        # slice (and its unsorted zero-padding) invalidates it, so the
+        # mesh->tri broadcasts fall back to take inside shard_fn.
+        out.pop("tri_seg_starts", None)
     pad = t_pad - t
     if pad:
         for k in ("indices", "tri_mesh_id", "tri_texture_id",
@@ -231,6 +236,10 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
 
     tri_sharded = {"indices", "tri_mesh_id", "tri_texture_id", "tri_valid",
                    "tri_lod_level"}
+    if n_tri > 1:
+        # Defense in depth (shard_scene_triangles also pops): global
+        # segment starts don't describe a tri-shard slice.
+        scene = {k: v for k, v in scene.items() if k != "tri_seg_starts"}
     in_specs = ({k: (P("tri") if k in tri_sharded else P())
                  for k in scene}, P())
     out_specs = (P("fb"), P("fb"))

@@ -488,3 +488,56 @@ def test_geom_cap_with_mipmaps_and_texture():
     assert (np.abs(np.asarray(c0) - np.asarray(c1)).max(axis=-1)
             <= 1e-6).all()
     assert (np.abs(np.asarray(d0) - np.asarray(d1)) <= 1e-6).all()
+
+
+def test_segment_broadcast_matches_take():
+    """culling.segment_broadcast: the gather-free mesh->tri broadcast is
+    exact for bool/int values, including EMPTY segments (coincident
+    starts), and the scene pack publishes consistent tri_seg_starts."""
+    import jax.numpy as jnp
+    from softwarerenderer_tpu.ops import culling
+
+    counts = [3, 0, 2, 4, 1, 0, 0, 5]
+    ids = np.repeat(np.arange(len(counts)), counts).astype(np.int32)
+    starts = jnp.asarray(np.searchsorted(ids, np.arange(len(counts))),
+                         jnp.int32)
+    rng = np.random.default_rng(11)
+    ivals = rng.integers(-7, 7, len(counts)).astype(np.int32)
+    bvals = ivals > 0
+    for vals in (ivals, bvals):
+        got = culling.segment_broadcast(jnp.asarray(vals), starts,
+                                        len(ids), xp=jnp)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.take(vals, ids))
+        assert np.asarray(got).dtype == vals.dtype
+    # numpy path = plain take (needs element_ids)
+    np.testing.assert_array_equal(
+        culling.segment_broadcast(ivals, np.asarray(starts), len(ids),
+                                  element_ids=ids, xp=np),
+        np.take(ivals, ids))
+
+
+def test_scene_pack_seg_starts_and_lod_mask_parity():
+    """build_scene_buffers publishes tri_seg_starts that reproduce
+    tri_mesh_id, and lod_tri_mask's broadcast path equals its take path."""
+    import jax
+    import jax.numpy as jnp
+
+    base = primitives.uv_sphere(0.6, rings=10, sectors=14)
+    mesh = lod.add_lods(base, cells=(6, 3), px=(40.0, 15.0))
+    insts = [scene_mod.MeshInstance(mesh, ml.translation([dx, 0.0, -3.0]))
+             for dx in (-1.5, 0.0, 1.5)]
+    scene = scene_mod.build_scene_buffers(insts)
+    assert "tri_seg_starts" in scene
+    tmi = np.asarray(scene["tri_mesh_id"])
+    ss = np.asarray(scene["tri_seg_starts"])
+    np.testing.assert_array_equal(ss, np.searchsorted(tmi, np.arange(3)))
+
+    u = default_frame_uniforms(W, H)
+    with_starts = jax.jit(
+        lambda s, uu: lod.lod_tri_mask(s, uu, H, xp=jnp))(scene, u)
+    no_starts = jax.jit(
+        lambda s, uu: lod.lod_tri_mask(s, uu, H, xp=jnp))(
+            {k: v for k, v in scene.items() if k != "tri_seg_starts"}, u)
+    np.testing.assert_array_equal(np.asarray(with_starts),
+                                  np.asarray(no_starts))
