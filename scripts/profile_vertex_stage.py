@@ -67,7 +67,22 @@ def main():
         keep = set(scene_fragment_shader.varyings) | {"clip_position"}
         return {k: v for k, v in flat.items() if k in keep}, tri_mask
 
-    stages = dict(cull_only=cull_only, shade_full=shade_full)
+    def shade_segbits(scene, u):
+        """shade_full with the gather-free bitcast model-matrix broadcast
+        (culling.model_matrices_per_vertex) instead of the (V, 4, 4)
+        take."""
+        tri_mask, visible, view, proj = cull_only(scene, u)
+        model_pv = culling.model_matrices_per_vertex(scene, xp=jnp)
+        uu = dict(u)
+        uu.update(model=model_pv, view=view, projection=proj)
+        vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}
+        vs_out = geometry.shade_vertices(scene_vertex_shader, vin, uu)
+        flat = geometry._flatten_varyings(vs_out)
+        keep = set(scene_fragment_shader.varyings) | {"clip_position"}
+        return {k: v for k, v in flat.items() if k in keep}, tri_mask
+
+    stages = dict(cull_only=cull_only, shade_full=shade_full,
+                  shade_segbits=shade_segbits)
     prev = 0.0
     for name, fn in stages.items():
         jf = jax.jit(lambda s, u, fn=fn: fsum(fn(s, u)))

@@ -594,6 +594,15 @@ def build_scene_buffers(instances: List[MeshInstance]) -> Dict[str, np.ndarray]:
         # tri-sharded slices.
         out["tri_seg_starts"] = np.searchsorted(
             tmi, np.arange(len(matrices))).astype(np.int32)
+    vmi = out["vert_mesh_id"]
+    if vmi.size == 0 or (np.diff(vmi) >= 0).all():
+        # Same contiguity fact at VERTEX granularity: lets the per-vertex
+        # model-matrix fan-out run as the exact bitcast delta-cumsum
+        # (culling.segment_broadcast_bits) instead of a (V, 4, 4) take —
+        # the dominant vertex-stage cost at crowd scale (~5 ms for 181k
+        # vertices on v5e, BENCHMARKS.md).
+        out["vert_seg_starts"] = np.searchsorted(
+            vmi, np.arange(len(matrices))).astype(np.int32)
     if any(mesh_lod_px):
         # LOD level per triangle + per-mesh pixel thresholds ((M, Lmax),
         # -inf padding never activates — ops/lod.lod_tri_mask).

@@ -95,3 +95,64 @@ def segment_broadcast(values, seg_starts, n: int, element_ids=None, xp=np):
     deltas = xp.concatenate([v[:1], v[1:] - v[:-1]])
     out = xp.cumsum(xp.zeros((n,), xp.int32).at[seg_starts].add(deltas))
     return out > 0 if as_bool else out
+
+
+def segment_broadcast_bits(values, seg_starts, n: int, element_ids=None,
+                           xp=np):
+    """Exact gather-free segment broadcast for FLOAT (any 32-bit) per-mesh
+    values over contiguous segments — the f32 companion of
+    ``segment_broadcast``.
+
+    ``segment_broadcast`` refuses floats because a float delta cumsum
+    accumulates rounding.  Bit-reinterpretation sidesteps that: bitcast
+    the values to int32, scatter WRAPPING first-order deltas at the
+    segment starts, run one int32 cumsum (XLA s32 addition is exact
+    two's-complement modular arithmetic, so ``a + (b - a) == b`` holds
+    bitwise regardless of overflow), and bitcast back.  The result is
+    bitwise identical to ``xp.take(values, element_ids, axis=0)`` for
+    sorted ``element_ids`` — this is how per-vertex model matrices reach
+    the vertex shader without the ~5 ms per-element gather XLA emits for
+    a (181k, 4, 4) take at crowd scale (BENCHMARKS.md; the same trap as
+    the clip-table take_along_axis).
+
+    values: (M, ...) with a 4-byte dtype.  Returns (n, ...).  Empty
+    segments collapse correctly (coincident starts sum their wrapping
+    deltas).  On the numpy path (golden/host) this is a plain take.
+    """
+    values = xp.asarray(values)
+    if xp is np:
+        if element_ids is None:
+            raise ValueError("segment_broadcast_bits needs element_ids "
+                             "for the take fallback")
+        return xp.take(values, element_ids, axis=0)
+    if values.dtype.itemsize != 4:
+        raise ValueError(f"segment_broadcast_bits needs a 32-bit dtype, "
+                         f"got {values.dtype}")
+    import jax
+    m = values.shape[0]
+    trailing = values.shape[1:]
+    bits = jax.lax.bitcast_convert_type(
+        values.reshape(m, -1), xp.int32)                     # (M, K)
+    deltas = xp.concatenate([bits[:1], bits[1:] - bits[:-1]])
+    acc = xp.zeros((n,) + bits.shape[1:], xp.int32)
+    acc = acc.at[seg_starts].add(deltas)
+    out_bits = xp.cumsum(acc, axis=0)                        # wraps: exact
+    out = jax.lax.bitcast_convert_type(out_bits, values.dtype)
+    return out.reshape((n,) + trailing)
+
+
+def model_matrices_per_vertex(scene, xp=np):
+    """(V, 4, 4) model matrix per packed vertex — every render path's
+    vertex-shader ``model`` uniform (the per-mesh transform fan-out the
+    reference bakes at load, ModelLoader.cs:159-301, done per frame here
+    so mesh_matrices stay live-tunable).
+
+    Uses the gather-free bitcast broadcast when the scene publishes
+    ``vert_seg_starts`` (models/scene.py — contiguous sorted
+    vert_mesh_id), else falls back to take."""
+    if xp is not np and "vert_seg_starts" in scene:
+        return segment_broadcast_bits(
+            scene["mesh_matrices"], scene["vert_seg_starts"],
+            int(scene["vert_mesh_id"].shape[0]), xp=xp)
+    return xp.take(xp.asarray(scene["mesh_matrices"]),
+                   xp.asarray(scene["vert_mesh_id"]), axis=0)

@@ -64,8 +64,8 @@ def render_shadow_depth(scene: Dict, uniforms: Dict, light_view, light_proj,
     S = shadow_size
     sp = (params or RenderParams()).replace(
         width=S, height=S, cull_mode=0)
-    model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
-                        axis=0)
+    from softwarerenderer_tpu.ops import culling
+    model_pv = culling.model_matrices_per_vertex(scene, xp=jnp)
     u = dict(uniforms)
     u.update(model=model_pv, view=light_view, projection=light_proj)
     vin = {k: scene[k] for k in ("position", "uv", "normal", "color")}

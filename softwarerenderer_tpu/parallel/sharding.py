@@ -282,8 +282,7 @@ def render_frame_sharded(scene: Dict, uniforms: Dict, params: RenderParams,
                 tri_mask, params.geom_cap, indices, pt)
             tri_tex, tri_mesh = pt["tex"], pt["mesh"]
 
-        model_pv = jnp.take(scene["mesh_matrices"], scene["vert_mesh_id"],
-                            axis=0)
+        model_pv = culling.model_matrices_per_vertex(scene, xp=jnp)
         u = dict(uniforms)
         u.update(model=model_pv, view=view, projection=proj,
                  atlas_data=scene["atlas_data"],

@@ -517,6 +517,60 @@ def test_segment_broadcast_matches_take():
         np.take(ivals, ids))
 
 
+def test_segment_broadcast_bits_matches_take_bitwise():
+    """culling.segment_broadcast_bits: the int32-bitcast delta-cumsum
+    float broadcast is BITWISE equal to take — including -0.0, denormals,
+    inf and NaN payloads (wrapping s32 arithmetic is exact modular, so
+    the bit pattern round-trips regardless of float semantics), empty
+    segments, and trailing dims (the (M, 4, 4) model-matrix shape)."""
+    import jax.numpy as jnp
+    from softwarerenderer_tpu.ops import culling
+
+    counts = [2, 0, 3, 1, 0, 4]
+    ids = np.repeat(np.arange(len(counts)), counts).astype(np.int32)
+    starts = np.searchsorted(ids, np.arange(len(counts))).astype(np.int32)
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal((len(counts), 4, 4)).astype(np.float32)
+    vals[0, 0, 0] = -0.0
+    vals[2, 1, 2] = np.inf
+    vals[3, 3, 3] = np.float32(1e-42)            # denormal
+    vals[5, 0, 1] = np.nan
+    got = np.asarray(culling.segment_broadcast_bits(
+        jnp.asarray(vals), jnp.asarray(starts), len(ids), xp=jnp))
+    want = np.take(vals, ids, axis=0)
+    np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))
+    # numpy path = plain take
+    np.testing.assert_array_equal(
+        culling.segment_broadcast_bits(vals, starts, len(ids),
+                                       element_ids=ids, xp=np),
+        want)
+
+
+def test_model_matrices_per_vertex_exact():
+    """build_scene_buffers publishes vert_seg_starts consistent with
+    vert_mesh_id, and model_matrices_per_vertex (the gather-free path
+    every render path now uses) is bitwise equal to the take it
+    replaces."""
+    import jax.numpy as jnp
+    from softwarerenderer_tpu.ops import culling
+
+    insts = [scene_mod.MeshInstance(
+        primitives.uv_sphere(0.4, rings=6, sectors=8),
+        ml.translation([dx, 0.2 * dx, -3.0]))
+        for dx in (-1.0, 0.0, 1.0, 2.0)]
+    scene = scene_mod.build_scene_buffers(insts)
+    assert "vert_seg_starts" in scene
+    np.testing.assert_array_equal(
+        np.searchsorted(scene["vert_mesh_id"],
+                        np.arange(scene["mesh_matrices"].shape[0])),
+        scene["vert_seg_starts"])
+    dev = {k: jnp.asarray(v) for k, v in scene.items()}
+    got = np.asarray(culling.model_matrices_per_vertex(dev, xp=jnp))
+    want = np.take(np.asarray(scene["mesh_matrices"]),
+                   np.asarray(scene["vert_mesh_id"]), axis=0)
+    np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))
+
+
 def test_scene_pack_seg_starts_and_lod_mask_parity():
     """build_scene_buffers publishes tri_seg_starts that reproduce
     tri_mesh_id, and lod_tri_mask's broadcast path equals its take path."""
