@@ -149,10 +149,33 @@ def model_matrices_per_vertex(scene, xp=np):
 
     Uses the gather-free bitcast broadcast when the scene publishes
     ``vert_seg_starts`` (models/scene.py — contiguous sorted
-    vert_mesh_id), else falls back to take."""
-    if xp is not np and "vert_seg_starts" in scene:
+    vert_mesh_id) and the matrices are 32-bit, else falls back to take
+    (e.g. float64 mesh_matrices under jax_enable_x64 — the bitcast trick
+    only holds for 4-byte lanes).
+
+    Invalidation contract for ``vert_seg_starts``: the key asserts that
+    the scene's VERTEX arrays are the exact packed layout the starts
+    were built from.  Any future path that slices, pads, or reorders
+    vertex arrays (the vertex analog of ``shard_scene_triangles``, which
+    pops ``tri_seg_starts`` for the same reason) MUST pop
+    ``vert_seg_starts`` or rebuild it — the trace-time guard below makes
+    a stale key fail loudly instead of rendering with wrong transforms."""
+    n = int(scene["vert_mesh_id"].shape[0])
+    if (xp is not np and "vert_seg_starts" in scene
+            and xp.asarray(scene["mesh_matrices"]).dtype.itemsize == 4):
+        starts = scene["vert_seg_starts"]
+        if hasattr(starts, "shape") and starts.shape[0] > 0:
+            try:
+                last = int(np.asarray(starts[-1]))   # tracers raise here
+            except Exception:
+                last = None
+            if last is not None and last > n:
+                raise ValueError(
+                    f"vert_seg_starts (last start {last}) is stale for "
+                    f"{n} packed vertices — a path that resized vertex "
+                    f"arrays must pop or rebuild it (see "
+                    f"model_matrices_per_vertex docstring)")
         return segment_broadcast_bits(
-            scene["mesh_matrices"], scene["vert_seg_starts"],
-            int(scene["vert_mesh_id"].shape[0]), xp=xp)
+            scene["mesh_matrices"], starts, n, xp=xp)
     return xp.take(xp.asarray(scene["mesh_matrices"]),
                    xp.asarray(scene["vert_mesh_id"]), axis=0)

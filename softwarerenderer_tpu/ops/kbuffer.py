@@ -25,14 +25,17 @@ to the pixel is among its K best:
 
 Enable with RenderParams(kbuffer=K); K=4 covers the reference's content.
 
-Cost (measured, 1080p dust2 on one v5e chip): ~95 ms per layer (K=2 →
-190 ms, K=4 → 378 ms) — each layer re-streams the bins for its one-hot
-resolve and runs the full interpolate+shade.  On TPU with LESS_EQUAL
-depth the engine instead routes K-buffer frames through
+Cost: this XLA K-slot fold is the PORTABLE FALLBACK (other depth modes,
+CPU runs) and is expensive — each layer re-streams the bins for its
+one-hot resolve and runs the full interpolate+shade (~95 ms per layer at
+1080p dust2 on one v5e: K=2 → 190 ms, K=4 → 378 ms).  On TPU with
+LESS_EQUAL depth the engine instead routes K-buffer frames through
 ops.pallas_tile.render_tile_pallas_kbuffer — depth peeling over the
-single-winner tile kernel, 46 ms at K=4 (8.2×; BENCHMARKS.md) with
-identical results — keeping this XLA fold as the portable fallback for
-other depth modes and CPU runs.
+single-winner tile kernel with the opaque short-circuit (peel passes
+whose prev maps show no eligible pixel lax.cond-skip wholesale):
+measured K=4 dust2 @1080p = 15.9 ms / 62.7 fps, bit-identical to this
+fold (BENCHMARKS.md round 3).  K-buffer mode now charges for the
+translucency actually on screen, not for K itself.
 """
 
 from __future__ import annotations
