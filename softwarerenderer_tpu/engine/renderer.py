@@ -248,8 +248,14 @@ def camera_matrices(uniforms: Dict, width: int, height: int, xp=jnp):
     front = ml.quat_rotate(xp.asarray([0.0, 0.0, -1.0], xp.float32), rot, xp=xp)
     up = ml.quat_rotate(xp.asarray([0.0, 1.0, 0.0], xp.float32), rot, xp=xp)
     view = ml.look_at(pos, pos + front, up, xp=xp)
-    fov = uniforms["fov_degrees"] * F32(np.pi / 180.0)
-    proj = ml.perspective_fov(fov, F32(width) / F32(height),
+    # xp-honoring scalar math: a jnp.float32 constant here would silently
+    # promote the host (xp=np) path to a device dispatch + readback —
+    # ~25 ms PER CALL over a remote-tunnel device (measured; the dust2
+    # nametag pass hit this every frame).
+    fov = xp.asarray(uniforms["fov_degrees"],
+                     xp.float32) * xp.float32(np.pi / 180.0)
+    proj = ml.perspective_fov(fov,
+                              xp.float32(width) / xp.float32(height),
                               uniforms["near_clip"], uniforms["far_clip"],
                               xp=xp)
     return view, proj

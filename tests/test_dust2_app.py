@@ -651,7 +651,9 @@ def test_mirror_pip_renders():
         from softwarerenderer_tpu.utils import mathlib as _ml
         g.cam_rotation = np.asarray(_ml.quat_from_yaw_pitch_roll(
             _m.pi, 0.0, 0.0), np.float32)
-        # two steps: the one-frame present pipeline shows frame N-1
+        # three steps: the two-frame present pipeline (overlapped
+        # device→host fetches) shows frame N-2
+        g.step(1 / 60)
         g.step(1 / 60)
         g.step(1 / 60)
         inset1 = g.window.last_frame[2:2 + ph, x0:x0 + pw]
