@@ -68,31 +68,47 @@ def build_rt_world(scene: Dict, uniforms: Dict) -> Dict:
 
 
 def _shade_hits(hits: Dict, world: Dict, uniforms: Dict,
-                view, proj, fragment_shader: Callable):
+                view, proj, fragment_shader: Callable,
+                white_colors: bool = False):
     """Build the raster-ABI frag dict at each hit and run the user
-    fragment shader; returns (rgba (R, 4), depth (R,))."""
+    fragment shader; returns (rgba (R, 4), depth (R,)).
+
+    TPU gathers charge per ELEMENT (BENCHMARKS.md), so this pass reuses
+    the cast's barycentrics when the hits dict carries "u"/"v" (the
+    bundle-cast paths export them) instead of re-gathering the 9 corner
+    elements per ray to re-derive them; white_colors=True additionally
+    skips the 12-element-per-ray vertex-color gather for scenes whose
+    colors are known all-white (the loader default when a model has no
+    COLOR_0 — e.g. dust2)."""
     tri = hits["tri"]
-    # Recover the winner's barycentrics from the smooth data: re-derive
-    # u/v by projecting the hit point into the triangle's edge basis —
-    # cheap, exact to fp, and avoids widening raycast_batch's contract.
-    v0 = jnp.take(world["v0"], tri, axis=0)
-    e1 = jnp.take(world["v1"], tri, axis=0) - v0
-    e2 = jnp.take(world["v2"], tri, axis=0) - v0
-    p = hits["point"] - v0
-    d11 = ml.dot(e1, e1, xp=jnp)
-    d12 = ml.dot(e1, e2, xp=jnp)
-    d22 = ml.dot(e2, e2, xp=jnp)
-    dp1 = ml.dot(p, e1, xp=jnp)
-    dp2 = ml.dot(p, e2, xp=jnp)
-    den = d11 * d22 - d12 * d12
-    den = jnp.where(den == 0, F32(1), den)
-    u = (d22 * dp1 - d12 * dp2) / den
-    v = (d11 * dp2 - d12 * dp1) / den
+    if "u" in hits and "v" in hits:
+        u, v = hits["u"], hits["v"]
+    else:
+        # Recover the winner's barycentrics from the smooth data:
+        # re-derive u/v by projecting the hit point into the triangle's
+        # edge basis.
+        v0 = jnp.take(world["v0"], tri, axis=0)
+        e1 = jnp.take(world["v1"], tri, axis=0) - v0
+        e2 = jnp.take(world["v2"], tri, axis=0) - v0
+        p = hits["point"] - v0
+        d11 = ml.dot(e1, e1, xp=jnp)
+        d12 = ml.dot(e1, e2, xp=jnp)
+        d22 = ml.dot(e2, e2, xp=jnp)
+        dp1 = ml.dot(p, e1, xp=jnp)
+        dp2 = ml.dot(p, e2, xp=jnp)
+        den = d11 * d22 - d12 * d12
+        den = jnp.where(den == 0, F32(1), den)
+        u = (d22 * dp1 - d12 * dp2) / den
+        v = (d11 * dp2 - d12 * dp1) / den
     w = F32(1.0) - u - v
     bary = jnp.stack([w, u, v], axis=-1)[..., None]             # (R, 3, 1)
 
     uv = jnp.sum(jnp.take(world["uv"], tri, axis=0) * bary, axis=1)
-    col = jnp.sum(jnp.take(world["color"], tri, axis=0) * bary, axis=1)
+    if white_colors:
+        col = jnp.ones(uv.shape[:-1] + (4,), F32)
+    else:
+        col = jnp.sum(jnp.take(world["color"], tri, axis=0) * bary,
+                      axis=1)
 
     clip = ml.transform(
         ml.transform(ml.homogenize(hits["point"], xp=jnp), view, xp=jnp),
@@ -128,7 +144,10 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
                            shadow_samples: int = 1,
                            reflections: bool = False,
                            cluster_cap: int = 0,
-                           cluster_group: int = 64):
+                           cluster_group: int = 64,
+                           pair_chunk: int = 256,
+                           pair_tile=(32, 32),
+                           rt_white_colors: bool = False):
     """Engine-compatible frame function (`Engine(scene, params,
     frame_fn=render_frame_raytraced)`): returns (color (H, W, 4),
     depth (H, W)).
@@ -151,13 +170,17 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
     shaded with the same fragment shader (misses show the sky/clear
     environment), mixed by uniforms["rt_reflectivity"] (default 0.25).
 
-    cluster_cap > 0 enables bundle-culled acceleration (ops/rt_accel.py):
-    chunks become 2D pixel TILES (coherent frusta), each tested only
-    against the <= cluster_cap Morton clusters its ray bundle can reach,
-    with a lax.cond brute-force fallback on cap overflow — exact for any
-    cap (winner identity identical; floats to fp tolerance, see
-    rt_accel docstring).  Size the cap from
-    rt_accel.bundle_survivor_count on representative frames.
+    cluster_cap > 0 enables bundle-culled acceleration (ops/rt_accel.py
+    pair-table path): the frame becomes 16×16-px ray bundles, the live
+    (bundle, cluster) pairs compact to one static table of size
+    max(cluster_cap) × n_bundles, and chunked dense Möller–Trumbore
+    sweeps (pair_chunk pairs per step) evaluate primary / shadow /
+    reflection passes — work ∝ live pairs, full VPU utilization, with a
+    lax.cond brute-force fallback on table overflow — exact for any cap
+    (winner identity identical; floats to fp tolerance, see rt_accel
+    docstring).  Size cluster_cap from rt_accel.bundle_pair_count /
+    n_bundles on representative frames (it is the AVERAGE survivors per
+    bundle the table can hold, not a per-bundle bound).
     """
     from softwarerenderer_tpu.ops import sky as sky_mod
 
@@ -170,7 +193,10 @@ def render_frame_raytraced(scene: Dict, uniforms: Dict,
                             shadow_samples=shadow_samples,
                             reflections=reflections,
                             cluster_cap=cluster_cap,
-                            cluster_group=cluster_group)
+                            cluster_group=cluster_group,
+                            pair_chunk=pair_chunk,
+                            pair_tile=pair_tile,
+                            rt_white_colors=rt_white_colors)
 
 
 def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
@@ -180,7 +206,10 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
                      shadow_samples: int = 1,
                      reflections: bool = False,
                      cluster_cap: int = 0,
-                     cluster_group: int = 64):
+                     cluster_group: int = 64,
+                     pair_chunk: int = 256,
+                     pair_tile=(32, 32),
+                     rt_white_colors: bool = False):
     """Trace an arbitrary (h, W) block of pixel rays — the shard-friendly
     core of render_frame_raytraced.  `dirs` (h, W, 3) are world ray
     directions (sky.pixel_ray_directions rows), `ray_ids` (h, W) the
@@ -212,19 +241,11 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
     use_accel = (tuple(cluster_cap)
                  if isinstance(cluster_cap, (tuple, list))
                  else ((cluster_cap,) if cluster_cap else ()))
-    if use_accel:
-        from softwarerenderer_tpu.ops import rt_accel
-        accel = rt_accel.build_rt_accel(world, group=cluster_group)
 
-        def cast(o, dd):
-            return rt_accel.raycast_bundle_culled(
-                o, dd, world, accel, cap=use_accel,
-                face_mask=rc.FACE_MASK_NONE, tri_mask=tri_mask)
-    else:
-        def cast(o, dd):
-            return rc.raycast_batch(o, dd, world,
-                                    face_mask=rc.FACE_MASK_NONE,
-                                    tri_mask=tri_mask)
+    def cast(o, dd):
+        return rc.raycast_batch(o, dd, world,
+                                face_mask=rc.FACE_MASK_NONE,
+                                tri_mask=tri_mask)
 
     eye = jnp.asarray(uniforms["camera_position"], F32)
     dirs_flat = jnp.asarray(dirs, F32).reshape(-1, 3)
@@ -253,22 +274,33 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
         return jnp.broadcast_to(jnp.asarray(uniforms["clear_color"], F32),
                                 d.shape[:-1] + (4,))
 
+    def _shadow_dir(ray_id, s):
+        """Deterministic disc-light jitter direction for flat (N,) ray
+        ids at sample s — shared by the brute and pair paths so both
+        produce identical shadow rays.  xorshift-style integer mix: a
+        bare multiplicative hash leaves row-correlated low bits (visible
+        striping in penumbrae); two shift-xor rounds decorrelate them."""
+        hh = ray_id * jnp.int32(-1640531535) + jnp.int32(40503 * (s + 1))
+        hh = hh ^ (hh >> 13)
+        hh = hh * jnp.int32(-1028477387)               # 0xc2b2ae35 as i32
+        hh = hh ^ (hh >> 16)
+        a = (hh & jnp.int32(0x7FFFFF)).astype(F32) \
+            * F32(2 * np.pi / 0x800000)
+        r = jnp.sqrt(((hh >> 8) & 0xFFFF).astype(F32) / F32(0xFFFF))
+        jx = jnp.cos(a) * r
+        jy = jnp.sin(a) * r
+        return ml.safe_normalize(
+            -light[None] + (jx[:, None] * lt1[None]
+                            + jy[:, None] * lt2[None]) * sradius, xp=jnp)
+
     def trace_chunk(args):
         d, ray_id = args
         o = jnp.broadcast_to(eye, d.shape)
         hits = cast(o, d)
         rgba, depth = _shade_hits(hits, world, u, view, proj,
-                                  fragment_shader)
+                                  fragment_shader,
+                                  white_colors=rt_white_colors)
         off = hits["point"] + hits["normal"] * F32(1e-3)
-        if use_accel:
-            # Miss pixels carry zero points; replace their secondary-ray
-            # origins with the chunk's mean hit point so the bundle AABB
-            # stays tight (their shadow/reflection results are discarded
-            # by the final `ok` select either way).
-            nhit = jnp.maximum(jnp.sum(hits["hit"].astype(F32)), F32(1))
-            ctr = jnp.sum(jnp.where(hits["hit"][:, None], off, F32(0)),
-                          axis=0) / nhit
-            off = jnp.where(hits["hit"][:, None], off, ctr[None])
         if reflections:
             # One mirror bounce: reflect the view ray at the smooth
             # normal, shade the reflected hit with the same shader
@@ -277,7 +309,8 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
             rdir = d - F32(2.0) * ml.dot(d, n, xp=jnp)[:, None] * n
             rh = cast(off, rdir)
             rrgba, _ = _shade_hits(rh, world, u, view, proj,
-                                   fragment_shader)
+                                   fragment_shader,
+                                   white_colors=rt_white_colors)
             refl = jnp.where(rh["hit"][:, None], rrgba, _background(rdir))
             rgba = jnp.concatenate(
                 [rgba[..., :3] + (refl[..., :3] - rgba[..., :3])
@@ -290,25 +323,7 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
             # ray id — no PRNG state to carry.
             occl = jnp.zeros((d.shape[0],), F32)
             for s in range(max(1, shadow_samples)):
-                # xorshift-style integer mix: a bare multiplicative hash
-                # leaves row-correlated low bits (visible striping in
-                # penumbrae); two shift-xor rounds decorrelate them.
-                h = ray_id * jnp.int32(-1640531535) \
-                    + jnp.int32(40503 * (s + 1))
-                h = h ^ (h >> 13)
-                h = h * jnp.int32(-1028477387)         # 0xc2b2ae35 as i32
-                h = h ^ (h >> 16)
-                a = (h & jnp.int32(0x7FFFFF)).astype(F32) \
-                    * F32(2 * np.pi / 0x800000)
-                r = jnp.sqrt(((h >> 8) & 0xFFFF).astype(F32)
-                             / F32(0xFFFF))
-                jx = jnp.cos(a) * r
-                jy = jnp.sin(a) * r
-                sdir = ml.safe_normalize(
-                    -light[None] + (jx[:, None] * lt1[None]
-                                    + jy[:, None] * lt2[None]) * sradius,
-                    xp=jnp)
-                sh = cast(off, sdir)
+                sh = cast(off, _shadow_dir(ray_id, s))
                 occl = occl + sh["hit"].astype(F32)
             vis = F32(1.0) - occl / F32(max(1, shadow_samples))
             lit = (floor + (F32(1.0) - floor) * vis)[:, None]
@@ -319,13 +334,40 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
                 jnp.where(ok, depth, DEPTH_CLEAR))
 
     if use_accel:
-        # 2D pixel tiles (th x tw = chunk): a tile's primary rays form a
-        # narrow frustum and its hits sit close in world space, so both
-        # primary and secondary bundles keep few clusters alive.  Edge
-        # padding replicates border rays (tight bundles in pad tiles
-        # too); pad results are cropped after un-tiling.
-        tw = min(32, W)
-        th = max(1, chunk // tw)
+        # Pair-table path (ops/rt_accel.raycast_bundles_*): the frame
+        # splits into 16×16-px ray BUNDLES (a tile's primary rays form a
+        # narrow frustum; its hits sit close in world space, so shadow /
+        # reflection bundles stay tight too).  All bundles cull at once
+        # against the Morton clusters, the live (bundle, cluster) pairs
+        # compact to one static table, and a single chunked dense sweep
+        # evaluates them — work ∝ live pairs with uniform dense blocks,
+        # replacing round 3's sequential per-tile lax.switch loop (which
+        # was loop-bound: ~600 tiny blocks/frame).  Shadow rays use the
+        # any-hit sweep (no winner reduction); soft-shadow samples stack
+        # into the ray axis of ONE occlusion cast.  Edge padding
+        # replicates border rays; pad results are cropped after
+        # un-tiling.  cluster_cap sizes the pair table: pair_cap =
+        # max(cluster_cap) × n_bundles (its legacy per-bundle-survivors
+        # meaning), overflow lax.cond-falls back to a brute sweep.
+        from softwarerenderer_tpu.ops import rt_accel
+        tw = min(pair_tile[1], W)
+        th = min(pair_tile[0], h)
+        # The Pallas bundle-sweep kernel (ops/rt_pallas.py) replaces the
+        # XLA pair sweep whenever it can compile: the XLA sweep is
+        # GATHER-bound (~2.5 ns per gathered element) while the kernel
+        # DMAs cluster blocks and keeps the fold in VMEM.  Falls back to
+        # the XLA path off-TPU (CPU tests run it in interpret mode via
+        # params.pallas_interpret) or when the tile ray count is not a
+        # 128 multiple (kernel lane alignment).
+        use_pl = ((th * tw) % 128 == 0
+                  and params.use_pallas
+                  and (jax.default_backend() == "tpu"
+                       or params.pallas_interpret))
+        if use_pl:
+            from softwarerenderer_tpu.ops import rt_pallas
+            accel = rt_pallas.build_rt_accel_pl(world)
+        else:
+            accel = rt_accel.build_rt_accel(world, group=cluster_group)
         hp = -(-h // th) * th
         Wp = -(-W // tw) * tw
         d2 = jnp.pad(jnp.asarray(dirs, F32), ((0, hp - h), (0, Wp - W),
@@ -333,14 +375,114 @@ def trace_pixel_rows(scene: Dict, uniforms: Dict, params: RenderParams,
         i2 = jnp.pad(jnp.asarray(ray_ids, jnp.int32),
                      ((0, hp - h), (0, Wp - W)), mode="edge")
         nth, ntw = hp // th, Wp // tw
-        d_t = d2.reshape(nth, th, ntw, tw, 3).transpose(0, 2, 1, 3, 4)
-        i_t = i2.reshape(nth, th, ntw, tw).transpose(0, 2, 1, 3)
-        color_c, depth_c = jax.lax.map(
-            trace_chunk, (d_t.reshape(-1, th * tw, 3),
-                          i_t.reshape(-1, th * tw)))
-        color = color_c.reshape(nth, ntw, th, tw, 4).transpose(
+        B, R = nth * ntw, th * tw
+        d_t = d2.reshape(nth, th, ntw, tw, 3).transpose(0, 2, 1, 3, 4) \
+                .reshape(B, R, 3)
+        i_t = i2.reshape(nth, th, ntw, tw).transpose(0, 2, 1, 3) \
+                .reshape(B, R)
+        pair_cap = int(max(use_accel)) * B
+        # Kernel survivor capacity: overflow-proof by default (capb =
+        # n_clusters) — an overflowing pass would fall back to the
+        # whole-pass brute sweep, a catastrophic cliff the shadow pass
+        # (rays toward the light keep many clusters alive) hit when this
+        # was sized from the primary-pass ladder.
+        capb_pl = None
+
+        if use_pl:
+            def cast_nearest(o_b, d_b, origin_shared=False):
+                return rt_pallas.raycast_bundles_nearest_pl(
+                    o_b, d_b, world, accel, capb=capb_pl,
+                    face_mask=rc.FACE_MASK_NONE, tri_mask=tri_mask,
+                    interpret=params.pallas_interpret)
+
+            def cast_any(o_b, d_b, dir_shared=False):
+                return rt_pallas.raycast_bundles_any_pl(
+                    o_b, d_b, world, accel, capb=capb_pl,
+                    face_mask=rc.FACE_MASK_NONE, tri_mask=tri_mask,
+                    interpret=params.pallas_interpret)
+        else:
+            def cast_nearest(o_b, d_b, origin_shared=False):
+                return rt_accel.raycast_bundles_nearest(
+                    o_b, d_b, world, accel, pair_cap=pair_cap,
+                    chunk_pairs=pair_chunk, face_mask=rc.FACE_MASK_NONE,
+                    tri_mask=tri_mask, origin_shared=origin_shared)
+
+            def cast_any(o_b, d_b, dir_shared=False):
+                return rt_accel.raycast_bundles_any(
+                    o_b, d_b, world, accel, pair_cap=pair_cap,
+                    chunk_pairs=max(32, pair_chunk
+                                    // max(1, shadow_samples)),
+                    face_mask=rc.FACE_MASK_NONE, tri_mask=tri_mask,
+                    dir_shared=dir_shared)
+
+        o_t = jnp.broadcast_to(eye, (B, R, 3))
+        prim = cast_nearest(o_t, d_t, origin_shared=True)
+        hits = {k: prim[k].reshape((B * R,) + prim[k].shape[2:])
+                for k in ("hit", "distance", "point", "normal", "tri",
+                          "u", "v") if k in prim}
+        rgba, depth = _shade_hits(hits, world, u, view, proj,
+                                  fragment_shader,
+                                  white_colors=rt_white_colors)  # (B*R,)
+        hit_f = prim["hit"]                                  # (B, R)
+        off = (prim["point"] + prim["normal"] * F32(1e-3))   # (B, R, 3)
+        # Miss pixels carry zero points; replace their secondary-ray
+        # origins with the BUNDLE's mean hit point so its AABB stays
+        # tight (their results are discarded by the final select).
+        # ALL-miss bundles (sky tiles) instead get NaN origins: every
+        # slab-test comparison is then false, the bundle's survivor
+        # count is 0, and its secondary-pass loop runs zero iterations
+        # (the NaN also poisons any Möller–Trumbore test into a miss,
+        # and the results are discarded by the final select anyway).
+        nhit_b = jnp.sum(hit_f.astype(F32), axis=1)
+        ctr = jnp.sum(jnp.where(hit_f[..., None], off, F32(0)),
+                      axis=1) / jnp.maximum(nhit_b, F32(1))[:, None]
+        ctr = jnp.where((nhit_b > 0)[:, None], ctr, F32(jnp.nan))
+        off = jnp.where(hit_f[..., None], off, ctr[:, None, :])
+
+        if reflections:
+            n = prim["normal"]
+            rdir = d_t - F32(2.0) * ml.dot(d_t, n, xp=jnp)[..., None] * n
+            rh = cast_nearest(off, rdir)
+            rh_flat = {k: rh[k].reshape((B * R,) + rh[k].shape[2:])
+                       for k in ("hit", "distance", "point", "normal",
+                                 "tri", "u", "v") if k in rh}
+            rrgba, _ = _shade_hits(rh_flat, world, u, view, proj,
+                                   fragment_shader,
+                                   white_colors=rt_white_colors)
+            refl = jnp.where(rh_flat["hit"][:, None], rrgba,
+                             _background(rdir.reshape(-1, 3)))
+            rgba = jnp.concatenate(
+                [rgba[..., :3] + (refl[..., :3] - rgba[..., :3])
+                 * refl_amt, rgba[..., 3:]], axis=-1)
+
+        if shadows:
+            S = max(1, shadow_samples)
+            sdirs = jnp.stack(
+                [_shadow_dir(i_t.reshape(-1), s).reshape(B, R, 3)
+                 for s in range(S)], axis=1)                 # (B, S, R, 3)
+            # Statically-hard shadows (one sample, no disc radius in
+            # the uniforms) share ONE direction across every ray —
+            # normalize(-light) exactly, since the jitter term is
+            # multiplied by the absent radius's 0.0 default — so the
+            # sweep broadcasts it instead of gathering (C, R, 3) dirs.
+            hard = S == 1 and "rt_light_radius" not in uniforms
+            sh = cast_any(
+                jnp.broadcast_to(off[:, None], (B, S, R, 3)
+                                 ).reshape(B, S * R, 3),
+                sdirs.reshape(B, S * R, 3), dir_shared=hard)
+            occl = jnp.sum(sh["hit"].reshape(B, S, R).astype(F32),
+                           axis=1).reshape(-1)               # (B*R,)
+            vis = F32(1.0) - occl / F32(S)
+            lit = (floor + (F32(1.0) - floor) * vis)[:, None]
+            rgba = jnp.concatenate([rgba[..., :3] * lit, rgba[..., 3:]],
+                                   axis=-1)
+
+        okf = hits["hit"]
+        color = jnp.where(okf[:, None], rgba, F32(0.0))
+        depth = jnp.where(okf, depth, DEPTH_CLEAR)
+        color = color.reshape(nth, ntw, th, tw, 4).transpose(
             0, 2, 1, 3, 4).reshape(hp, Wp, 4)[:h, :W]
-        depth = depth_c.reshape(nth, ntw, th, tw).transpose(
+        depth = depth.reshape(nth, ntw, th, tw).transpose(
             0, 2, 1, 3).reshape(hp, Wp)[:h, :W]
     else:
         color_c, depth_c = jax.lax.map(

@@ -299,6 +299,350 @@ def _culled_mt(o, d, origins, world, accel, slot_mask, sel, taken,
     }
 
 
+def _bundles_alive(origins, directions, accel: Dict, slot_mask):
+    """(B, NC) bool cluster-survival matrix for B ray bundles (see
+    _bundles_alive_entry)."""
+    alive, _t0 = _bundles_alive_entry(origins, directions, accel,
+                                      slot_mask)
+    return alive
+
+
+def _bundles_alive_entry(origins, directions, accel: Dict, slot_mask):
+    """((B, NC) bool survival, (B, NC) f32 conservative ENTRY time).
+
+    Vectorized slab test: per bundle the origin/direction AABBs come from
+    min/max over its rays; the interval test itself broadcasts (B, 1)
+    against (1, NC).  Clusters with no maskable triangle are dead for
+    every bundle.  The entry time t0 (earliest t at which ANY bundle ray
+    could touch the cluster) orders survivors front-to-back — the
+    kernel's any-hit early exit and, for nearest folds, a locality that
+    costs nothing (the fold is order-independent)."""
+    o = jnp.asarray(origins, F32)                       # (B, R, 3)
+    d = jnp.asarray(directions, F32)
+    olo = jnp.min(o, axis=1)                            # (B, 3)
+    ohi = jnp.max(o, axis=1)
+    dlo = jnp.min(d, axis=1)
+    dhi = jnp.max(d, axis=1)
+    cl_lo, cl_hi = accel["cl_lo"], accel["cl_hi"]       # (NC, 3)
+    B = o.shape[0]
+    nc = cl_lo.shape[0]
+    t0 = jnp.zeros((B, nc), F32)
+    t1 = jnp.full((B, nc), BIG, F32)
+    for a in range(3):
+        g0, g1 = _reach_ge(olo[:, a:a + 1], ohi[:, a:a + 1],
+                           dlo[:, a:a + 1], dhi[:, a:a + 1],
+                           cl_lo[None, :, a])
+        l0, l1 = _reach_le(olo[:, a:a + 1], ohi[:, a:a + 1],
+                           dlo[:, a:a + 1], dhi[:, a:a + 1],
+                           cl_hi[None, :, a])
+        t0 = jnp.maximum(t0, jnp.maximum(g0, l0))
+        t1 = jnp.minimum(t1, jnp.minimum(g1, l1))
+    alive = t0 <= t1
+    nonempty = jnp.any(slot_mask.reshape(accel["n_clusters"],
+                                         accel["group"]), axis=1)
+    return alive & nonempty[None, :], t0
+
+
+def _mt_block(o, d, v0, e1, e2, face_mask):
+    """Möller–Trumbore over broadcastable ray/triangle blocks; returns
+    (ok, t, u, v).  The same elementwise ops as raycast_batch
+    (Physics.cs:136-179 semantics: epsilon/face-mask rules, u, v, t
+    bounds); callers add their own slot masks."""
+    pvec = ml.cross(d, e2, xp=jnp)
+    det = ml.dot(e1, pvec, xp=jnp)
+    ok = jnp.abs(det) >= EPSILON
+    if face_mask & rc_mod.FACE_MASK_IGNORE_BACKFACES:
+        ok &= det >= EPSILON
+    if face_mask & rc_mod.FACE_MASK_IGNORE_FRONTFACES:
+        ok &= det <= -EPSILON
+    inv_det = F32(1.0) / jnp.where(det == 0, F32(1), det)
+    tvec = o - v0
+    u = ml.dot(tvec, pvec, xp=jnp) * inv_det
+    ok &= (u >= 0) & (u <= 1)
+    qvec = ml.cross(tvec, e1, xp=jnp)
+    v = ml.dot(d, qvec, xp=jnp) * inv_det
+    ok &= (v >= 0) & (u + v <= 1)
+    t = ml.dot(e2, qvec, xp=jnp) * inv_det
+    ok &= t >= 0
+    return ok, t, u, v
+
+
+def _pair_table(alive, pair_cap: int):
+    """Stable-compact the (B, NC) survival matrix into a bundle-major
+    pair list — the sort-middle idiom of ops/binning.py applied to ray
+    bundles.  Returns (pair_bundle (P,), pair_cluster (P,), taken (P,),
+    n_pairs scalar).  Pad pairs carry bundle id B (an extra segment the
+    caller drops); `n_pairs > pair_cap` means overflow (caller falls
+    back to brute — the cap is a perf knob, never a correctness knob)."""
+    B, nc = alive.shape
+    P = min(int(pair_cap), B * nc)      # can't have more pairs than B·NC
+    flat = alive.reshape(-1)
+    n_pairs = jnp.sum(flat.astype(I32))
+    idx = jnp.argsort(jnp.logical_not(flat), stable=True
+                      ).astype(I32)[:P]                 # ascending = b-major
+    taken = jnp.arange(P, dtype=I32) < jnp.minimum(n_pairs, P)
+    pair_bundle = jnp.where(taken, idx // nc, I32(B))
+    pair_cluster = jnp.where(taken, idx % nc, I32(0))
+    return pair_bundle, pair_cluster, taken, n_pairs
+
+
+def _pair_sweep(origins, directions, accel: Dict, slot_mask,
+                pair_bundle, pair_cluster, taken, face_mask: int,
+                chunk_pairs: int, any_hit: bool,
+                origin_shared: bool = False, dir_shared: bool = False):
+    """The dense chunked Möller–Trumbore sweep over the pair table.
+
+    Each chunk gathers its pairs' cluster triangles (chunk, G) and its
+    pairs' bundle rays (chunk, R), evaluates the (chunk, R, G) block, and
+    reduces over G to the per-(pair, ray) best.  Work is proportional to
+    LIVE pairs (uniform dense blocks, full VPU utilization) instead of a
+    sequential per-tile switch — the structural fix for the round-3
+    finding that the tile-loop path was loop-bound, not FLOP-bound.
+
+    Returns (t_pair (P, R) f32, gid_pair (P, R) i32) for nearest mode,
+    or occl_pair (P, R) i32 for any-hit (shadow) mode."""
+    o = jnp.asarray(origins, F32)
+    d = jnp.asarray(directions, F32)
+    G = accel["group"]
+    P = pair_bundle.shape[0]
+    Pc = -(-P // chunk_pairs) * chunk_pairs
+    pb = jnp.pad(pair_bundle, (0, Pc - P),
+                 constant_values=origins.shape[0])
+    pc = jnp.pad(pair_cluster, (0, Pc - P))
+    tk = jnp.pad(taken, (0, Pc - P))
+    # Pad-bundle rays: one throwaway row appended so gathers stay in
+    # bounds for pad pairs (bundle id B).
+    o_x = jnp.concatenate([o, jnp.zeros((1,) + o.shape[1:], F32)], axis=0)
+    d_x = jnp.concatenate([d, jnp.ones((1,) + d.shape[1:], F32)], axis=0)
+
+    R = o.shape[1]
+    C = chunk_pairs
+
+    def step(args):
+        pbc, pcc, tkc = args                            # (C,)
+
+        def live(_):
+            rows = (pcc[:, None] * G
+                    + jnp.arange(G, dtype=I32)[None])   # (C, G)
+            sv0 = jnp.take(accel["v0"], rows, axis=0)   # (C, G, 3)
+            se1 = jnp.take(accel["e1"], rows, axis=0)
+            se2 = jnp.take(accel["e2"], rows, axis=0)
+            sgid = jnp.take(accel["perm"], rows)        # (C, G)
+            sok = jnp.take(slot_mask, rows) & tkc[:, None]
+            # Per-pair ray gathers are ELEMENT-COUNT-bound on TPU
+            # (~2.5 ns/element — BENCHMARKS.md gather model): at C·R·3
+            # elements per chunk they dominate the sweep for big frames.
+            # Rays shared across every bundle (primary origins = the
+            # eye; hard-shadow directions = the light) broadcast
+            # instead — declared by the caller via *_shared.
+            if origin_shared:
+                oc = jnp.broadcast_to(o_x[0, 0], (C,) + o_x.shape[1:])
+            else:
+                oc = jnp.take(o_x, pbc, axis=0)         # (C, R, 3)
+            if dir_shared:
+                dc = jnp.broadcast_to(d_x[0, 0], (C,) + d_x.shape[1:])
+            else:
+                dc = jnp.take(d_x, pbc, axis=0)
+            ok, t, _u, _v = _mt_block(
+                oc[:, :, None, :], dc[:, :, None, :],
+                sv0[:, None], se1[:, None], se2[:, None],
+                face_mask)                              # (C, R, G)
+            ok &= sok[:, None, :]
+            if any_hit:
+                return jnp.any(ok, axis=2).astype(I32)  # (C, R)
+            t_masked = jnp.where(ok, t, BIG)
+            tb = jnp.min(t_masked, axis=2)              # (C, R)
+            at_best = ok & (t_masked == tb[:, :, None])
+            gid = jnp.min(jnp.where(at_best, sgid[:, None, :], NOTRI),
+                          axis=2)                       # (C, R)
+            return tb, gid
+
+        def dead(_):
+            # Chunks of pure padding (a contiguous suffix, since the
+            # table is stable-compacted) skip the dense block — an
+            # oversized pair_cap costs one cond per pad chunk, nothing
+            # more.
+            if any_hit:
+                return jnp.zeros((C, R), I32)
+            return (jnp.full((C, R), BIG, F32),
+                    jnp.full((C, R), NOTRI, I32))
+
+        return jax.lax.cond(jnp.any(tkc), live, dead, None)
+
+    out = jax.lax.map(step, (pb.reshape(-1, chunk_pairs),
+                             pc.reshape(-1, chunk_pairs),
+                             tk.reshape(-1, chunk_pairs)))
+    if any_hit:
+        return out.reshape(Pc, -1)[:P]
+    tb, gid = out
+    return tb.reshape(Pc, -1)[:P], gid.reshape(Pc, -1)[:P]
+
+
+NOTRI = 2 ** 30  # "no triangle" sentinel (python int: no import-time array)
+
+
+def raycast_bundles_any(origins, directions, world: Dict, accel: Dict,
+                        *, pair_cap: int, chunk_pairs: int = 256,
+                        face_mask: int = rc_mod.FACE_MASK_NONE,
+                        tri_mask=None, origin_shared: bool = False,
+                        dir_shared: bool = False):
+    """Occlusion-only bundle raycast: B bundles × R rays, True where ANY
+    triangle blocks the ray (t >= 0) — the shadow-ray primitive.  No
+    nearest-hit reduction, no tie rules, no winner reconstruction: the
+    result of the cheap any-over-pairs fold is identical to
+    raycast_batch(...)['hit'] by construction (culling is conservative
+    and hit-existence needs no ordering).
+
+    origins/directions: (B, R, 3).  Returns {"hit": (B, R) bool,
+    "n_pairs": scalar i32, "overflow": scalar bool}.  On pair_cap
+    overflow the result lax.cond-falls back to a chunked brute sweep —
+    exact for any cap."""
+    o = jnp.asarray(origins, F32)
+    d = ml.safe_normalize(jnp.asarray(directions, F32), xp=jnp)
+    slot_mask = accel["slot_ok"]
+    if tri_mask is not None:
+        slot_mask = slot_mask & jnp.take(jnp.asarray(tri_mask, bool),
+                                         accel["perm"])
+    alive = _bundles_alive(o, d, accel, slot_mask)
+    pb, pc, tk, n_pairs = _pair_table(alive, pair_cap)
+
+    def pair_path(_):
+        occ = _pair_sweep(o, d, accel, slot_mask, pb, pc, tk,
+                          face_mask, chunk_pairs, any_hit=True,
+                          origin_shared=origin_shared,
+                          dir_shared=dir_shared)                 # (P, R)
+        seg = jax.ops.segment_max(occ, pb, num_segments=o.shape[0] + 1,
+                                  indices_are_sorted=True)
+        return seg[:-1] > 0
+
+    def brute_path(_):
+        def one(args):
+            ob, db = args
+            return rc_mod.raycast_batch(ob, db, world,
+                                        face_mask=face_mask,
+                                        tri_mask=tri_mask)["hit"]
+        return jax.lax.map(one, (o, d))
+
+    hit = jax.lax.cond(n_pairs > pb.shape[0], brute_path, pair_path, None)
+    return {"hit": hit, "n_pairs": n_pairs,
+            "overflow": n_pairs > pb.shape[0]}
+
+
+def raycast_bundles_nearest(origins, directions, world: Dict, accel: Dict,
+                            *, pair_cap: int, chunk_pairs: int = 256,
+                            face_mask: int = rc_mod.FACE_MASK_NONE,
+                            tri_mask=None, origin_shared: bool = False,
+                            dir_shared: bool = False):
+    """Nearest-hit bundle raycast over B bundles × R rays via the pair
+    table — the batched replacement for mapping raycast_bundle_culled
+    over tiles (which serialized ~600 tiny dense blocks per frame).
+
+    Winner semantics match raycast_batch: nearest t, ties to the LOWEST
+    global triangle index.  Per pair the (C, R, G) block reduces to
+    (min t, lowest gid at that t); across a bundle's pairs two
+    bundle-major segmented folds finish the lexicographic reduction
+    (segment_min t, then segment_min of gid masked to t == best) — each
+    (ray, triangle) pair lives in exactly ONE cluster, so block-local t
+    values are globally consistent.  u/v/normals are reconstructed by
+    re-running the single winner triangle through the same Möller–
+    Trumbore formulas (fp-tolerance floats, identical winners — the
+    rt_accel contract).
+
+    Returns raycast_batch's dict with (B, R) leaves, plus "n_pairs" and
+    "overflow" diagnostics.  Overflow lax.cond-falls back to a chunked
+    brute sweep (exact for any pair_cap)."""
+    B, R = jnp.asarray(origins, F32).shape[:2]
+    o = jnp.asarray(origins, F32)
+    d = ml.safe_normalize(jnp.asarray(directions, F32), xp=jnp)
+    slot_mask = accel["slot_ok"]
+    if tri_mask is not None:
+        slot_mask = slot_mask & jnp.take(jnp.asarray(tri_mask, bool),
+                                         accel["perm"])
+    alive = _bundles_alive(o, d, accel, slot_mask)
+    pb, pc, tk, n_pairs = _pair_table(alive, pair_cap)
+
+    def pair_path(_):
+        tb, gid = _pair_sweep(o, d, accel, slot_mask, pb, pc, tk,
+                              face_mask, chunk_pairs, any_hit=False,
+                              origin_shared=origin_shared,
+                              dir_shared=dir_shared)
+        # Lexicographic (t, gid) min per (bundle, ray): two segmented
+        # folds over the bundle-major pair axis.
+        tbest = jax.ops.segment_min(tb, pb, num_segments=B + 1,
+                                    indices_are_sorted=True)[:-1]  # (B, R)
+        tb_back = jnp.take(jnp.concatenate(
+            [tbest, jnp.full((1, R), BIG, F32)], axis=0), pb, axis=0)
+        gid_m = jnp.where(tb == tb_back, gid, NOTRI)
+        wtri = jax.ops.segment_min(gid_m, pb, num_segments=B + 1,
+                                   indices_are_sorted=True)[:-1]   # (B, R)
+        hit = wtri < NOTRI
+        wtri = jnp.where(hit, wtri, 0).astype(I32)
+
+        # Winner reconstruction: one MT evaluation on the winning
+        # triangle per ray (u/v for the smooth normal; t reuses the
+        # sweep's exact fold value).
+        wv0 = jnp.take(world["v0"], wtri, axis=0)       # (B, R, 3)
+        we1 = jnp.take(world["v1"], wtri, axis=0) - wv0
+        we2 = jnp.take(world["v2"], wtri, axis=0) - wv0
+        _ok, _t, u, v = _mt_block(o, d, wv0, we1, we2, face_mask)
+        w = F32(1.0) - u - v
+        n0 = jnp.take(world["n0"], wtri, axis=0)
+        n1 = jnp.take(world["n1"], wtri, axis=0)
+        n2 = jnp.take(world["n2"], wtri, axis=0)
+        normal = ml.safe_normalize(
+            n0 * w[..., None] + n1 * u[..., None] + n2 * v[..., None],
+            xp=jnp)
+        dist = jnp.where(hit, tbest, BIG)
+        point = o + d * jnp.where(hit, dist, F32(0))[..., None]
+        return {
+            "hit": hit,
+            "distance": dist,
+            "point": jnp.where(hit[..., None], point,
+                               jnp.zeros_like(point)),
+            "normal": jnp.where(hit[..., None], normal,
+                                jnp.zeros_like(normal)),
+            "tri": wtri,
+            # winner barycentrics: consumers reuse them instead of
+            # re-gathering corner data per ray (gather model)
+            "u": u, "v": v,
+        }
+
+    def brute_path(_):
+        def one(args):
+            ob, db = args
+            res = rc_mod.raycast_batch(ob, db, world,
+                                       face_mask=face_mask,
+                                       tri_mask=tri_mask)
+            wv0 = jnp.take(world["v0"], res["tri"], axis=0)
+            we1 = jnp.take(world["v1"], res["tri"], axis=0) - wv0
+            we2 = jnp.take(world["v2"], res["tri"], axis=0) - wv0
+            _ok, _t, u, v = _mt_block(ob, ml.safe_normalize(
+                jnp.asarray(db, F32), xp=jnp), wv0, we1, we2, face_mask)
+            res["u"] = u
+            res["v"] = v
+            return res
+        return jax.lax.map(one, (o, d))
+
+    out = jax.lax.cond(n_pairs > pb.shape[0], brute_path, pair_path, None)
+    out["n_pairs"] = n_pairs
+    out["overflow"] = n_pairs > pb.shape[0]
+    return out
+
+
+def bundle_pair_count(origins, directions, world: Dict, accel: Dict,
+                      tri_mask=None) -> jnp.ndarray:
+    """Diagnostic: total live (bundle, cluster) pairs for a (B, R, 3)
+    bundle batch — size pair_cap from this (p99.9 × margin), the way
+    active_cap sizes from active_cap_stats."""
+    o = jnp.asarray(origins, F32)
+    d = ml.safe_normalize(jnp.asarray(directions, F32), xp=jnp)
+    slot_mask = accel["slot_ok"]
+    if tri_mask is not None:
+        slot_mask = slot_mask & jnp.take(jnp.asarray(tri_mask, bool),
+                                         accel["perm"])
+    return jnp.sum(_bundles_alive(o, d, accel, slot_mask).astype(I32))
+
+
 def bundle_survivor_count(origins, directions, world: Dict, accel: Dict,
                           tri_mask=None) -> jnp.ndarray:
     """Diagnostic: how many clusters this bundle keeps alive (size caps
