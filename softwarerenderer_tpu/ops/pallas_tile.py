@@ -119,7 +119,11 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, kp, kp3, kp3_dma,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
     px = (lane % tile_w + tx * tile_w).astype(F32)
-    py = (lane // tile_w + ty * tile_h + rowoff_ref[0]).astype(F32)
+    # rowoff is a PER-TILE-ROW offset map (scalar prefetch, SMEM): a
+    # contiguous band fills it with one constant; the balanced fb-sharded
+    # mode maps each local tile row to an arbitrary global row
+    # (ops/binning.py tile_row_map semantics, now in-kernel).
+    py = (lane // tile_w + ty * tile_h + rowoff_ref[ty]).astype(F32)
 
     n_global = nglob_ref[0]
     start = starts_ref[i]
@@ -339,7 +343,7 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, kp, kp3, kp3_dma,
 
 def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
                  per_tri_extra: Optional[Dict], row_offset,
-                 gb_keep=None):
+                 gb_keep=None, tile_row_map=None, full_height=None):
     """Bin, pack the payload, build the streams and the interpolation plan
     — everything a kernel pass needs that is independent of peeling state.
     Shared by the opaque single-pass path and the K-buffer peeled passes
@@ -351,7 +355,18 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
     z channel alone (the fog input; x/y/w are re-exposed as zeros) unless
     "clip_position" itself is declared, and the barycentric planes are
     emitted only when "barycentric" is declared.  None keeps everything
-    (registry-less custom shaders)."""
+    (registry-less custom shaders).
+
+    tile_row_map (traced (params.height // tile_h,) i32, with
+    full_height): this pass owns an ARBITRARY set of GLOBAL tile rows —
+    the load-balanced fb-sharding mode (parallel.sharding
+    balanced="rows", same semantics as binning.visibility_binned's
+    tile_row_map): binning runs over the FULL frame, the owned tiles'
+    segment starts/counts are gathered, and the kernel's per-tile-row
+    scalar-prefetch offset map carries each local row's global pixel
+    row, so the edge/interp arithmetic stays bit-identical to the
+    unsharded kernel.  Requires params.tile_h <= 32 (the kernel's VMEM
+    tile height) and height a tile_h multiple."""
     tile_w = params.tile_w
     # VMEM budget: bpl (kp3, tpx) + eval intermediates (SUB, tpx)×~8 +
     # payload buffers; tpx = 32·128 keeps the total ≈ 10 MB.
@@ -363,8 +378,29 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
     Hp, Wp = nty * tile_h, ntx * tile_w
     tpx = tile_h * tile_w
 
-    bins = bin_triangles(tris, params, tile_h, tile_w, params.span_cap,
-                         row_offset)
+    if tile_row_map is not None:
+        if tile_h != params.tile_h:
+            raise ValueError(
+                f"tile_row_map mode needs params.tile_h <= 32 (kernel "
+                f"tile height), got {params.tile_h}")
+        if H % tile_h:
+            raise ValueError("height must be a tile_h multiple for "
+                             "tile_row_map mode")
+        bins = bin_triangles(tris, params.replace(height=full_height),
+                             tile_h, tile_w, params.span_cap, 0)
+        trm = jnp.asarray(tile_row_map, jnp.int32)
+        gids = (trm[:, None] * ntx
+                + jnp.arange(ntx, dtype=jnp.int32)[None, :]).reshape(-1)
+        starts = jnp.take(bins["starts"], gids)
+        counts = jnp.take(bins["counts"], gids)
+        rowoff_arr = (trm - jnp.arange(nty, dtype=jnp.int32)) * tile_h
+    else:
+        bins = bin_triangles(tris, params, tile_h, tile_w, params.span_cap,
+                             row_offset)
+        starts = bins["starts"]
+        counts = bins["counts"]
+        rowoff_arr = jnp.broadcast_to(
+            jnp.asarray(row_offset, jnp.int32).reshape(()), (nty,))
 
     # ---- packed per-triangle payload (fused-path layout) -----------------
     # When the shader's registry allows it, clip_position is packed as its
@@ -487,9 +523,9 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
         kp3_dma=kp3_dma, kpi=kpi, interp_plan=tuple(interp_plan),
         gb_slices=gb_slices, extra_keys=extra_keys, sl_screen=sl_screen,
         sl_ia=sl_ia, clip_w_off=clip_w_off, row_offset=row_offset,
-        starts=bins["starts"], counts=bins["counts"],
+        starts=starts, counts=counts,
         n_global=jnp.asarray([n_global], jnp.int32),
-        row_offset_arr=jnp.asarray(row_offset, jnp.int32).reshape(1),
+        row_offset_arr=rowoff_arr,
         fbd=fbd, globres=globres, globres_pl=globres_pl,
         glob_s=glob_s, seg_s=seg_s, glob_p=glob_p, seg_p=seg_p)
 
@@ -619,7 +655,9 @@ def _kernel_kdeep(ntx, nty, tile_h, tile_w, chunk, kp, kp3, kp3_dma, kpi,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
     px = (lane % tile_w + tx * tile_w).astype(F32)
-    py = (lane // tile_w + ty * tile_h + rowoff_ref[0]).astype(F32)
+    # per-tile-row offset map (see _kernel): constant for bands,
+    # arbitrary global rows under balanced fb sharding.
+    py = (lane // tile_w + ty * tile_h + rowoff_ref[ty]).astype(F32)
 
     n_global = nglob_ref[0]
     start = starts_ref[i]
@@ -1020,7 +1058,8 @@ def render_tile_pallas_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
                                params: RenderParams, fb_color, fb_depth,
                                per_tri_extra: Optional[Dict] = None,
                                row_offset=0, *, interpret: bool = False,
-                               with_stats: bool = False):
+                               with_stats: bool = False,
+                               tile_row_map=None, full_height=None):
     """K-buffer via depth peeling: K single-winner kernel passes, each
     folding only fragments strictly worse-ranked than the previous pass's
     winner, then the reference's sequential shade-blend replayed over the
@@ -1038,7 +1077,8 @@ def render_tile_pallas_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
     K = params.kbuffer
     assert K >= 1
     ctx = _prepare_ctx(tris, params, fb_depth, per_tri_extra, row_offset,
-                       gb_keep=_gb_keep(fragment_shader))
+                       gb_keep=_gb_keep(fragment_shader),
+                       tile_row_map=tile_row_map, full_height=full_height)
     H, W, Hp, Wp = ctx["H"], ctx["W"], ctx["Hp"], ctx["Wp"]
 
     # Opaque short-circuit + empty-pass skip (PARITY.md
