@@ -359,27 +359,36 @@ def main():
 
     # ---- 8. balanced='rows' through the Pallas kernel (r4) --------------
     # The occupancy-balanced Mesh((1,1)) frame must be bit-identical to
-    # the unsharded kernel frame and within BALANCED_RATIO of its time —
+    # the unsharded kernel frame and within a bounded ratio of its time —
     # the single-chip proof that load-balanced sharding now runs the
     # same kernel architecture (tile-row map via scalar prefetch).
+    # Balanced mode needs height % tile_h == 0, so this check runs at
+    # 1920×1088 (1080 is not a 32 multiple) with its own reference.
     stage("balanced_rows_kernel")
+    Hb = 1088
+    params_b = RenderParams(width=W, height=Hb, use_pallas=True)
+    engb = Engine(scene, params_b)
+    cbu, dbu = map(np.asarray, engb.render(u))
+    spf_bu = timed_frames(
+        lambda i: engb.render(bench.camera_uniforms(engb.uniforms, i)),
+        args.frames, timeout_s=600)
     with mesh:
         balanced = jax.jit(functools.partial(
-            render_frame_sharded, params=params, mesh=mesh,
+            render_frame_sharded, params=params_b, mesh=mesh,
             balanced=True))
         cb, db = map(np.asarray, balanced(sscene, u))
         spf_b = timed_frames(
             lambda i: balanced(sscene,
-                               bench.camera_uniforms(engp.uniforms, i)),
+                               bench.camera_uniforms(engb.uniforms, i)),
             args.frames, timeout_s=600)
-    cmax = float(np.abs(cb - cp).max())
-    dmax = float(np.abs(db - dp).max())
-    bratio = spf_b / spf_p
+    cmax = float(np.abs(cb - cbu).max())
+    dmax = float(np.abs(db - dbu).max())
+    bratio = spf_b / spf_bu
     check("balanced_rows_kernel", cmax == 0.0 and dmax == 0.0
           and bratio <= 1.35,
           color_max_diff=cmax, depth_max_diff=dmax,
           balanced_ms=round(spf_b * 1e3, 2),
-          unsharded_ms=round(spf_p * 1e3, 2), ratio=round(bratio, 3))
+          unsharded_ms=round(spf_bu * 1e3, 2), ratio=round(bratio, 3))
 
     # ---- 9. ray-trace pair-table winners vs brute on-device (r4) --------
     # The pair-table bundle raycast (ops/rt_accel) must reproduce the

@@ -139,6 +139,16 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, kp, kp3, kp3_dma,
         # slower end-to-end).
         peel_d = prevd_ref[...].reshape(1, tpx)
         peel_i = previ_ref[...].reshape(1, tpx)
+        # Tile-granular eligibility (r4): a tile whose prev maps admit
+        # nothing (every pixel reset by the opaque short-circuit — the
+        # common sparse-translucency case: a few windows/particles in
+        # an opaque frame) skips ALL stream folds; its outputs stay at
+        # the clear init, which the peel condition already treats as
+        # "admit nothing" downstream.  The pass-level lax.cond skip
+        # (engine) still handles the all-opaque frame wholesale.
+        run_folds = jnp.max(peel_i) >= F32(0)
+    else:
+        run_folds = None
 
     def eval_merge(cols, pl_rows, base_pos, lo, hi):
         """Fold + resolve one (N_FIELDS, SUB) sub-chunk into the scratch
@@ -210,9 +220,12 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, kp, kp3, kp3_dma,
         bi_ref[...] = jnp.where(take, cand_i, best_i)
 
     # ---- resident globals: VMEM inputs, no DMA ---------------------------
+    def live_pred(cond):
+        return cond if run_folds is None else (run_folds & cond)
+
     n_res = jnp.minimum(n_global, GLOB_RESIDENT)
     for k in range(GLOB_RESIDENT // SUB):
-        @pl.when(k * SUB < n_res)
+        @pl.when(live_pred(k * SUB < n_res))
         def _(k=k):
             eval_merge(globres_ref[:, k * SUB:(k + 1) * SUB],
                        globres_pl_ref[k * SUB:(k + 1) * SUB, :],
@@ -263,12 +276,12 @@ def _kernel(ntx, nty, tile_h, tile_w, chunk, kp, kp3, kp3_dma,
         jax.lax.fori_loop(0, n_chunks, body, 0)
 
     # Global tail past the resident cap (rare; keeps exactness).
-    @pl.when(n_global > GLOB_RESIDENT)
+    @pl.when(live_pred(n_global > GLOB_RESIDENT))
     def _():
         fold_stream(glob_ref, glob_pl_ref, GLOB_RESIDENT,
                     n_global - GLOB_RESIDENT)
 
-    @pl.when(count > 0)
+    @pl.when(live_pred(count > 0))
     def _():
         fold_stream(seg_ref, seg_pl_ref, start, count)
 
