@@ -418,9 +418,15 @@ def main():
         np.float32) + [-12, 0, 0], R_r, axis=1)
     d_r = (np.float32([1, 0, 0])
            + rngs.uniform(-0.3, 0.3, (B_r, R_r, 3)).astype(np.float32))
+    from softwarerenderer_tpu.ops import rt_pallas
+    accel_k = rt_pallas.build_rt_accel_pl(world_r)
     res = jax.jit(lambda o, d: rt_accel.raycast_bundles_nearest(
-        o, d, world_r, accel_r, pair_cap=B_r * 16))(o_r, d_r)
-    mism = 0
+        o, d, world_r, accel_r, pair_cap=B_r * 64))(o_r, d_r)
+    resk = jax.jit(lambda o, d: rt_pallas.raycast_bundles_nearest_pl(
+        o, d, world_r, accel_k))(o_r, d_r)
+    anyk = jax.jit(lambda o, d: rt_pallas.raycast_bundles_any_pl(
+        o, d, world_r, accel_k))(o_r, d_r)
+    mism = kmism = 0
     for b in range(B_r):
         brute = rc.raycast_batch(o_r[b], d_r[b], world_r,
                                  face_mask=rc.FACE_MASK_NONE)
@@ -428,9 +434,19 @@ def main():
                      != np.asarray(brute["hit"])).sum())
         mism += int((np.asarray(res["tri"][b])
                      != np.asarray(brute["tri"])).sum())
-    check("rt_pair_winners", mism == 0,
-          winner_mismatches=mism, n_pairs=int(res["n_pairs"]),
-          overflow=bool(res["overflow"]))
+        kmism += int((np.asarray(resk["hit"][b])
+                      != np.asarray(brute["hit"])).sum())
+        kmism += int((np.asarray(resk["tri"][b])
+                      != np.asarray(brute["tri"])).sum())
+        kmism += int((np.asarray(anyk["hit"][b])
+                      != np.asarray(brute["hit"])).sum())
+    check("rt_pair_winners",
+          mism == 0 and kmism == 0
+          and not bool(res["overflow"]) and not bool(resk["overflow"]),
+          xla_winner_mismatches=mism, kernel_winner_mismatches=kmism,
+          n_pairs=int(res["n_pairs"]),
+          xla_overflow=bool(res["overflow"]),
+          kernel_overflow=bool(resk["overflow"]))
 
     if wd_state["cancel"] is not None:
         wd_state["cancel"]()
