@@ -413,7 +413,7 @@ def main():
             "tri_mesh_id": np.zeros((n_soup,), np.int32)}
     world_r = rc.build_collision_world(jax.device_put(soup))
     accel_r = rt_accel.build_rt_accel(world_r, group=32)
-    B_r, R_r = 24, 64
+    B_r, R_r = 24, 128     # kernel lane alignment: R must be a 128 mult
     o_r = np.repeat(rngs.uniform(-0.5, 0.5, (B_r, 1, 3)).astype(
         np.float32) + [-12, 0, 0], R_r, axis=1)
     d_r = (np.float32([1, 0, 0])
