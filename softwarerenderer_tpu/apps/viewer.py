@@ -255,11 +255,14 @@ def main(argv=None):
     ap.add_argument("--lod", action="store_true",
                     help="attach vertex-clustering LOD levels to meshes "
                          "with >=64 triangles")
-    ap.add_argument("--rt-cap", type=int, nargs="+", default=[0],
+    ap.add_argument("--rt-cap", type=int, nargs="+", default=[24],
                     metavar="N",
                     help="ray-traced mode ('g'): bundle-culling cluster "
-                         "cap(s) — a ladder of static capacities, 0 = "
-                         "brute force (ops/rt_accel.py; exact either way)")
+                         "budget (the r4 Pallas sweep kernel on TPU, the "
+                         "XLA pair table elsewhere; exact either way).  "
+                         "0 = brute force (ground-truth path).  Default "
+                         "24 makes the toggle interactive (BENCHMARKS: "
+                         "dust2 + hard shadows 30-42 fps)")
     args = ap.parse_args(argv)
     rt_cap = tuple(args.rt_cap)
     if rt_cap == (0,):
