@@ -27,7 +27,9 @@ Beyond-reference flags: --bots N (AI crowd) --dedicated (relay server)
 --reliable --migrate --net-batch S (networking) --burn-hud (device text
 overlay in the framebuffer) --record clip.avi (first-party AVI capture)
 --mirror (rear-view picture-in-picture) --kbuffer K (ordered
-translucency) --config srt.json (utils/appconfig; SRT_* env overrides).
+translucency) --raytrace [CAP] (per-pixel ray-traced frames with exact
+hard shadows — interactive via the r4 Pallas bundle sweep)
+--config srt.json (utils/appconfig; SRT_* env overrides).
 Gamepads work out of the box (left stick move, right stick look,
 south button jump, trigger fire).
 """
@@ -185,7 +187,7 @@ class Dust2Game:
                  bots: int = 0, bot_skill: str = "normal",
                  burn_hud: bool = False, record: Optional[str] = None,
                  record_fps: float = 30.0, mirror: bool = False,
-                 kbuffer: int = 1):
+                 kbuffer: int = 1, raytrace: int = 0):
         self.window = make_window(width, height, render_scale,
                                   headless=headless or None, out_path=out)
         # Burn the HUD into the framebuffer ON DEVICE (ops/text.py post-FX
@@ -206,6 +208,22 @@ class Dust2Game:
         if mirror:
             from softwarerenderer_tpu.engine import render_frame_pip
             self._frame_fn = render_frame_pip
+        # Ray-traced render mode (interactive since r4: the Pallas
+        # bundle-sweep kernel — BENCHMARKS.md; dust2 + hard shadows
+        # 30-42 fps at 480×320..640×400).  The value is the per-bundle
+        # cluster budget; physics/gameplay are unchanged (the raycast
+        # sim never rendered), but RT ignores vertex updates (decal/
+        # particle quads ride the scene as static geometry per frame).
+        if raytrace:
+            if mirror:
+                raise SystemExit("--raytrace and --mirror both own the "
+                                 "frame program; pick one")
+            import functools
+            from softwarerenderer_tpu.ops.raytrace import (
+                render_frame_raytraced,
+            )
+            self._frame_fn = functools.partial(
+                render_frame_raytraced, cluster_cap=int(raytrace))
         # Ordered translucency: K-layer depth-peeled frames (ops/kbuffer,
         # pallas_tile) — overlapping alpha content (particles, decals)
         # then blends in submission order like the reference's sequential
@@ -1771,6 +1789,13 @@ def main(argv=None):
                          "kernel passes with the opaque short-circuit); "
                          "overlapping particles/decals blend in "
                          "submission order.  1 = single-winner (default)")
+    ap.add_argument("--raytrace", type=int, nargs="?", const=24,
+                    default=0, metavar="CAP",
+                    help="render through the ray tracer (per-pixel "
+                         "primary rays + geometrically exact hard "
+                         "shadows; interactive via the r4 Pallas bundle "
+                         "sweep — BENCHMARKS.md).  CAP = per-bundle "
+                         "cluster budget (default 24)")
     ap.add_argument("--burn-hud", action="store_true",
                     help="composite the HUD (crosshair/health/fps/chat/"
                          "nametags) into the framebuffer ON DEVICE "
@@ -1799,7 +1824,8 @@ def main(argv=None):
                      upnp=args.upnp, bots=args.bots,
                      bot_skill=args.bot_skill, burn_hud=args.burn_hud,
                      record=args.record, record_fps=args.record_fps,
-                     mirror=args.mirror, kbuffer=args.kbuffer)
+                     mirror=args.mirror, kbuffer=args.kbuffer,
+                     raytrace=args.raytrace)
     apply_config_tunables(game, cfg)
     game.run(frames=args.frames)
 

@@ -632,6 +632,34 @@ def test_gamepad_inputs_drive_game():
         g.close()
 
 
+def test_raytraced_mode_renders():
+    """--raytrace renders the playable scene through the ray tracer
+    (XLA pair path on this CPU mesh; the same code route dispatches the
+    Pallas sweep kernel on TPU): frames present, are finite, and cover
+    geometry; gameplay stepping works unchanged."""
+    g = make_game(offline=True, raytrace=6)
+    try:
+        for i in range(4):
+            g.step(1 / 60, inputs={"quit": False, "keys": {"w"},
+                                   "mouse_delta": (1.0, 0.0),
+                                   "mouse_down": False, "chars": "",
+                                   "gamepad": None})
+        frame = g.window.last_frame
+        assert frame is not None
+        assert np.isfinite(frame).all() if frame.dtype.kind == "f" \
+            else True
+        assert (frame.sum(axis=-1) > 0).sum() > 200   # scene on screen
+        assert float(np.linalg.norm(np.asarray(g.char["velocity"]))) >= 0
+    finally:
+        g.close()
+
+
+def test_raytrace_rejects_mirror():
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        make_game(offline=True, raytrace=6, mirror=True)
+
+
 def test_mirror_pip_renders():
     """--mirror composites a rear view top-center; moving only the LOOK
     direction changes the inset (the main scene ahead may not)."""
