@@ -44,7 +44,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from softwarerenderer_tpu.ops import rt_accel
-from softwarerenderer_tpu.sim import raycast as _rc_pkg  # noqa: F401
 import importlib
 
 rc_mod = importlib.import_module("softwarerenderer_tpu.sim.raycast")
