@@ -115,22 +115,10 @@ def bench_game_loop(width, height, frames, bots=0, network=False,
         # display path where the device→host copy is ~1 ms, isolating
         # the HOST loop from the remote tunnel's per-transfer round trip
         # (~25 ms + bandwidth, which dominates the present=True number
-        # on tunneled devices and vanishes on local hardware).
-        counter = {"i": 0}
-        real_submit = game._fetcher.submit
-        zero = np.zeros((height, width, 3), np.uint8)
-
-        class _Done:
-            def result(self):
-                return zero
-
-        def submit(fn, arr, *a, **kw):
-            counter["i"] += 1
-            if getattr(arr, "ndim", 0) == 3 and counter["i"] % 8:
-                return _Done()
-            return real_submit(fn, arr, *a, **kw)
-
-        game._fetcher.submit = submit
+        # on tunneled devices and vanishes on local hardware).  The
+        # fused step's aux vector (pose/bot outputs) still fetches
+        # every frame — only the frame-sized rgb transfer is skipped.
+        game._present_nth = 8
 
     def scripted(i):
         # Deterministic play: strafe-run with a slow look sweep and a
@@ -508,6 +496,23 @@ def main():
     else:
         cpu_mpix = bench_cpu_reference(ref_w, ref_h)
         vs = mpix / cpu_mpix
+    # The PLAYABLE numbers ride the same driver artifact (VERDICT r4 #6):
+    # the end-to-end game loop at 640×400 (with the pipelined present)
+    # and at the headline resolution with the frame left on device
+    # (models a locally-attached display).  Failures degrade to null
+    # rather than discarding the headline metric.
+    game_rows = {}
+    if not args.small:
+        for key, (gw, gh, pres) in {
+            "game_loop_fps_640x400": (640, 400, True),
+            f"game_loop_fps_{height}p_nopresent": (width, height, False),
+        }.items():
+            try:
+                _, gfps = bench_game_loop(gw, gh, 120, present=pres)
+                game_rows[key] = round(gfps, 2)
+            except Exception as e:      # noqa: BLE001 — report, don't die
+                _progress(f"game-loop row {key} failed: {e!r}")
+                game_rows[key] = None
     print(json.dumps({
         "metric": f"mpixels_per_s_{height}p_dust2",
         "value": round(mpix, 2),
@@ -517,7 +522,8 @@ def main():
                   "cpu_ref_mpixels_per_s": (round(cpu_mpix, 3)
                                             if cpu_mpix else None),
                   "resolution": f"{width}x{height}",
-                  "device": _device_name()},
+                  "device": _device_name(),
+                  **game_rows},
     }))
 
 

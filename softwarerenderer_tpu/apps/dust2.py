@@ -8,11 +8,17 @@ live-tunable fog/light, noclip + mouse-capture toggles.
 Architecture differences (TPU-first, SURVEY.md §7):
   * ALL meshes (map + gun + MAX_PLAYERS player-model slots) live in ONE
     packed device scene; per-frame motion only rewrites the (M, 4, 4)
-    mesh-matrix array + a mesh-visibility mask — one jitted frame program
-    instead of per-mesh Parallel.ForEach draws (Renderer.cs:444-540)
-  * physics is the jitted character_step; shooting is one batched raycast
-    against the whole soup with per-group masks instead of per-player
-    Parallel.ForEach (Renderer.cs:172-249)
+    mesh-matrix array + a mesh-visibility mask (Renderer.cs:444-540)
+  * the WHOLE frame is ONE fused jitted device program (r5): character
+    physics + bot crowd + particle sim + gun matrix + render + RGB8
+    convert run as a single dispatch `(sim, ctl, uniforms) → (sim',
+    rgb8, aux)`; the only per-frame host crossings are the tiny ctl
+    upload and one pipelined (rgb8, aux) readback joined two frames
+    later — the reference instead re-enters the thread pool and the
+    GL upload every frame (Renderer.cs:258-268, MainWindow.cs:247-251)
+  * shooting is one batched raycast against the whole soup with
+    per-group masks instead of per-player Parallel.ForEach
+    (Renderer.cs:172-249); it dispatches only on a click (4 Hz cap)
   * network RPCs are polled on the main thread (race-free), with the
     reference's exact RPC vocabulary (Renderer.cs:862-965)
 
@@ -355,7 +361,6 @@ class Dust2Game:
         reference wire protocol (buffered ConnectedPlayer + Update)."""
         self._bot_ids: List[int] = []
         self._bots_state = None
-        self._bots_q: List = []      # pipelined pose fetches (depth 2)
         if n <= 0:
             return
         if self.net.is_connected and not self.net.is_host:
@@ -389,18 +394,13 @@ class Dust2Game:
             np.stack(starts),
             key=jax.random.PRNGKey(self.rng.randrange(1 << 30)),
             waypoint_idx=np.asarray(wp0, np.int32))
-        # char params + target roster ride as traced args: the debug
-        # panel's live character tuning applies to bots without
-        # recompiling, and per-frame enemy positions never retrace.
-        bot_ids_arr = np.asarray([BOT_ID_BASE + i for i in range(n)],
-                                 np.int32)
-        self._bots_step = jax.jit(
-            lambda s, dt, cp, tpos, talive, tids: agents_step(
-                s, dt, self._bot_waypoints, self.world, cp,
-                self._bot_brain, tri_mask=self._map_tri_mask,
-                next_hop=self._bot_next_hop, targets=tpos,
-                target_alive=talive, target_ids=tids,
-                self_ids=bot_ids_arr))
+        # char params + target roster ride as traced args of the fused
+        # step: the debug panel's live character tuning applies to bots
+        # without recompiling, and per-frame enemy positions never
+        # retrace.  (self._bot_brain is read at first trace — tests that
+        # retune it must do so BEFORE the first step.)
+        self._bot_ids_arr = np.asarray([BOT_ID_BASE + i for i in range(n)],
+                                       np.int32)
         for i in range(n):
             bid = BOT_ID_BASE + i
             self._bot_ids.append(bid)
@@ -417,23 +417,18 @@ class Dust2Game:
             self.players.append(
                 ConnectedPlayer(self.net.client_id, self.player_name))
 
-    def _update_bots(self, dt: float) -> None:
-        """Advance the crowd one tick and publish poses (the bots' analog
-        of _update_network's per-frame Update, batched into one device
-        step + one datagram per peer under rpc_batch_window), then turn
-        the step's fire/aim outputs into hitscan shots."""
-        if self._bots_state is None:
-            return
-        # Target roster as fixed-shape traced arrays (a varying roster
-        # must never retrace the step): slot 0 = the local player, then
-        # every rendered ConnectedPlayer (bots included — FFA deathmatch).
+    def _bot_ctl(self) -> dict:
+        """The bot crowd's per-frame traced inputs for the fused step:
+        the target roster as fixed-shape arrays (a varying roster must
+        never retrace): slot 0 = the local player, then every rendered
+        ConnectedPlayer (bots included — FFA deathmatch)."""
         m = self.max_players + 1
         tpos = np.zeros((m, 3), F32)
         talive = np.zeros((m,), bool)
         tids = np.full((m,), -1, np.int32)
         # The local player's pose as AI target: the pipelined host copy
         # (2 steps behind the sim — see _init_state) instead of a
-        # blocking readback of the just-dispatched character step.
+        # blocking readback of the in-flight character step.
         tpos[0] = self.cam_position \
             - np.asarray(self.char_params["cam_offset"])
         talive[0] = self.spectate_idx < 0       # spectators are ghosts
@@ -444,23 +439,13 @@ class Dust2Game:
             tpos[1 + i] = np.asarray(p.position)
             talive[1 + i] = True
             tids[1 + i] = p.id
-        self._bots_state = self._bots_step(
-            self._bots_state, np.float32(max(dt, 1e-4)), self.char_params,
-            tpos, talive, tids)
+        return {"bot_targets": tpos, "bot_alive": talive, "bot_tids": tids}
 
-        # Published poses / fire decisions join the fetch submitted two
-        # steps ago (the same overlap scheme as the camera and present
-        # paths); the crowd SIM state itself stays exact.
-        def _fetch(s=self._bots_state):
-            return (np.asarray(s["char"]["position"]),
-                    np.asarray(s["rotation"]),
-                    np.asarray(s["fire"]), np.asarray(s["aim"]))
-
-        self._bots_q.append(self._fetcher.submit(_fetch))
-        if len(self._bots_q) > 2:
-            pos, rot, fire_arr, aim_arr = self._bots_q.pop(0).result()
-        else:
-            pos, rot, fire_arr, aim_arr = _fetch()
+    def _apply_bot_aux(self, pos, rot, fire, aim) -> None:
+        """Publish the joined crowd poses to the roster + wire (the bots'
+        analog of _update_network's per-frame Update), then turn the
+        step's fire/aim outputs into hitscan shots — same pipeline depth
+        as before fusion: outputs apply two frames after their sim step."""
         by_id = {p.id: p for p in self.players}
         for i, bid in enumerate(self._bot_ids):
             p = by_id.get(bid)
@@ -475,11 +460,10 @@ class Dust2Game:
                     repr(float(pos[i, 2])),
                     repr(float(rot[i, 0])), repr(float(rot[i, 1])),
                     repr(float(rot[i, 2])), repr(float(rot[i, 3]))])
-        fire = fire_arr
         if fire.any():
             eye = pos[fire] + np.asarray(
                 [0, float(self._bot_brain["eye_height"]), 0], F32)
-            self._bot_fire(eye, aim_arr[fire],
+            self._bot_fire(eye, aim[fire],
                            [b for b, f in zip(self._bot_ids, fire) if f])
 
     def _bot_fire(self, origins: np.ndarray, dirs: np.ndarray,
@@ -515,7 +499,7 @@ class Dust2Game:
         # Local-player capsule (axis = char position ± height/2, radius
         # matched to the scaled player model the remote peers raycast).
         h = float(self.char_params["height"])
-        my_pos = np.asarray(self.char["position"], F32)
+        my_pos = np.asarray(self._char_pos_host, F32)
         cap_a = my_pos - np.asarray([0, h * 0.5, 0], F32)
         cap_b = my_pos + np.asarray([0, h * 0.5, 0], F32)
         cap_r = h * 0.35
@@ -708,12 +692,9 @@ class Dust2Game:
         map_scene = {k: self.scene[k] for k in self.scene}
         self._world_fn = jax.jit(build_collision_world)
         self.world = self._world_fn(self.scene)
-        # char params passed as a traced argument so live tuning applies
-        # (a closure would bake them in as compile-time constants).
-        self._char_step = jax.jit(
-            lambda s, m, j, dt, cp: character_step(
-                s, m, j, dt, self.world, cp,
-                tri_mask=self._map_tri_mask))
+        # The character step itself lives INSIDE the fused frame program
+        # (_get_fused); only the click-gated hitscan stays a separate
+        # dispatch (it runs at most once per SHOT_COOLDOWN).
         self._shoot_rays = jax.jit(
             lambda o, d, w, mask: raycast_batch(o, d, w, tri_mask=mask))
 
@@ -742,21 +723,30 @@ class Dust2Game:
         self.stick_look_speed = 600.0
         self.wireframe = False
         self._wire_engine = None
-        # Overlapped device→host fetches: every np.asarray of a device
+        # Overlapped device→host fetch: every np.asarray of a device
         # array pays one device round trip (~25 ms over a remote
         # tunnel, measured) even when the program finished long ago, so
-        # the two per-frame readbacks (present RGB, character position)
-        # run on fetcher threads and join TWO frames later — measured on
-        # the tunnel: depth-1 joins still blocked ~20 ms (the transfers
-        # serialize behind the frame's dispatches), depth 2 drops the
-        # loop 50.7 → 15.2 ms on the microbenchmark.  The visible pose /
-        # presented frame trail the sim by two 60 Hz steps; the sim
-        # state itself stays exact (checkpoint replay unchanged).
+        # the fused step's SINGLE (rgb8, aux) readback runs on fetcher
+        # threads and joins TWO frames later — depth-1 joins still
+        # blocked ~20 ms (transfers serialize behind the frame's
+        # dispatches).  The presented frame / visible pose trail the sim
+        # by two 60 Hz steps; the sim state itself stays exact
+        # (checkpoint replay unchanged).
         import concurrent.futures
         self._fetcher = concurrent.futures.ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="srt_fetch")
-        self._rgb_q: List = []
-        self._cam_q: List = []
+        self._out_q: List = []          # futures of (rgb8|None, aux)
+        self._frame_i = 0
+        # Bench/test hook: fetch the rgb frame only every Nth step (the
+        # aux vector always fetches) — models a locally-attached display
+        # where the frame-sized transfer is ~1 ms (bench --no-present).
+        self._present_nth = 1
+        self._blank_frame = None
+        # Host cache of the character's position (the fused step's aux
+        # output, two frames stale) — every host consumer (pose RPC,
+        # nametags, bot targeting, the capsule hit test) reads this
+        # instead of paying a device round trip.
+        self._char_pos_host = np.asarray(spawn, F32)
         # live-tuned light euler (Renderer.cs:42 LightEulerDegrees)
         self.light_euler = {"light_yaw": np.float32(-45.0),
                             "light_pitch": np.float32(-45.0)}
@@ -778,12 +768,6 @@ class Dust2Game:
         self._emitter = em
         self._bursts: List[tuple] = []
 
-        def _pstep(st, em, dt):
-            st2 = particles_mod.particle_step(st, em, dt)
-            return st2, particles_mod.particle_uniforms(st2, em)
-
-        self._particle_step = jax.jit(_pstep)
-
     # -- per-frame ------------------------------------------------------------
 
     def step(self, dt: float, inputs: Optional[dict] = None) -> None:
@@ -801,9 +785,11 @@ class Dust2Game:
         self.recoil = np.asarray(ml.quat_slerp(
             self.recoil, ml.QUAT_IDENTITY, 5.0 * dt), F32)
 
+        # Join the fused step submitted two frames ago: updates the host
+        # pose cache + bot roster and yields the frame to present below.
+        joined_rgb = self._join_fused()
         self._update_network()
-        self._update_character(dt, inp)
-        self._update_bots(dt)
+        self._update_character(dt, inp)   # host staging for the fused step
         self._update_toggles(inp)
         # Scoreboard (hold Tab) — beyond-reference ergonomics (ROADMAP #6).
         self.hud.state.show_scoreboard = "tab" in inp["keys"] \
@@ -824,7 +810,7 @@ class Dust2Game:
             self.shoot()
             self.last_shot = self.time
 
-        self._render(dt)
+        self._render(dt, joined_rgb)
         self.hud.tick(dt)
 
     def _update_mouse_look(self, inp, dt: float = 0.0):
@@ -855,7 +841,9 @@ class Dust2Game:
             return
         euler = np.asarray(ml.quat_to_euler_degrees(self.cam_rotation))
         rot = ml.quat_from_yaw_pitch_roll(euler[1] * math.pi / 180, 0.0, 0.0)
-        pos = np.asarray(self.char["position"])
+        # The pipelined host pose (two frames behind the sim) — a direct
+        # read of the device state would pay a ~25 ms tunnel round trip.
+        pos = self._char_pos_host
         self.net.send_rpc("Update", [
             str(self.net.client_id),
             repr(float(pos[0])), repr(float(pos[1])), repr(float(pos[2])),
@@ -965,7 +953,9 @@ class Dust2Game:
                 repr(float(p.rotation[2])), repr(float(p.rotation[3]))])
 
     def _update_character(self, dt: float, inp):
-        """UpdateCharacterController (Renderer.cs:356-383)."""
+        """UpdateCharacterController (Renderer.cs:356-383) — host side:
+        derives this frame's move/jump from input and camera basis; the
+        character_step itself runs inside the fused frame program."""
         keys = inp["keys"]
         front = np.asarray(ml.quat_rotate(
             np.asarray([0, 0, -1], F32), self.cam_rotation))
@@ -1001,21 +991,8 @@ class Dust2Game:
             and not self.hud.state.chat_active and self.spectate_idx < 0
 
         self.char["noclip"] = jnp.asarray(self.noclip)
-        prev_char = self.char
-        self.char = self._char_step(prev_char, move.astype(F32), jump,
-                                    np.float32(dt), self.char_params)
-        # Latency hiding (see _init_state): the camera/gun/network pose
-        # joins the position fetch submitted two steps ago — by then it
-        # completed in the background, so this costs ~0 instead of a
-        # blocking device round trip.  Bootstrap steps read the previous
-        # state directly (exact, one blocking transfer each).
-        self._cam_q.append(self._fetcher.submit(np.asarray,
-                                                self.char["position"]))
-        if len(self._cam_q) > 2:
-            base = self._cam_q.pop(0).result()
-        else:
-            base = np.asarray(prev_char["position"])
-        self.cam_position = base + np.asarray(self.char_params["cam_offset"])
+        self._move = move.astype(F32)
+        self._jump = np.bool_(jump)
 
     # Live-tunable parameters — the FULL debug-panel surface of the
     # reference (Renderer.cs:690-817): clipping, camera rotation/position/
@@ -1222,7 +1199,8 @@ class Dust2Game:
             return float(np.asarray(
                 ml.quat_to_euler_degrees(self.cam_rotation))[int(parts[1])])
         if parts[0] == "pos":
-            return float(np.asarray(self.char["position"])[int(parts[1])])
+            # pipelined host copy: the debug panel redraws every frame
+            return float(self._char_pos_host[int(parts[1])])
         if parts[0] == "s":
             return float(getattr(self, parts[1]))
         return float(self.window.render_scale)
@@ -1256,6 +1234,8 @@ class Dust2Game:
             pos = np.asarray(self.char["position"]).copy()
             pos[i] = clamp(float(pos[i]) + delta)
             self.char["position"] = jnp.asarray(pos, jnp.float32)
+            # keep the panel's pipelined readback coherent immediately
+            self._char_pos_host = pos.astype(F32)
             return
         if parts[0] == "l":
             tgt = self.light_euler
@@ -1381,7 +1361,121 @@ class Dust2Game:
         """Other connected players, in scoreboard order (stable cycling)."""
         return [p for p in self.players if p.id != self.net.client_id]
 
-    def _render(self, dt: float):
+    def _get_fused(self, eng):
+        """The ONE-dispatch-per-frame program (SURVEY.md §3.2: 'all of
+        §P1-P8 collapse into one jitted device program per frame'):
+        character physics (CharacterController.cs:50-140), the bot
+        crowd, the particle sim, the view-model gun matrix
+        (Renderer.cs:476-477), the whole render and the RGB8 present
+        convert trace into ONE jitted call
+        (scene, sim, ctl, uniforms) → (sim', rgb8, aux).  aux packs
+        every host-needed output (character position, bot poses / fire
+        decisions) into one flat f32 vector so the host pays a single
+        pipelined readback per frame.  Cached per Engine object, so
+        wireframe/params swaps rebuild it naturally."""
+        fn = getattr(eng, "_dust2_fused", None)
+        if fn is not None:
+            return fn
+        gs0, gs1 = self.gun_slice
+        world = self.world
+        tri_mask = self._map_tri_mask
+        has_bots = self._bots_state is not None
+        frame = eng._frame          # jitted; inlines under the outer jit
+        from softwarerenderer_tpu.engine.renderer import to_rgb8
+
+        def fused(scene, sim, ctl, uniforms):
+            cp = ctl["char_params"]
+            char = character_step(sim["char"], ctl["move"], ctl["jump"],
+                                  ctl["dt"], world, cp, tri_mask=tri_mask)
+            new_sim = {"char": char}
+            aux = [char["position"]]
+            # The camera follows the fresh on-device pose (zero view
+            # lag — host consumers still read the pipelined copy);
+            # spectating takes the host-provided target pose instead.
+            cam_pos = jnp.where(
+                ctl["cam_follow"],
+                char["position"] + jnp.asarray(cp["cam_offset"],
+                                               jnp.float32),
+                jnp.asarray(ctl["cam_position"], jnp.float32))
+            # Gun matrix (Renderer.cs:476-477): the rotation factor is
+            # host math (sway/recoil quats); the translation rides the
+            # fresh camera.  Row-vector convention: translation row 3.
+            trans = jnp.eye(4, dtype=jnp.float32).at[3, :3].set(
+                cam_pos + jnp.asarray(ctl["gun_off"], jnp.float32))
+            gun_m = jnp.asarray(ctl["gun_rot_m"], jnp.float32) @ trans
+            mm = jnp.asarray(ctl["mesh_matrices"], jnp.float32)
+            mm = mm.at[gs0:gs1].set(gun_m[None])
+            if has_bots:
+                bdt = jnp.maximum(ctl["dt"], jnp.float32(1e-4))
+                bots = agents_step(
+                    sim["bots"], bdt, self._bot_waypoints, world,
+                    cp, self._bot_brain, tri_mask=tri_mask,
+                    next_hop=self._bot_next_hop,
+                    targets=ctl["bot_targets"],
+                    target_alive=ctl["bot_alive"],
+                    target_ids=ctl["bot_tids"],
+                    self_ids=self._bot_ids_arr)
+                new_sim["bots"] = bots
+                aux += [bots["char"]["position"].ravel(),
+                        bots["rotation"].ravel(),
+                        bots["fire"].astype(jnp.float32),
+                        bots["aim"].ravel()]
+            parts = particles_mod.particle_step(sim["particles"],
+                                                ctl["emitter"],
+                                                ctl["sim_dt"])
+            new_sim["particles"] = parts
+            u = dict(uniforms)
+            u.update(particles_mod.particle_uniforms(parts,
+                                                     ctl["emitter"]))
+            u["camera_position"] = cam_pos
+            color = frame(dict(scene, mesh_matrices=mm), u)[0]
+            rgb = to_rgb8(color)
+            aux = jnp.concatenate(
+                [jnp.asarray(a, jnp.float32).ravel() for a in aux])
+            # Pack aux INTO the frame transfer: bitcast the f32 vector
+            # to bytes and append it as extra u8 rows below the image,
+            # so the host's per-frame readback is ONE transfer (each
+            # separate np.asarray pays a full tunnel round trip —
+            # measured: a trailing 16-float fetch adds ~10 ms/frame).
+            w = rgb.shape[1]
+            au8 = jax.lax.bitcast_convert_type(aux, jnp.uint8).ravel()
+            rb = w * 3
+            rows = (au8.shape[0] + rb - 1) // rb
+            au8 = jnp.pad(au8, (0, rows * rb - au8.shape[0]))
+            packed = jnp.concatenate([rgb, au8.reshape(rows, w, 3)], 0)
+            return new_sim, packed, aux
+
+        fn = jax.jit(fused)
+        eng._dust2_fused = fn
+        return fn
+
+    def _join_fused(self):
+        """Pop the (rgb8, aux) fetch submitted two frames ago and apply
+        its aux outputs (pose cache, bot roster + fire).  Returns the
+        frame to present this step, or None while the pipeline fills."""
+        if len(self._out_q) < 2:
+            return None
+        rgb, aux = self._out_q.pop(0).result()
+        self._apply_aux(aux)
+        return rgb
+
+    def _apply_aux(self, aux: np.ndarray) -> None:
+        self._char_pos_host = np.asarray(aux[:3], F32).copy()
+        self.cam_position = self._char_pos_host \
+            + np.asarray(self.char_params["cam_offset"])
+        if self._bot_ids:
+            n = len(self._bot_ids)
+            k = 3
+            pos = aux[k:k + 3 * n].reshape(n, 3)
+            k += 3 * n
+            rot = aux[k:k + 4 * n].reshape(n, 4)
+            k += 4 * n
+            fire = aux[k:k + n] > 0.5
+            k += n
+            aim = aux[k:k + 3 * n].reshape(n, 3)
+            self._apply_bot_aux(pos, rot, fire, aim)
+
+    def _render(self, dt: float, joined_rgb=None):
         """RenderScene (Renderer.cs:404-419): update matrices + one frame."""
         mm = self._mesh_matrices
         visible = np.ones(self.n_meshes, bool)
@@ -1458,8 +1552,8 @@ class Dust2Game:
                              "mesh_visible": vis2}
 
         # Impact sparks: pop one queued burst into this step's emitter
-        # (origin/velocity/rate are traced — no recompile), advance the
-        # particle state, and feed the render channels as uniforms.
+        # (origin/velocity/rate are traced — no recompile); the particle
+        # step itself runs inside the fused program.
         em = dict(self._emitter)
         sim_dt = np.float32(max(dt, 1e-3))
         if self._bursts:
@@ -1467,9 +1561,6 @@ class Dust2Game:
             em["origin"] = origin
             em["base_velocity"] = vel
             em["rate"] = np.float32(24.0) / sim_dt
-        self._particles, pu = self._particle_step(self._particles, em,
-                                                  sim_dt)
-        u.update(pu)
         if self._anim_sources:
             # Advance each distinct model's flip-book clock once, then feed
             # the per-animated-mesh frame indices as a traced uniform.
@@ -1477,8 +1568,6 @@ class Dust2Game:
                 m.advance_animation(dt)
             u["anim_frame"] = np.asarray(
                 [m._frame_index for m in self._anim_sources], np.int32)
-        self.engine.scene["mesh_matrices"] = jnp.asarray(mm)
-
         if self.wireframe:
             if self._wire_engine is None:
                 from softwarerenderer_tpu.config import DebugMode
@@ -1497,22 +1586,68 @@ class Dust2Game:
         tags = self._nametags()
         if self.burn_hud:
             u["hud_text"] = self._burn_hud_entries(tags)
-        # Two-frame present pipeline: dispatch this frame on device
-        # (async), START its device→host fetch on the fetcher thread,
-        # and display the frame fetched two steps ago — device compute
-        # AND the device→host round trip both fully overlap the
-        # intervening host work (see _init_state; the reference instead
-        # blocks on its CPU→GPU upload every frame,
-        # MainWindow.cs:247-251).
-        pending = eng._present(eng.scene, u)
-        self._rgb_q.append(self._fetcher.submit(np.asarray, pending))
-        if len(self._rgb_q) > 2:
-            rgb = self._rgb_q.pop(0).result()
-            bootstrap = False
-        else:
-            # Bootstrap: repeat the first frame while the pipeline fills.
-            rgb = self._rgb_q[0].result()
+        # ONE fused dispatch for the whole frame (sim + render + RGB8),
+        # then ONE pipelined (rgb8, aux) fetch joined two frames later —
+        # device compute AND the device→host round trip fully overlap
+        # the intervening host work (see _init_state; the reference
+        # instead re-enters its thread pool per subsystem and blocks on
+        # a CPU→GPU upload every frame, MainWindow.cs:247-251).
+        sim = {"char": self.char, "particles": self._particles}
+        if self._bots_state is not None:
+            sim["bots"] = self._bots_state
+        ctl = {
+            "move": self._move, "jump": self._jump,
+            "dt": np.float32(dt if dt > 0 else 1 / 60),
+            "sim_dt": sim_dt, "emitter": em,
+            "char_params": self.char_params,
+            "cam_follow": np.bool_(spectated is None),
+            "cam_position": np.asarray(cam_pos, F32),
+            "gun_off": np.asarray(gun_off, F32),
+            "gun_rot_m": (self.gun_base
+                          @ ml.matrix_from_quaternion(sway_recoil)
+                          ).astype(F32),
+            "mesh_matrices": mm,
+        }
+        if self._bots_state is not None:
+            ctl.update(self._bot_ctl())
+        new_sim, packed_dev, aux_dev = self._get_fused(eng)(
+            eng.scene, sim, ctl, u)
+        self.char = new_sim["char"]
+        self._particles = new_sim["particles"]
+        if "bots" in new_sim:
+            self._bots_state = new_sim["bots"]
+
+        self._frame_i += 1
+        fetch_rgb = (self._present_nth <= 1
+                     or self._frame_i % self._present_nth == 0)
+        rh = eng.params.height
+        n_aux = int(aux_dev.shape[0])
+
+        def _fetch(packed=packed_dev if fetch_rgb else None, aux=aux_dev):
+            # ONE device→host transfer: image rows + the aux bytes the
+            # fused step packed below them (see _get_fused).  The
+            # aux-only path (rgb skipped) fetches the small vector.
+            if packed is None:
+                return None, np.asarray(aux)
+            buf = np.asarray(packed)
+            a = buf[rh:].ravel()[:4 * n_aux].view(np.float32)
+            return buf[:rh], a
+
+        self._out_q.append(self._fetcher.submit(_fetch))
+        if joined_rgb is None:
+            # Bootstrap: repeat the first frame while the pipeline fills
+            # (present-only peek; aux is applied when the future pops).
+            rgb = self._out_q[0].result()[0]
             bootstrap = True
+        else:
+            rgb = joined_rgb
+            bootstrap = False
+        if rgb is None:          # rgb fetch skipped (_present_nth > 1)
+            if self._blank_frame is None or \
+                    self._blank_frame.shape[:2] != self.window.render_size[::-1]:
+                rw, rh = self.window.render_size
+                self._blank_frame = np.zeros((rh, rw, 3), np.uint8)
+            rgb = self._blank_frame
         if self._recorder is not None and not bootstrap:
             # Bootstrap repeats are not recorded; close() flushes the
             # in-flight tail, so an N-step run records exactly frames
@@ -1615,21 +1750,24 @@ class Dust2Game:
             # Only meaningful when this run spawned the same crowd
             # (--bots N); a mismatched shape should fail loudly.
             self._bots_state = jax.device_put(st["bots"])
-        # Drop in-flight camera / bot-pose fetches — they belong to the
-        # pre-restore timeline; the next steps read the restored state
-        # directly.
-        self._cam_q = []
-        self._bots_q = []
+        # Drop in-flight fused-step fetches — they belong to the
+        # pre-restore timeline; the pipeline refills (bootstrap) from
+        # the restored state.
+        self._out_q = []
+        self._char_pos_host = np.asarray(st["char"]["position"], F32)
+        self.cam_position = np.asarray(st["cam_position"], F32)
 
     def close(self):
         if self._recorder is not None:
-            for fut in self._rgb_q:
+            for fut in self._out_q:
                 # flush the in-flight pipelined frames (see step())
                 try:
-                    self._recorder.add(fut.result())
+                    rgb = fut.result()[0]
+                    if rgb is not None:
+                        self._recorder.add(rgb)
                 except ValueError:
                     pass                      # size changed mid-recording
-            self._rgb_q = []
+            self._out_q = []
             self._recorder.close()
             self._recorder = None
         try:

@@ -580,15 +580,22 @@ def raycast_bundles_nearest(origins, directions, world: Dict, accel: Dict,
 
         # Winner reconstruction: one MT evaluation on the winning
         # triangle per ray (u/v for the smooth normal; t reuses the
-        # sweep's exact fold value).
-        wv0 = jnp.take(world["v0"], wtri, axis=0)       # (B, R, 3)
-        we1 = jnp.take(world["v1"], wtri, axis=0) - wv0
-        we2 = jnp.take(world["v2"], wtri, axis=0) - wv0
+        # sweep's exact fold value).  The packed (T, 18) geom_table
+        # (ops/raytrace.build_rt_world) replaces six takes with one
+        # row-gather when present (same values bit-for-bit).
+        if "geom_table" in world:
+            g = jnp.take(world["geom_table"], wtri, axis=0)  # (B, R, 18)
+            wv0, we1, we2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
+            n0, n1, n2 = g[..., 9:12], g[..., 12:15], g[..., 15:18]
+        else:
+            wv0 = jnp.take(world["v0"], wtri, axis=0)       # (B, R, 3)
+            we1 = jnp.take(world["v1"], wtri, axis=0) - wv0
+            we2 = jnp.take(world["v2"], wtri, axis=0) - wv0
+            n0 = jnp.take(world["n0"], wtri, axis=0)
+            n1 = jnp.take(world["n1"], wtri, axis=0)
+            n2 = jnp.take(world["n2"], wtri, axis=0)
         _ok, _t, u, v = _mt_block(o, d, wv0, we1, we2, face_mask)
         w = F32(1.0) - u - v
-        n0 = jnp.take(world["n0"], wtri, axis=0)
-        n1 = jnp.take(world["n1"], wtri, axis=0)
-        n2 = jnp.take(world["n2"], wtri, axis=0)
         normal = ml.safe_normalize(
             n0 * w[..., None] + n1 * u[..., None] + n2 * v[..., None],
             xp=jnp)

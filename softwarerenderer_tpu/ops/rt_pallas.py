@@ -56,7 +56,7 @@ NOTRI = rt_accel.NOTRI
 GROUP = 128          # cluster size: DMA lane slices must be 128-aligned
 
 
-def _kernel(R, G, capb, any_hit, face_mask,
+def _kernel(R, G, capb, any_hit, face_mask, cl_bits,
             lists_ref, counts_ref,            # scalar prefetch (SMEM)
             rays_ref, tri_ref,                # inputs
             outt_ref, outg_ref,               # outputs
@@ -65,13 +65,18 @@ def _kernel(R, G, capb, any_hit, face_mask,
     count = counts_ref[i]
     base = i * capb
     eps = F32(rc_mod.EPSILON)
+    cl_mask = (1 << cl_bits) - 1
 
     rays = rays_ref[0]                        # (8, R)
     ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
 
     def get_dma(slot, j):
-        cl = lists_ref[base + j]
+        # list entries pack (t0 quantized << cl_bits) | cluster id —
+        # ONE SMEM array serves both the DMA offsets and the nearest
+        # fold's front-to-back exit test (SMEM is the scarce resource:
+        # two (B·capb,) arrays overflowed its 1 MB at 720p).
+        cl = lists_ref[base + j] & cl_mask
         return pltpu.make_async_copy(
             tri_ref.at[:, pl.ds(cl * G, G)],
             buf_ref.at[slot], sem_ref.at[slot])
@@ -121,7 +126,7 @@ def _kernel(R, G, capb, any_hit, face_mask,
         # (SMEM): [0] done, [1] DMAs started, [2] DMAs waited — the
         # early exit can strand ONE in-flight prefetch, which the tail
         # wait drains to keep semaphore parity across grid steps.
-        acc_ref[...] = jnp.zeros((1, R), F32)
+        acc_ref[0:1, :] = jnp.zeros((1, R), F32)
         st_ref[0] = 0
         st_ref[1] = jnp.where(count > 0, 1, 0)
         st_ref[2] = 0
@@ -138,10 +143,10 @@ def _kernel(R, G, capb, any_hit, face_mask,
                     st_ref[1] = j + 2
                 ok, _t, _gid = _mt_ok_t(buf_ref[j % 2])
                 acc = jnp.maximum(
-                    acc_ref[...],
+                    acc_ref[0:1, :],
                     jnp.max(jnp.where(ok, F32(1.0), F32(0.0)), axis=0,
                             keepdims=True))
-                acc_ref[...] = acc
+                acc_ref[0:1, :] = acc
                 st_ref[0] = jnp.where(jnp.sum(acc) >= F32(R), 1, 0)
             return carry
 
@@ -151,37 +156,69 @@ def _kernel(R, G, capb, any_hit, face_mask,
         def _():
             get_dma((st_ref[1] - 1) % 2, st_ref[1] - 1).wait()
         outt_ref[...] = jnp.zeros((1, 1, R), F32)
-        outg_ref[...] = (acc_ref[...] > 0).astype(I32).reshape(1, 1, R)
+        outg_ref[...] = (acc_ref[0:1, :] > 0).astype(I32).reshape(1, 1, R)
         return
 
+    # Nearest fold with the SAME front-to-back early exit (r5): the
+    # wrapper sorts survivors by conservative entry time t0 and streams
+    # t0 quantized (×64, floor) alongside the lists; once even the
+    # FARTHEST ray's winner strictly precedes the next cluster's entry
+    # (btmax·64 < t0q[j+1] ⇒ btmax < t0[j+1] ≤ every later entry), no
+    # remaining cluster can produce a nearer hit — nor an equal-t/lower
+    # -gid tie (equality would contradict the strict inequality) — so
+    # the remaining iterations skip both DMA and compute.  Winner
+    # identity is bit-exact vs the full sweep.  bt/bg live in VMEM
+    # scratch rows (a vector fori carry cannot combine with pl.when —
+    # the any-hit idiom above).
+    acc_ref[0:1, :] = jnp.full((1, R), BIG, F32)
+    acc_ref[1:2, :] = jnp.full((1, R), F32(NOTRI), F32)
+    st_ref[0] = 0
+    st_ref[1] = jnp.where(count > 0, 1, 0)
+    st_ref[2] = 0
+
     def body(j, carry):
-        bt, bg = carry
-
-        @pl.when(j + 1 < count)
+        @pl.when(st_ref[0] == 0)
         def _():
-            get_dma((j + 1) % 2, j + 1).start()
-        get_dma(j % 2, j).wait()
-        ok, t, gid = _mt_ok_t(buf_ref[j % 2])
-        tm = jnp.where(ok, t, BIG)
-        tbj = jnp.min(tm, axis=0, keepdims=True)          # (1, R)
-        at = ok & (tm == tbj)
-        gidj = jnp.min(jnp.where(at, gid, F32(NOTRI)), axis=0,
-                       keepdims=True)                     # (1, R)
-        take = (tbj < bt) | ((tbj == bt) & (gidj < bg))
-        return (jnp.where(take, tbj, bt),
-                jnp.where(take, gidj, bg))
+            get_dma(j % 2, j).wait()
+            st_ref[2] = j + 1
 
-    bt0 = jnp.full((1, R), BIG, F32)
-    bg0 = jnp.full((1, R), F32(NOTRI), F32)
-    bt, bg = jax.lax.fori_loop(0, count, body, (bt0, bg0))
-    outt_ref[...] = bt.reshape(1, 1, R)
-    outg_ref[...] = bg.astype(I32).reshape(1, 1, R)
+            @pl.when(j + 1 < count)
+            def _():
+                get_dma((j + 1) % 2, j + 1).start()
+                st_ref[1] = j + 2
+            ok, t, gid = _mt_ok_t(buf_ref[j % 2])
+            bt = acc_ref[0:1, :]
+            bg = acc_ref[1:2, :]
+            tm = jnp.where(ok, t, BIG)
+            tbj = jnp.min(tm, axis=0, keepdims=True)      # (1, R)
+            at = ok & (tm == tbj)
+            gidj = jnp.min(jnp.where(at, gid, F32(NOTRI)), axis=0,
+                           keepdims=True)                 # (1, R)
+            take = (tbj < bt) | ((tbj == bt) & (gidj < bg))
+            bt = jnp.where(take, tbj, bt)
+            acc_ref[0:1, :] = bt
+            acc_ref[1:2, :] = jnp.where(take, gidj, bg)
+            btmax = jnp.max(bt)                           # scalar
+            nxt = lists_ref[base + jnp.minimum(j + 1, capb - 1)] \
+                >> cl_bits
+            st_ref[0] = jnp.where(
+                (j + 1 < count)
+                & (btmax * F32(64.0) < nxt.astype(F32)), 1, 0)
+        return carry
+
+    jax.lax.fori_loop(0, count, body, 0)
+
+    @pl.when(st_ref[1] > st_ref[2])
+    def _():
+        get_dma((st_ref[1] - 1) % 2, st_ref[1] - 1).wait()
+    outt_ref[...] = acc_ref[0:1, :].reshape(1, 1, R)
+    outg_ref[...] = acc_ref[1:2, :].astype(I32).reshape(1, 1, R)
 
 
-def _sweep_pl(rays_packed, tri_stream, lists, counts, B, R, capb,
+def _sweep_pl(rays_packed, tri_stream, lists, counts, cl_bits, B, R, capb,
               any_hit: bool, face_mask: int, interpret: bool):
     kernel = functools.partial(_kernel, R, GROUP, capb, any_hit,
-                               face_mask)
+                               face_mask, cl_bits)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
@@ -198,16 +235,26 @@ def _sweep_pl(rays_packed, tri_stream, lists, counts, B, R, capb,
         scratch_shapes=[
             pltpu.VMEM((2, 16, GROUP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((1, R), jnp.float32),      # any-hit accumulator
+            # row 0: any-hit accumulator / nearest best-t
+            # row 1: nearest best-gid (f32)
+            pltpu.VMEM((2, R), jnp.float32),
             pltpu.SMEM((4,), jnp.int32),          # done / DMA parity
         ],
     )
+    kw = {}
+    if not interpret:
+        # Soft-shadow casts stack S samples into the ray axis (R up to
+        # 4096): the (G, R) fold temporaries then need ~17 MB of scoped
+        # VMEM — just over Mosaic's 16 MB default.  v5e has 128 MB.
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     out_t, out_g = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, 1, R), jnp.float32),
                    jax.ShapeDtypeStruct((B, 1, R), jnp.int32)],
         interpret=interpret,
+        **kw,
     )(lists, counts, rays_packed, tri_stream)
     return out_t.reshape(B, R), out_g.reshape(B, R)
 
@@ -258,13 +305,27 @@ def _prep(origins, directions, accel, slot_mask, capb):
                                               slot_mask)     # (B, NC)
     counts = jnp.sum(alive.astype(I32), axis=1)
     # Survivors ordered FRONT-TO-BACK by conservative entry time: the
-    # any-hit while-loop exits as soon as every ray is occluded (near
-    # occluders come first), and the nearest fold gets the same order
-    # for free (it is order-independent — exactness unchanged).
-    lists = jnp.argsort(jnp.where(alive, t0, BIG), axis=1
-                        ).astype(I32)[:, :capb]
+    # any-hit fold exits as soon as every ray is occluded (near
+    # occluders come first), and the nearest fold exits once every
+    # ray's winner precedes the next entry time (kernel docstring) —
+    # both bit-exact.  The sorted entry times stream to the kernel
+    # quantized ×64/floor as i32 (conservative: t0q/64 ≤ t0; negatives
+    # — origin inside the AABB — clamp to 0, disabling the exit test
+    # for that step).
+    keyed = jnp.where(alive, t0, BIG)
+    order = jnp.argsort(keyed, axis=1).astype(I32)[:, :capb]
+    t0s = jnp.take_along_axis(keyed, order, axis=1)
+    # Pack (t0 quantized << cl_bits) | cluster id into the single SMEM
+    # list array (kernel get_dma docstring).  Clamping the quantized
+    # value DOWN to its field keeps the test conservative (exit less
+    # often, never wrongly).
+    cl_bits = max(1, int(accel["n_clusters"] - 1).bit_length())
+    t0q = jnp.clip(jnp.floor(t0s * F32(64.0)), 0.0,
+                   float(2 ** (30 - cl_bits) - 1)).astype(I32)
+    packed = (t0q << cl_bits) | order
     overflow = jnp.max(counts) > capb
-    return o, d, rays, stream, lists.reshape(-1), counts, overflow, B, R, capb
+    return (o, d, rays, stream, packed.reshape(-1), counts,
+            cl_bits, overflow, B, R, capb)
 
 
 def raycast_bundles_nearest_pl(origins, directions, world: Dict,
@@ -278,23 +339,31 @@ def raycast_bundles_nearest_pl(origins, directions, world: Dict,
     if tri_mask is not None:
         slot_mask = slot_mask & jnp.take(jnp.asarray(tri_mask, bool),
                                          accel["perm"])
-    (o, d, rays, stream, lists, counts, overflow,
+    (o, d, rays, stream, lists, counts, cl_bits, overflow,
      B, R, capb) = _prep(origins, directions, accel, slot_mask, capb)
 
     def pair_path(_):
-        tbest, wtri_i = _sweep_pl(rays, stream, lists, counts, B, R,
-                                  capb, False, face_mask, interpret)
+        tbest, wtri_i = _sweep_pl(rays, stream, lists, counts, cl_bits,
+                                  B, R, capb, False, face_mask, interpret)
         wtri = wtri_i
         hit = wtri < NOTRI
         wtri = jnp.where(hit, wtri, 0).astype(I32)
-        wv0 = jnp.take(world["v0"], wtri, axis=0)
-        we1 = jnp.take(world["v1"], wtri, axis=0) - wv0
-        we2 = jnp.take(world["v2"], wtri, axis=0) - wv0
+        if "geom_table" in world:
+            # One (T, 18) row-gather (ops/raytrace.build_rt_world) in
+            # place of six separate takes — each small take op costs
+            # ~0.7 ms of launch overhead at frame scale (measured v5e).
+            g = jnp.take(world["geom_table"], wtri, axis=0)
+            wv0, we1, we2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
+            n0, n1, n2 = g[..., 9:12], g[..., 12:15], g[..., 15:18]
+        else:
+            wv0 = jnp.take(world["v0"], wtri, axis=0)
+            we1 = jnp.take(world["v1"], wtri, axis=0) - wv0
+            we2 = jnp.take(world["v2"], wtri, axis=0) - wv0
+            n0 = jnp.take(world["n0"], wtri, axis=0)
+            n1 = jnp.take(world["n1"], wtri, axis=0)
+            n2 = jnp.take(world["n2"], wtri, axis=0)
         _ok, _t, u, v = rt_accel._mt_block(o, d, wv0, we1, we2, face_mask)
         w = F32(1.0) - u - v
-        n0 = jnp.take(world["n0"], wtri, axis=0)
-        n1 = jnp.take(world["n1"], wtri, axis=0)
-        n2 = jnp.take(world["n2"], wtri, axis=0)
         normal = ml.safe_normalize(
             n0 * w[..., None] + n1 * u[..., None] + n2 * v[..., None],
             xp=jnp)
@@ -345,12 +414,12 @@ def raycast_bundles_any_pl(origins, directions, world: Dict, accel: Dict,
     if tri_mask is not None:
         slot_mask = slot_mask & jnp.take(jnp.asarray(tri_mask, bool),
                                          accel["perm"])
-    (o, d, rays, stream, lists, counts, overflow,
+    (o, d, rays, stream, lists, counts, cl_bits, overflow,
      B, R, capb) = _prep(origins, directions, accel, slot_mask, capb)
 
     def pair_path(_):
-        _t, hits = _sweep_pl(rays, stream, lists, counts, B, R, capb,
-                             True, face_mask, interpret)
+        _t, hits = _sweep_pl(rays, stream, lists, counts, cl_bits,
+                             B, R, capb, True, face_mask, interpret)
         return hits > 0
 
     def brute_path(_):

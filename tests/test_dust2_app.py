@@ -674,11 +674,14 @@ def test_mirror_pip_renders():
         # Border frame drawn at the top center.
         assert (frame[0, x0:x0 + pw] <= 20).all()
         inset0 = frame[2:2 + ph, x0:x0 + pw].copy()
-        # Turn 180°: the inset should now show what the main view showed.
+        # Turn 90° from the CURRENT yaw (an absolute yaw could equal the
+        # random spawn's facing — seed 1 spawns facing π — making the
+        # rotation a no-op): the rear inset must change.
         import math as _m
         from softwarerenderer_tpu.utils import mathlib as _ml
+        e = np.asarray(_ml.quat_to_euler_degrees(g.cam_rotation))
         g.cam_rotation = np.asarray(_ml.quat_from_yaw_pitch_roll(
-            _m.pi, 0.0, 0.0), np.float32)
+            (e[1] + 90.0) * _m.pi / 180.0, 0.0, 0.0), np.float32)
         # three steps: the two-frame present pipeline (overlapped
         # device→host fetches) shows frame N-2
         g.step(1 / 60)
