@@ -92,7 +92,7 @@ def bench_tpu(width, height, frames, use_pallas=None):
 
 
 def bench_game_loop(width, height, frames, bots=0, network=False,
-                    present=True):
+                    present=True, raytrace=0):
     """The PLAYABLE dust2 loop end-to-end (VERDICT r3 weak #4): input
     script, physics, bots, decals, HUD, pipelined present — everything
     apps/dust2.Dust2Game.step does per frame, headless, timed on the
@@ -103,11 +103,17 @@ def bench_game_loop(width, height, frames, bots=0, network=False,
     from softwarerenderer_tpu.apps.dust2 import Dust2Game
 
     _progress(f"game-loop: starting headless dust2 {width}x{height} "
-              f"bots={bots} network={'loopback-host' if network else 'off'}")
+              f"bots={bots} network={'loopback-host' if network else 'off'}"
+              + (f" raytrace={raytrace}" if raytrace else ""))
     game = Dust2Game(width=width, height=height, render_scale=1.0,
                      headless=True, offline=not network, seed=0,
-                     bots=bots, port=17845)
+                     bots=bots, port=17845, raytrace=raytrace)
     game.mouse_locked = True
+    # Deeper fetch pipeline on the tunneled device: the remote transfer
+    # path sustains ~2x the throughput with 3-4 frames in flight
+    # (measured probe: depth 2 -> 4 = 34 -> 19 ms per 640x400 fetch);
+    # costs one extra frame of present latency.
+    game.present_depth = int(os.environ.get("SRT_PRESENT_DEPTH", 3))
 
     if not present:
         # present=False: the frame stays on device except every 8th
@@ -424,6 +430,11 @@ def main():
     ap.add_argument("--network", action="store_true",
                     help="--game-loop: run the real UDP stack "
                          "(localhost host election) instead of offline")
+    ap.add_argument("--raytrace", type=int, nargs="?", const=24,
+                    default=0, metavar="CAP",
+                    help="--game-loop: render through the ray tracer "
+                         "(dust2 --raytrace; CAP = per-bundle cluster "
+                         "budget)")
     ap.add_argument("--no-present", action="store_true",
                     help="--game-loop: leave frames on device (sync every "
                          "8th) — isolates the host loop from the remote "
@@ -440,15 +451,18 @@ def main():
         h = args.height or 1080
         mpix, fps = bench_game_loop(w, h, args.frames or 120,
                                     bots=args.bots, network=args.network,
-                                    present=not args.no_present)
+                                    present=not args.no_present,
+                                    raytrace=args.raytrace)
         print(json.dumps({
             "metric": f"game_loop_fps_{h}p_dust2"
+                      + ("_raytrace" if args.raytrace else "")
                       + ("_nopresent" if args.no_present else ""),
             "value": round(fps, 2), "unit": "fps",
             "vs_baseline": None,
             "extra": {"mpixels_per_s": round(mpix, 2),
                       "bots": args.bots,
                       "network": bool(args.network),
+                      "raytrace": args.raytrace,
                       "present": not args.no_present,
                       "resolution": f"{w}x{h}",
                       "device": _device_name()},
@@ -503,12 +517,15 @@ def main():
     # rather than discarding the headline metric.
     game_rows = {}
     if not args.small:
-        for key, (gw, gh, pres) in {
-            "game_loop_fps_640x400": (640, 400, True),
-            f"game_loop_fps_{height}p_nopresent": (width, height, False),
+        for key, (gw, gh, pres, rt) in {
+            "game_loop_fps_640x400": (640, 400, True, 0),
+            "game_loop_fps_640x400_raytrace": (640, 400, True, 24),
+            f"game_loop_fps_{height}p_nopresent": (width, height, False,
+                                                   0),
         }.items():
             try:
-                _, gfps = bench_game_loop(gw, gh, 120, present=pres)
+                _, gfps = bench_game_loop(gw, gh, 120, present=pres,
+                                          raytrace=rt)
                 game_rows[key] = round(gfps, 2)
             except Exception as e:      # noqa: BLE001 — report, don't die
                 _progress(f"game-loop row {key} failed: {e!r}")

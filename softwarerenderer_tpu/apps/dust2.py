@@ -737,6 +737,13 @@ class Dust2Game:
             max_workers=4, thread_name_prefix="srt_fetch")
         self._out_q: List = []          # futures of (rgb8|None, aux)
         self._frame_i = 0
+        # Fetch-pipeline depth: the presented frame / host pose trail
+        # the sim by this many steps.  Default 2 (one frame of extra
+        # latency over the reference's blocking upload); the tunneled
+        # device sustains measurably more transfer throughput with more
+        # in flight (depth 2 → 4: 34 → 19 ms/frame on the 640×400
+        # fetch probe) — bench.py --game-loop raises it to 3 there.
+        self.present_depth = int(os.environ.get("SRT_PRESENT_DEPTH", 2))
         # Bench/test hook: fetch the rgb frame only every Nth step (the
         # aux vector always fetches) — models a locally-attached display
         # where the frame-sized transfer is ~1 ms (bench --no-present).
@@ -1443,21 +1450,29 @@ class Dust2Game:
             rows = (au8.shape[0] + rb - 1) // rb
             au8 = jnp.pad(au8, (0, rows * rb - au8.shape[0]))
             packed = jnp.concatenate([rgb, au8.reshape(rows, w, 3)], 0)
-            return new_sim, packed, aux
+            # tail = the image's last row + the aux rows (~4 KB): frames
+            # whose rgb fetch is skipped (_present_nth) sync on THIS —
+            # still data-dependent on the rendered image, without the
+            # frame-sized transfer.
+            return new_sim, packed, packed[rgb.shape[0] - 1:]
 
         fn = jax.jit(fused)
         eng._dust2_fused = fn
         return fn
 
     def _join_fused(self):
-        """Pop the (rgb8, aux) fetch submitted two frames ago and apply
-        its aux outputs (pose cache, bot roster + fire).  Returns the
-        frame to present this step, or None while the pipeline fills."""
-        if len(self._out_q) < 2:
+        """Pop the (rgb8, aux) fetch submitted `present_depth` frames
+        ago and apply its aux outputs (pose cache, bot roster + fire).
+        Returns a (rgb8_or_None,) 1-tuple — rgb8 is None when that
+        frame's image fetch was skipped (_present_nth) — or None while
+        the pipeline is still filling (the bootstrap case; the two MUST
+        stay distinguishable, else every skipped-rgb frame would block
+        on an in-flight future)."""
+        if len(self._out_q) < max(1, self.present_depth):
             return None
         rgb, aux = self._out_q.pop(0).result()
         self._apply_aux(aux)
-        return rgb
+        return (rgb,)
 
     def _apply_aux(self, aux: np.ndarray) -> None:
         self._char_pos_host = np.asarray(aux[:3], F32).copy()
@@ -1610,7 +1625,7 @@ class Dust2Game:
         }
         if self._bots_state is not None:
             ctl.update(self._bot_ctl())
-        new_sim, packed_dev, aux_dev = self._get_fused(eng)(
+        new_sim, packed_dev, tail_dev = self._get_fused(eng)(
             eng.scene, sim, ctl, u)
         self.char = new_sim["char"]
         self._particles = new_sim["particles"]
@@ -1621,14 +1636,17 @@ class Dust2Game:
         fetch_rgb = (self._present_nth <= 1
                      or self._frame_i % self._present_nth == 0)
         rh = eng.params.height
-        n_aux = int(aux_dev.shape[0])
+        n_aux = 3 + 11 * len(self._bot_ids)
 
-        def _fetch(packed=packed_dev if fetch_rgb else None, aux=aux_dev):
+        def _fetch(packed=packed_dev if fetch_rgb else None,
+                   tail=tail_dev):
             # ONE device→host transfer: image rows + the aux bytes the
-            # fused step packed below them (see _get_fused).  The
-            # aux-only path (rgb skipped) fetches the small vector.
+            # fused step packed below them (see _get_fused).  Frames
+            # whose rgb is skipped (_present_nth) fetch the ~4 KB tail
+            # instead — still a sync on the rendered image's data.
             if packed is None:
-                return None, np.asarray(aux)
+                t = np.asarray(tail)
+                return None, t[1:].ravel()[:4 * n_aux].view(np.float32)
             buf = np.asarray(packed)
             a = buf[rh:].ravel()[:4 * n_aux].view(np.float32)
             return buf[:rh], a
@@ -1640,7 +1658,7 @@ class Dust2Game:
             rgb = self._out_q[0].result()[0]
             bootstrap = True
         else:
-            rgb = joined_rgb
+            rgb = joined_rgb[0]
             bootstrap = False
         if rgb is None:          # rgb fetch skipped (_present_nth > 1)
             if self._blank_frame is None or \
