@@ -205,6 +205,16 @@ class RenderParams:
     # (scripts/measure_kbuffer_coverage.py) or forcing strict
     # bit-identity to the XLA K-slot fold.
     kbuffer_short_circuit: bool = True
+    # Row-compacted layer shading for peel passes k >= 1 (the Pallas
+    # K-buffer): when the pass's live pixels span at most this fraction
+    # of the framebuffer's ROWS, gather those rows, shade the compacted
+    # (rows, W) block, and scatter back — sparse translucency then pays
+    # shading for its own rows instead of the full frame.  Row (not
+    # pixel) granularity because TPU row gathers are bandwidth-priced
+    # while per-pixel gathers charge per element (BENCHMARKS.md gather
+    # model).  Bit-exact: the shader ABI is per-pixel, and pixels whose
+    # winner map says "none" are never read by the replay.  0 disables.
+    kbuffer_compact_rows: float = 0.5
     # Run fold+resolve+interp as one Pallas tile kernel (ops/pallas_tile)
     # with shading as a single full-frame pass — the fastest path, default
     # ON.  Engages only on the TPU backend with LESS_EQUAL depth; every

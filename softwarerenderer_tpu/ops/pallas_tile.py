@@ -42,6 +42,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -543,12 +544,14 @@ def _prepare_ctx(tris: Dict, params: RenderParams, fb_depth,
         glob_s=glob_s, seg_s=seg_s, glob_p=glob_p, seg_p=seg_p)
 
 
-def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None):
+def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None,
+              raw: bool = False):
     """One kernel invocation over a prepared ctx.  With (prev_d, prev_i)
     — padded (Hp, Wp) f32 maps of the previous pass's winner — the fold
     peels: it keeps the best fragment strictly worse-ranked than that
     winner.  Returns (frag dict for the shader, padded best_d, padded
-    best_i)."""
+    best_i); raw=True returns the planar (kpi, Hp, Wp) G-buffer in the
+    frag slot instead (see _frag_from_planes)."""
     peel = prev_d is not None
     (tile_h, tile_w, ntx, nty, ntiles, tpx, kpi, kp3_dma, Hp, Wp, H, W) = (
         ctx["tile_h"], ctx["tile_w"], ctx["ntx"], ctx["nty"], ctx["ntiles"],
@@ -606,7 +609,18 @@ def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None):
     )(ctx["starts"], ctx["counts"], ctx["n_global"],
       ctx["row_offset_arr"], *inputs)
 
-    planes = gbuf[:, :H, :W]       # planar output: no untile transpose
+    if raw:
+        # Planar G-buffer handed back untouched: the K-buffer peel's
+        # segment-compacted shading gathers live segments from it with
+        # ONE take before building the frag dict.
+        return gbuf, best_d, best_i
+    return (_frag_from_planes(ctx, gbuf[:, :H, :W]), best_d, best_i)
+
+
+def _frag_from_planes(ctx: Dict, planes):
+    """Shader frag dict from (kpi, ...) G-buffer planes — shape-agnostic
+    past the plane axis (full (H, W) frames and segment-compacted
+    (cap, seg) blocks build identically)."""
     gb_slices = ctx["gb_slices"]
     flat = {k: jnp.moveaxis(planes[lo:hi], 0, -1)
             for k, (lo, hi) in gb_slices.items() if not k.startswith("tri.")}
@@ -623,7 +637,7 @@ def _run_pass(ctx: Dict, interpret: bool, prev_d=None, prev_i=None):
     if ctx["extra_keys"]:
         frag["tri"] = {k: planes[gb_slices["tri." + k][0]].astype(jnp.int32)
                        for k in ctx["extra_keys"]}
-    return frag, best_d, best_i
+    return frag
 
 
 def _gb_keep(fragment_shader):
@@ -1149,9 +1163,65 @@ def render_tile_pallas_kbuffer(tris: Dict, fragment_shader, uniforms: Dict,
             prev_i = jnp.where(stop, F32(-1), bi.astype(F32))
             eligible = jnp.any(prev_i >= F32(0))
 
+            # Segment-compacted layer shading
+            # (params.kbuffer_compact_rows): peel layers k >= 1 are
+            # typically sparse (a few translucent surfaces), yet the
+            # shader pass charges the full frame.  Split rows into
+            # `seg`-px segments, gather the segments holding ANY live
+            # winner DIRECTLY from the kernel's planar G-buffer with
+            # ONE take (per-channel takes each pay ~1 ms of op overhead
+            # at 1080p; a planar row-gather is bandwidth-priced), shade
+            # the compacted (cap, seg) block, scatter back.  Bit-exact:
+            # the shader ABI is per-pixel; fill/duplicate entries
+            # recompute segment 0 with identical values; un-shaded
+            # segments hold zeros no consumer reads (the replay picks
+            # only winner_index >= 0 pixels, and the opq stop only
+            # matters where a winner exists).
+            seg = 128
+            while seg > 8 and W % seg:
+                seg //= 2
+            frac = params.kbuffer_compact_rows
+            compactable = frac > 0 and W % seg == 0
+            if compactable:
+                nseg = W // seg
+                seg_cap = int(H * nseg * frac)
+                seg_cap = min(H * nseg, max(8, -(-seg_cap // 8) * 8))
+                compactable = seg_cap < H * nseg
+
             def live(pd, pi):
-                frag, bd, bi = _run_pass(ctx, interpret, pd, pi)
-                col, opq = shade(frag)
+                gbuf, bd, bi = _run_pass(ctx, interpret, pd, pi,
+                                         raw=True)
+
+                def full(gbuf):
+                    return shade(_frag_from_planes(ctx,
+                                                   gbuf[:, :H, :W]))
+
+                if not compactable:
+                    col, opq = full(gbuf)
+                    return col, bd, bi, opq
+                live_seg = jnp.any(
+                    (bi[:H, :W] >= 0).reshape(H * nseg, seg), axis=1)
+                n_live = jnp.sum(live_seg.astype(jnp.int32))
+
+                def compact(gbuf):
+                    idx = jnp.nonzero(live_seg, size=seg_cap,
+                                      fill_value=0)[0]
+                    kpi = gbuf.shape[0]
+                    sub = jnp.take(
+                        gbuf[:, :H, :W].reshape(kpi, H * nseg, seg),
+                        idx, axis=1)
+                    colr, opqr = shade(_frag_from_planes(ctx, sub))
+                    col = jnp.zeros((H * nseg, seg, 4), F32) \
+                        .at[idx].set(colr).reshape(H, W, 4)
+                    if use_opq or none_stop:
+                        opq = jnp.zeros((H * nseg, seg), bool) \
+                            .at[idx].set(opqr).reshape(H, W)
+                    else:
+                        opq = jnp.zeros((), bool)
+                    return col, opq
+
+                col, opq = jax.lax.cond(n_live <= seg_cap, compact,
+                                        full, gbuf)
                 return col, bd, bi, opq
 
             def dead(pd, pi):
