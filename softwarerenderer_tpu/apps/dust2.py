@@ -717,6 +717,7 @@ class Dust2Game:
         self.spectate_idx = -1          # -1 = own view; else players[] index
         self._prev_keys = set()
         self._tune_idx = 0
+        self._drag_row = None           # active pointer-dragged slider
         self.mouse_sensitivity = MOUSE_SENSITIVITY  # Camera.cs:10, tunable
         # Right-stick look rate: mouse-pixel-equivalents/s at full
         # deflection (gamepad support is beyond the reference).
@@ -798,6 +799,7 @@ class Dust2Game:
         self._update_network()
         self._update_character(dt, inp)   # host staging for the fused step
         self._update_toggles(inp)
+        self._update_pointer(inp)
         # Scoreboard (hold Tab) — beyond-reference ergonomics (ROADMAP #6).
         self.hud.state.show_scoreboard = "tab" in inp["keys"] \
             and not self.hud.state.chat_active
@@ -1214,24 +1216,27 @@ class Dust2Game:
 
     def _tunable_adjust(self, name: str, kind: str, delta: float,
                         lo: float, hi: float) -> None:
-        """Apply one debug-panel adjustment (Renderer.cs:690-817); every
-        target is a traced value, so no path here recompiles except the
-        framebuffer-reshaping render scale."""
-        clamp = lambda v: min(hi, max(lo, v))
+        """Apply one keyed debug-panel step (Renderer.cs:690-817)."""
+        self._tunable_set(name, kind,
+                          self._tunable_value(name, kind) + delta, lo, hi)
+
+    def _tunable_set(self, name: str, kind: str, value: float,
+                     lo: float, hi: float) -> None:
+        """Write one tunable's absolute value (keyed steps AND pointer
+        slider drags route here); every target is a traced value, so no
+        path recompiles except the framebuffer-reshaping render scale."""
+        v = min(hi, max(lo, float(value)))
         parts = kind.split(":")
         if parts[0] == "w":
-            self.window.render_scale = clamp(
-                self.window.render_scale + delta)
+            self.window.render_scale = v
             self._rebuild_engine_for_scale()
             return
         if parts[0] == "s":
-            setattr(self, parts[1], np.float32(
-                clamp(float(getattr(self, parts[1])) + delta)))
+            setattr(self, parts[1], np.float32(v))
             return
         if parts[0] == "rot":
             euler = np.asarray(ml.quat_to_euler_degrees(self.cam_rotation))
-            i = int(parts[1])
-            euler[i] = clamp(float(euler[i]) + delta)
+            euler[int(parts[1])] = v
             self.cam_rotation = np.asarray(ml.quat_from_yaw_pitch_roll(
                 euler[1] * math.pi / 180, euler[0] * math.pi / 180,
                 euler[2] * math.pi / 180), F32)
@@ -1239,14 +1244,13 @@ class Dust2Game:
         if parts[0] == "pos":
             i = int(parts[1])
             pos = np.asarray(self.char["position"]).copy()
-            pos[i] = clamp(float(pos[i]) + delta)
+            pos[i] = v
             self.char["position"] = jnp.asarray(pos, jnp.float32)
             # keep the panel's pipelined readback coherent immediately
             self._char_pos_host = pos.astype(F32)
             return
         if parts[0] == "l":
-            tgt = self.light_euler
-            tgt[name] = np.float32(clamp(float(tgt[name]) + delta))
+            self.light_euler[name] = np.float32(v)
             self.engine.uniforms["light_direction"] = np.asarray(
                 ml.euler_degrees_to_direction(
                     [self.light_euler["light_pitch"],
@@ -1254,12 +1258,46 @@ class Dust2Game:
             return
         tgt = self.engine.uniforms if parts[0] == "u" else self.char_params
         if len(parts) == 1:
-            tgt[name] = np.float32(clamp(float(tgt[name]) + delta))
+            tgt[name] = np.float32(v)
         else:
             key, i = parts[1], int(parts[2])
             vec = np.asarray(tgt[key], F32).copy()
-            vec[i] = clamp(float(vec[i]) + delta)
+            vec[i] = v
             tgt[key] = vec
+
+    def _update_pointer(self, inp) -> None:
+        """Pointer interaction with the HUD while the cursor is released
+        (Esc): drag the tunables panel's sliders, click the chat row to
+        focus it — the reference's mouse-driven ImGui surface
+        (Renderer.cs:658-820 sliders, :587-656 chat InputText).  Pure
+        geometry lives in io_host.ui (panel_hit_row / slider_value /
+        chat_input_rect) so headless tests drive the same math."""
+        from softwarerenderer_tpu.io_host import ui as ui_mod
+        pos = inp.get("mouse_pos")
+        if self.mouse_locked or pos is None:
+            self._drag_row = None
+            return
+        held = bool(inp.get("mouse_held"))
+        clicked = bool(inp.get("mouse_down"))
+        hs = self.hud.state
+        w, h = self.window.width, self.window.height
+        panel = ui_mod._anchor(self.hud.layout.panel_pos, w, h)
+        if clicked:
+            if hs.show_debug:
+                row = ui_mod.panel_hit_row(panel, len(self.TUNABLES), pos)
+                if row is not None:
+                    self._drag_row = row
+                    self._tune_idx = row
+            if ui_mod.point_in_rect(pos, ui_mod.chat_input_rect(
+                    self.hud.layout.chat_pos, len(hs.chat_messages),
+                    hs.max_chat_lines, w, h)):
+                hs.chat_active = True
+        if held and self._drag_row is not None and hs.show_debug:
+            name, kind, _step, lo, hi = self.TUNABLES[self._drag_row]
+            self._tunable_set(name, kind, ui_mod.slider_value(
+                panel, self._drag_row, pos[0], lo, hi), lo, hi)
+        if not held:
+            self._drag_row = None
 
     def _player_matrix(self, p: ConnectedPlayer) -> np.ndarray:
         """CreatePlayerMatrix (Renderer.cs:251-256)."""
@@ -1685,12 +1723,13 @@ class Dust2Game:
                          f"{getattr(self, 'normal_mapped', False)}   "
                          f"ssao [k]: {p.ssao}   bloom [j]: {p.bloom}   "
                          f"fxaa [u]: {p.fxaa}")
-            lines.append("-- tunables ([ ] select, -/= adjust) --")
-            for i, (name, kind, *_rest) in enumerate(self.TUNABLES):
-                mark = ">" if i == self._tune_idx else " "
-                lines.append(
-                    f"{mark} {name}: {self._tunable_value(name, kind):.2f}")
             self.hud.state.debug_lines = lines
+            # Clickable slider rows (drawn + hit-tested via the shared
+            # io_host.ui panel geometry).
+            self.hud.state.tunables = [
+                (name, self._tunable_value(name, kind), lo, hi)
+                for name, kind, _step, lo, hi in self.TUNABLES]
+            self.hud.state.tune_selected = self._tune_idx
         self.window.present(rgb, overlay=self.hud)
 
     def _nametags(self):

@@ -46,6 +46,11 @@ class HudState:
     show_scoreboard: bool = False
     # Spectator banner: name of the player being watched ("" = playing)
     spectating: str = ""
+    # Clickable tunables panel rows (name, value, lo, hi) + selection —
+    # filled by the app while show_debug; drawn as draggable sliders.
+    tunables: List[Tuple[str, float, float, float]] = \
+        dataclasses.field(default_factory=list)
+    tune_selected: int = -1
 
 
 def project_nametag(world_pos, view, projection, width: int, height: int
@@ -73,6 +78,7 @@ class HudLayout:
     from the right/bottom edge."""
 
     chat_pos: Tuple[int, int] = (16, 16)
+    panel_pos: Tuple[int, int] = (16, 180)
     health_pos: Tuple[int, int] = (16, -40)
     killfeed_pos: Tuple[int, int] = (-12, 28)
     perf_pos: Tuple[int, int] = (-330, 8)
@@ -88,6 +94,70 @@ class HudLayout:
 def _anchor(pos, w: int, h: int) -> Tuple[int, int]:
     x, y = pos
     return (x if x >= 0 else w + x), (y if y >= 0 else h + y)
+
+
+# --- clickable tunables panel geometry (r5) --------------------------------
+# The reference's debug panel is a real ImGui surface with draggable
+# sliders and a focusable chat input (Renderer.cs:658-820, 587-656).
+# These PURE functions define the panel's screen geometry so the drawing
+# code (Hud.__call__), the game's pointer handling (dust2._update_pointer)
+# and the headless unit tests share one layout definition.
+
+PANEL_PAD = 8
+PANEL_ROW_H = 18
+PANEL_LABEL_W = 160
+PANEL_SLIDER_W = 140
+PANEL_VALUE_W = 64
+PANEL_HEADER_H = 22
+
+
+def panel_size(n_rows: int) -> Tuple[int, int]:
+    return (PANEL_PAD * 2 + PANEL_LABEL_W + PANEL_SLIDER_W
+            + PANEL_VALUE_W,
+            PANEL_HEADER_H + n_rows * PANEL_ROW_H + PANEL_PAD)
+
+
+def panel_slider_rect(panel_pos, row: int) -> Tuple[int, int, int, int]:
+    """(x, y, w, h) of row's slider TRACK (the clickable/draggable part)."""
+    x, y = panel_pos
+    return (x + PANEL_PAD + PANEL_LABEL_W,
+            y + PANEL_HEADER_H + row * PANEL_ROW_H + 4,
+            PANEL_SLIDER_W, PANEL_ROW_H - 8)
+
+
+def point_in_rect(pos, rect) -> bool:
+    x, y = pos
+    rx, ry, rw, rh = rect
+    return rx <= x < rx + rw and ry <= y < ry + rh
+
+
+def panel_hit_row(panel_pos, n_rows: int, pos) -> Optional[int]:
+    """Row whose slider track contains pos, else None.  Constant-time:
+    derive the row from y, then bound-check against that row's rect."""
+    x, y = pos
+    row = (int(y) - panel_pos[1] - PANEL_HEADER_H) // PANEL_ROW_H
+    if 0 <= row < n_rows:
+        # widen vertically to the full row so drags between tracks hold
+        rx, _, rw, _ = panel_slider_rect(panel_pos, row)
+        if rx <= x < rx + rw:
+            return row
+    return None
+
+
+def slider_value(panel_pos, row: int, x: float, lo: float,
+                 hi: float) -> float:
+    """Value for a drag at screen x on row's track (clamped to [lo, hi])."""
+    rx, _, rw, _ = panel_slider_rect(panel_pos, row)
+    frac = min(1.0, max(0.0, (x - rx) / max(1, rw - 1)))
+    return lo + frac * (hi - lo)
+
+
+def chat_input_rect(chat_pos, n_messages: int, max_lines: int,
+                    w: int, h: int) -> Tuple[int, int, int, int]:
+    """The chat input row's rect (click to focus — the reference's
+    InputText, Renderer.cs:587-656): sits under the visible messages."""
+    x, y = _anchor(chat_pos, w, h)
+    return (x, y + 16 * min(n_messages, max_lines), 320, 18)
 
 
 class Hud:
@@ -237,3 +307,30 @@ class Hud:
                 screen.blit(self._font.render(line, True, (0, 255, 128)),
                             (px_, y))
                 y += 16
+
+        # Clickable tunables panel: label + draggable slider + value per
+        # row (geometry from the pure panel_* functions above, shared
+        # with the game's pointer handling and the headless tests).
+        if s.show_debug and s.tunables:
+            ppx, ppy = _anchor(self.layout.panel_pos, w, h)
+            pw_, ph_ = panel_size(len(s.tunables))
+            box = pg.Surface((pw_, ph_))
+            box.set_alpha(190)
+            box.fill((16, 18, 26))
+            screen.blit(box, (ppx, ppy))
+            screen.blit(self._font.render(
+                "tunables (drag sliders; [ ] -/= keys)", True,
+                (255, 255, 160)), (ppx + PANEL_PAD, ppy + 4))
+            for i, (name, val, lo, hi) in enumerate(s.tunables):
+                ry = ppy + PANEL_HEADER_H + i * PANEL_ROW_H
+                col = (255, 255, 160) if i == s.tune_selected else white
+                screen.blit(self._font.render(name[:20], True, col),
+                            (ppx + PANEL_PAD, ry))
+                tx, ty, tw_, th_ = panel_slider_rect((ppx, ppy), i)
+                pg.draw.rect(screen, (60, 60, 70), (tx, ty, tw_, th_))
+                frac = 0.0 if hi <= lo else \
+                    min(1.0, max(0.0, (val - lo) / (hi - lo)))
+                pg.draw.rect(screen, (90, 170, 240),
+                             (tx, ty, max(2, int(tw_ * frac)), th_))
+                screen.blit(self._font.render(f"{val:.2f}", True, col),
+                            (tx + tw_ + 8, ry))

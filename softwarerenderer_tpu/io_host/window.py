@@ -41,9 +41,14 @@ class WindowBase:
 
     def poll(self) -> dict:
         """Returns {"keys": set[str], "mouse_delta": (dx, dy),
-        "mouse_down": bool, "chars": str, "quit": bool,
+        "mouse_down": bool, "mouse_held": bool, "mouse_pos": (x, y),
+        "chars": str, "quit": bool,
         "gamepad": {"move": (x, y), "look": (x, y), "jump": bool,
         "fire": bool} | None}.
+
+        mouse_pos/mouse_held drive the clickable HUD (tunables sliders,
+        chat focus) while the cursor is released (Esc); consumers use
+        .get() so hand-built input dicts may omit them.
 
         Gamepad convention (beyond the reference, which reads keyboard +
         mouse only, Renderer.cs:140-161, 358-383): move/look are
@@ -74,7 +79,8 @@ class HeadlessWindow(WindowBase):
 
     def poll(self) -> dict:
         return {"keys": set(), "mouse_delta": (0.0, 0.0),
-                "mouse_down": False, "chars": "", "quit": False,
+                "mouse_down": False, "mouse_held": False,
+                "mouse_pos": (0, 0), "chars": "", "quit": False,
                 "gamepad": None}
 
     def present(self, rgb: np.ndarray, overlay=None) -> None:
@@ -168,7 +174,10 @@ class PygameWindow(WindowBase):
                 pass
         dx, dy = pg.mouse.get_rel() if self.mouse_captured else (0, 0)
         return {"keys": keys, "mouse_delta": (float(dx), float(dy)),
-                "mouse_down": mouse_down, "chars": chars, "quit": quit_,
+                "mouse_down": mouse_down,
+                "mouse_held": bool(pg.mouse.get_pressed()[0]),
+                "mouse_pos": tuple(pg.mouse.get_pos()),
+                "chars": chars, "quit": quit_,
                 "gamepad": self._poll_gamepad()}
 
     def _poll_gamepad(self) -> Optional[dict]:

@@ -744,3 +744,55 @@ def test_appconfig_applies_to_game(tmp_path):
         g.step(1 / 60)      # frame + sim still run with applied values
     finally:
         g.close()
+
+
+def test_pointer_slider_drag_and_chat_focus():
+    """With the cursor released (Esc), dragging a tunables slider sets
+    the value from the pointer x, and clicking the chat input row
+    focuses chat — the reference's mouse-driven ImGui surface
+    (Renderer.cs:658-820, :587-656), headless via synthetic inputs."""
+    from softwarerenderer_tpu.io_host import ui as ui_mod
+
+    g = make_game(offline=True)
+    try:
+        g.step(1 / 60)
+        g.mouse_locked = False
+        g.hud.state.show_debug = True
+        w, h = g.window.width, g.window.height
+        panel = ui_mod._anchor(g.hud.layout.panel_pos, w, h)
+        row = next(i for i, t in enumerate(g.TUNABLES)
+                   if t[0] == "fov_degrees")
+        rx, ry, rw, rh = ui_mod.panel_slider_rect(panel, row)
+        x = rx + (rw - 1) // 2
+        drag = {"quit": False, "keys": set(), "chars": "",
+                "mouse_delta": (0, 0), "mouse_down": True,
+                "mouse_held": True, "mouse_pos": (x, ry + 1),
+                "gamepad": None}
+        g.step(1 / 60, inputs=drag)
+        name, kind, _s, lo, hi = g.TUNABLES[row]
+        expect = ui_mod.slider_value(panel, row, x, lo, hi)
+        assert abs(float(g.engine.uniforms["fov_degrees"]) - expect) < 1e-3
+        assert g._tune_idx == row
+        # continue the drag further right without a fresh click
+        drag2 = dict(drag, mouse_down=False, mouse_pos=(rx + rw, ry + 1))
+        g.step(1 / 60, inputs=drag2)
+        assert float(g.engine.uniforms["fov_degrees"]) == hi
+        # release; clicking the chat input row focuses chat
+        rel = dict(drag, mouse_down=False, mouse_held=False,
+                   mouse_pos=(0, 0))
+        g.step(1 / 60, inputs=rel)
+        assert g._drag_row is None
+        cr = ui_mod.chat_input_rect(g.hud.layout.chat_pos,
+                                    len(g.hud.state.chat_messages),
+                                    g.hud.state.max_chat_lines, w, h)
+        click = dict(drag, mouse_pos=(cr[0] + 2, cr[1] + 2))
+        g.step(1 / 60, inputs=click)
+        assert g.hud.state.chat_active
+        # while mouse is locked (playing), clicks never touch the panel
+        g.hud.state.chat_active = False
+        g.mouse_locked = True
+        fov_before = float(g.engine.uniforms["fov_degrees"])
+        g.step(1 / 60, inputs=dict(drag, mouse_pos=(x, ry + 1)))
+        assert float(g.engine.uniforms["fov_degrees"]) == fov_before
+    finally:
+        g.close()

@@ -185,3 +185,44 @@ def test_gamepad_errors_fall_back_to_none(window):
 
     window._joystick = Broken()
     assert window.poll()["gamepad"] is None
+
+
+# --- clickable HUD geometry (r5: the reference's mouse-driven panel) -----
+
+def test_panel_geometry_hit_and_value():
+    """panel_hit_row finds the row whose slider track contains the
+    pointer; slider_value maps track x to [lo, hi] with clamping."""
+    from softwarerenderer_tpu.io_host import ui
+    panel = (20, 50)
+    n = 10
+    for row in (0, 4, 9):
+        rx, ry, rw, rh = ui.panel_slider_rect(panel, row)
+        assert ui.panel_hit_row(panel, n, (rx + 2, ry + 1)) == row
+        assert ui.panel_hit_row(panel, n, (rx - 1, ry + 1)) is None
+        assert ui.panel_hit_row(panel, n, (rx + rw + 1, ry + 1)) is None
+    assert ui.panel_hit_row(panel, n, (0, 0)) is None
+    # below the last row
+    _, ly, _, _ = ui.panel_slider_rect(panel, n - 1)
+    assert ui.panel_hit_row(panel, n, (panel[0] + 200,
+                                       ly + ui.PANEL_ROW_H + 4)) is None
+    # endpoints map to lo/hi; out-of-track x clamps
+    rx, ry, rw, rh = ui.panel_slider_rect(panel, 3)
+    assert ui.slider_value(panel, 3, rx, 1.0, 5.0) == 1.0
+    assert ui.slider_value(panel, 3, rx + rw, 1.0, 5.0) == 5.0
+    assert ui.slider_value(panel, 3, rx - 50, 1.0, 5.0) == 1.0
+    mid = ui.slider_value(panel, 3, rx + (rw - 1) / 2, 0.0, 2.0)
+    assert abs(mid - 1.0) < 0.05
+
+
+def test_chat_input_rect_tracks_messages():
+    """The focusable input row sits under the visible messages and stops
+    growing at max_lines (the scrollback window)."""
+    from softwarerenderer_tpu.io_host import ui
+    r0 = ui.chat_input_rect((16, 16), 0, 8, 640, 480)
+    r3 = ui.chat_input_rect((16, 16), 3, 8, 640, 480)
+    assert r3[1] == r0[1] + 3 * 16
+    r_many = ui.chat_input_rect((16, 16), 50, 8, 640, 480)
+    assert r_many[1] == r0[1] + 8 * 16
+    # negative anchors resolve from the window edge
+    rneg = ui.chat_input_rect((-336, 16), 0, 8, 640, 480)
+    assert rneg[0] == 640 - 336
