@@ -215,6 +215,21 @@ class RenderParams:
     # model).  Bit-exact: the shader ABI is per-pixel, and pixels whose
     # winner map says "none" are never read by the replay.  0 disables.
     kbuffer_compact_rows: float = 0.5
+    # APPROXIMATE opt-in mode (r5, VERDICT r4 #10): shade every
+    # shade_rate-th ROW over the full-resolution winner maps and
+    # replicate the shaded color down each row block — the kernel's
+    # visibility fold runs at full res (anchor rows stay identical to
+    # full-rate in depth, and in color to 1 ulp of cross-compilation
+    # fusion), while non-anchor rows follow their anchor's shaded
+    # write/discard decision (a thin silhouette band may differ);
+    # shading cost (texel gathers + shader math) drops ~shade_rate×.
+    # Rows, not 2x2 blocks: column-strided subsampling crosses TPU
+    # lanes and costs more than it saves (measured — BENCHMARKS.md).
+    # NOT a parity mode: it has its own golden contract
+    # (tests/test_pallas_raster.py shade-rate case) and never engages
+    # unless explicitly set.  Pallas opaque route only (kbuffer > 1 or
+    # other routes raise); the frame height must divide by shade_rate.
+    shade_rate: int = 1
     # Run fold+resolve+interp as one Pallas tile kernel (ops/pallas_tile)
     # with shading as a single full-frame pass — the fastest path, default
     # ON.  Engages only on the TPU backend with LESS_EQUAL depth; every

@@ -397,6 +397,12 @@ def render_frame(scene: Dict, uniforms: Dict, params: RenderParams,
         raise ValueError("active_cap_stats needs no ssaa/post-fx (the "
                          "stats dict is a third return value the "
                          "recursive wrappers don't thread)")
+    if params.shade_rate > 1 and (params.kbuffer > 1
+                                  or not _pallas_route(params)):
+        raise ValueError("shade_rate > 1 is implemented on the Pallas "
+                         "opaque route only (use_pallas deferred binned "
+                         "LESS_EQUAL, kbuffer <= 1) — it would silently "
+                         "shade full-rate elsewhere")
     if params.ssaa > 1:
         # Supersampled AA: render the whole frame at ssaa× and box-filter
         # down (beyond the reference — it has no AA at all).  fb seeds are

@@ -1068,12 +1068,29 @@ def render_tile_pallas(tris: Dict, fragment_shader, uniforms: Dict,
                                   "only")
     ctx = _prepare_ctx(tris, params, fb_depth, per_tri_extra, row_offset,
                        gb_keep=_gb_keep(fragment_shader))
-    frag, best_d, best_i = _run_pass(ctx, interpret)
     H, W = ctx["H"], ctx["W"]
+    sr = int(params.shade_rate)
+    if sr > 1:
+        # Approximate shade-rate mode (config.RenderParams.shade_rate):
+        # winners/depth at full resolution from the kernel, the shader
+        # pass on every sr-th ROW of the G-buffer, colors replicated
+        # down each row block — 1/sr of the texel gathers + shader ops.
+        # Rows only: a column-strided subsample crosses TPU lanes and
+        # costs MORE than it saves (measured 4K: ::2 on the lane dim
+        # 70 ms vs 5.7 ms on rows — BENCHMARKS.md shade-rate note).
+        if H % sr:
+            raise ValueError(f"shade_rate={sr} needs the frame height "
+                             f"divisible by it, got {H}")
+        gbuf, best_d, best_i = _run_pass(ctx, interpret, raw=True)
+        frag = _frag_from_planes(ctx, gbuf[:, :H:sr, :W])
+        color = fragment_shader(frag, uniforms, jnp)
+        color = jnp.repeat(color, sr, 0)
+    else:
+        frag, best_d, best_i = _run_pass(ctx, interpret)
+        color = fragment_shader(frag, uniforms, jnp)
 
     # ---- full-frame shading over the compact G-buffer (one XLA pass) ----
     covered = best_i[:H, :W] >= 0
-    color = fragment_shader(frag, uniforms, jnp)
     written = covered & (color[..., 3] > 0)
     out_c = jnp.where(written[..., None],
                       _blend(color, fb_color, params.blend_mode), fb_color)

@@ -240,3 +240,63 @@ def test_kdeep_kernel_matches_peel():
     assert (np.abs(c1 - c2).max(axis=-1) > 1e-5).mean() == 0
     assert (np.abs(d1 - d2) > 1e-5).mean() == 0
     assert int(stats["kbuffer_saturated_px"]) >= 0
+
+
+def test_shade_rate_contract():
+    """shade_rate=2 (opt-in APPROXIMATE mode, its own contract — never a
+    parity path): anchor ROWS match full-rate (depth exactly, color to
+    1 ulp); other rows replicate their anchor row wherever both were
+    written."""
+    import functools
+
+    from softwarerenderer_tpu.engine.renderer import (
+        default_frame_uniforms,
+        render_frame,
+    )
+    from softwarerenderer_tpu.models import scene as scene_mod
+    from softwarerenderer_tpu.ops import texture as tex_ops
+
+    checker = np.asarray(tex_ops.checkerboard(32, 4)["data"])
+    insts = [scene_mod.MeshInstance(
+        primitives.plane(30.0), ml.translation([0.0, -1.0, 0.0]),
+        texture=checker)]
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        pos = rng.uniform(-4, 4, 3).astype(np.float32)
+        pos[1] = rng.uniform(-0.5, 1.5)
+        insts.append(scene_mod.MeshInstance(
+            primitives.cube(0.9), ml.translation(pos), texture=checker))
+    scene = scene_mod.build_scene_buffers(insts)
+    params = RenderParams(width=128, height=64, tile_h=16, tile_w=128,
+                          tile_group=4, chunk=16, span_cap=6,
+                          pallas_interpret=True)
+    u = default_frame_uniforms(params.width, params.height)
+    u["camera_position"] = np.float32([0.0, 1.0, 8.0])
+
+    full_c, full_d = map(np.asarray, jax.jit(functools.partial(
+        render_frame, params=params))(scene, u))
+    half_c, half_d = map(np.asarray, jax.jit(functools.partial(
+        render_frame, params=params.replace(shade_rate=2)))(scene, u))
+
+    # anchors (even, even) match depth exactly and color to 1 ulp (the
+    # subsampled shader compiles with different fusion/FMA contraction —
+    # the PARITY.md cross-compilation note); other positions follow
+    # their anchor's write/discard decision, so only a thin silhouette
+    # band may differ in depth.
+    np.testing.assert_array_equal(half_d[::2, ::2], full_d[::2, ::2])
+    np.testing.assert_allclose(half_c[::2, ::2], full_c[::2, ::2],
+                               atol=1e-6)
+    assert (half_d != full_d).mean() < 0.02
+    # replication: wherever an odd row's pixel and its anchor-row pixel
+    # were both written, the color is the anchor's (unwritten pixels
+    # keep the clear color / previous framebuffer)
+    from softwarerenderer_tpu.ops.raster import DEPTH_CLEAR
+    m = (half_d[::2] != DEPTH_CLEAR) & (half_d[1::2] != DEPTH_CLEAR)
+    np.testing.assert_array_equal(half_c[1::2][m], half_c[::2][m])
+    # and it is a real approximation somewhere (blocks differ from exact)
+    assert (np.abs(half_c - full_c) > 1e-6).any()
+
+    # guarded: only the Pallas opaque route implements it
+    with pytest.raises(ValueError):
+        render_frame(scene, u, params.replace(shade_rate=2,
+                                              use_pallas=False))
