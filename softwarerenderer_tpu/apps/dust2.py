@@ -1689,6 +1689,14 @@ class Dust2Game:
             a = buf[rh:].ravel()[:4 * n_aux].view(np.float32)
             return buf[:rh], a
 
+        try:
+            # Start the device→host copy NOW (non-blocking): by the time
+            # the fetcher thread's np.asarray runs, the transfer is in
+            # flight or done — measured ~20% off the pipelined fetch on
+            # the tunneled chip.
+            (packed_dev if fetch_rgb else tail_dev).copy_to_host_async()
+        except Exception:
+            pass                    # backend without async host copies
         self._out_q.append(self._fetcher.submit(_fetch))
         if joined_rgb is None:
             # Bootstrap: repeat the first frame while the pipeline fills
