@@ -56,27 +56,22 @@ NOTRI = rt_accel.NOTRI
 GROUP = 128          # cluster size: DMA lane slices must be 128-aligned
 
 
-def _kernel(R, G, capb, any_hit, face_mask, cl_bits,
+def _kernel(R, G, capb, capb_p, any_hit, face_mask,
             lists_ref, counts_ref,            # scalar prefetch (SMEM)
-            rays_ref, tri_ref,                # inputs
+            rays_ref, t0_ref, tri_ref,        # inputs
             outt_ref, outg_ref,               # outputs
             buf_ref, sem_ref, acc_ref, st_ref):   # scratch
     i = pl.program_id(0)
     count = counts_ref[i]
     base = i * capb
     eps = F32(rc_mod.EPSILON)
-    cl_mask = (1 << cl_bits) - 1
 
     rays = rays_ref[0]                        # (8, R)
     ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
 
     def get_dma(slot, j):
-        # list entries pack (t0 quantized << cl_bits) | cluster id —
-        # ONE SMEM array serves both the DMA offsets and the nearest
-        # fold's front-to-back exit test (SMEM is the scarce resource:
-        # two (B·capb,) arrays overflowed its 1 MB at 720p).
-        cl = lists_ref[base + j] & cl_mask
+        cl = lists_ref[base + j]
         return pltpu.make_async_copy(
             tri_ref.at[:, pl.ds(cl * G, G)],
             buf_ref.at[slot], sem_ref.at[slot])
@@ -160,8 +155,8 @@ def _kernel(R, G, capb, any_hit, face_mask, cl_bits,
         return
 
     # Nearest fold with the SAME front-to-back early exit (r5): the
-    # wrapper sorts survivors by conservative entry time t0 and streams
-    # t0 quantized (×64, floor) alongside the lists; once even the
+    # wrapper sorts survivors by conservative entry time t0 and ships
+    # t0 quantized (×64, floor) as a per-bundle VMEM row; once even the
     # FARTHEST ray's winner strictly precedes the next cluster's entry
     # (btmax·64 < t0q[j+1] ⇒ btmax < t0[j+1] ≤ every later entry), no
     # remaining cluster can produce a nearer hit — nor an equal-t/lower
@@ -169,7 +164,9 @@ def _kernel(R, G, capb, any_hit, face_mask, cl_bits,
     # the remaining iterations skip both DMA and compute.  Winner
     # identity is bit-exact vs the full sweep.  bt/bg live in VMEM
     # scratch rows (a vector fori carry cannot combine with pl.when —
-    # the any-hit idiom above).
+    # the any-hit idiom above); the per-step t0 scalar comes from an
+    # iota-select over the VMEM row (vector ops only — no SMEM scalar
+    # bit/shift arithmetic).
     acc_ref[0:1, :] = jnp.full((1, R), BIG, F32)
     acc_ref[1:2, :] = jnp.full((1, R), F32(NOTRI), F32)
     st_ref[0] = 0
@@ -199,8 +196,8 @@ def _kernel(R, G, capb, any_hit, face_mask, cl_bits,
             acc_ref[0:1, :] = bt
             acc_ref[1:2, :] = jnp.where(take, gidj, bg)
             btmax = jnp.max(bt)                           # scalar
-            nxt = lists_ref[base + jnp.minimum(j + 1, capb - 1)] \
-                >> cl_bits
+            lane = jax.lax.broadcasted_iota(I32, (1, capb_p), 1)
+            nxt = jnp.sum(jnp.where(lane == j + 1, t0_ref[0], 0))
             st_ref[0] = jnp.where(
                 (j + 1 < count)
                 & (btmax * F32(64.0) < nxt.astype(F32)), 1, 0)
@@ -215,15 +212,19 @@ def _kernel(R, G, capb, any_hit, face_mask, cl_bits,
     outg_ref[...] = acc_ref[1:2, :].astype(I32).reshape(1, 1, R)
 
 
-def _sweep_pl(rays_packed, tri_stream, lists, counts, cl_bits, B, R, capb,
+def _sweep_pl(rays_packed, tri_stream, lists, counts, t0q, B, R, capb,
               any_hit: bool, face_mask: int, interpret: bool):
-    kernel = functools.partial(_kernel, R, GROUP, capb, any_hit,
-                               face_mask, cl_bits)
+    capb_p = t0q.shape[-1]
+    kernel = functools.partial(_kernel, R, GROUP, capb, capb_p, any_hit,
+                               face_mask)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0)),
+            # (B, 1, capb_p) so the block's trailing dims equal the
+            # array dims (the Mosaic block-shape divisibility rule)
+            pl.BlockSpec((1, 1, capb_p), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -255,7 +256,7 @@ def _sweep_pl(rays_packed, tri_stream, lists, counts, cl_bits, B, R, capb,
                    jax.ShapeDtypeStruct((B, 1, R), jnp.int32)],
         interpret=interpret,
         **kw,
-    )(lists, counts, rays_packed, tri_stream)
+    )(lists, counts, rays_packed, t0q, tri_stream)
     return out_t.reshape(B, R), out_g.reshape(B, R)
 
 
@@ -315,17 +316,17 @@ def _prep(origins, directions, accel, slot_mask, capb):
     keyed = jnp.where(alive, t0, BIG)
     order = jnp.argsort(keyed, axis=1).astype(I32)[:, :capb]
     t0s = jnp.take_along_axis(keyed, order, axis=1)
-    # Pack (t0 quantized << cl_bits) | cluster id into the single SMEM
-    # list array (kernel get_dma docstring).  Clamping the quantized
-    # value DOWN to its field keeps the test conservative (exit less
-    # often, never wrongly).
-    cl_bits = max(1, int(accel["n_clusters"] - 1).bit_length())
-    t0q = jnp.clip(jnp.floor(t0s * F32(64.0)), 0.0,
-                   float(2 ** (30 - cl_bits) - 1)).astype(I32)
-    packed = (t0q << cl_bits) | order
+    # The sorted entry times (×64, floor — clamping DOWN keeps the exit
+    # test conservative) ride as a lane-padded per-bundle VMEM row; the
+    # cluster-id lists stay a plain SMEM array (SMEM could not hold a
+    # second (B·capb,) array at 720p, and VMEM is plentiful).
+    capb_p = -(-capb // 128) * 128
+    t0q = jnp.clip(jnp.floor(t0s * F32(64.0)), 0.0, 2.0 ** 30
+                   ).astype(I32)
+    t0q = jnp.pad(t0q, ((0, 0), (0, capb_p - capb)))[:, None, :]
     overflow = jnp.max(counts) > capb
-    return (o, d, rays, stream, packed.reshape(-1), counts,
-            cl_bits, overflow, B, R, capb)
+    return (o, d, rays, stream, order.reshape(-1), counts,
+            t0q, overflow, B, R, capb)
 
 
 def raycast_bundles_nearest_pl(origins, directions, world: Dict,
@@ -339,11 +340,11 @@ def raycast_bundles_nearest_pl(origins, directions, world: Dict,
     if tri_mask is not None:
         slot_mask = slot_mask & jnp.take(jnp.asarray(tri_mask, bool),
                                          accel["perm"])
-    (o, d, rays, stream, lists, counts, cl_bits, overflow,
+    (o, d, rays, stream, lists, counts, t0q, overflow,
      B, R, capb) = _prep(origins, directions, accel, slot_mask, capb)
 
     def pair_path(_):
-        tbest, wtri_i = _sweep_pl(rays, stream, lists, counts, cl_bits,
+        tbest, wtri_i = _sweep_pl(rays, stream, lists, counts, t0q,
                                   B, R, capb, False, face_mask, interpret)
         wtri = wtri_i
         hit = wtri < NOTRI
@@ -414,11 +415,11 @@ def raycast_bundles_any_pl(origins, directions, world: Dict, accel: Dict,
     if tri_mask is not None:
         slot_mask = slot_mask & jnp.take(jnp.asarray(tri_mask, bool),
                                          accel["perm"])
-    (o, d, rays, stream, lists, counts, cl_bits, overflow,
+    (o, d, rays, stream, lists, counts, t0q, overflow,
      B, R, capb) = _prep(origins, directions, accel, slot_mask, capb)
 
     def pair_path(_):
-        _t, hits = _sweep_pl(rays, stream, lists, counts, cl_bits,
+        _t, hits = _sweep_pl(rays, stream, lists, counts, t0q,
                              B, R, capb, True, face_mask, interpret)
         return hits > 0
 
